@@ -1,0 +1,21 @@
+"""pim_lucene_spark — a PySpark-native inverted-index + BM25 engine.
+
+A from-scratch rebuild of the capabilities of upmem/pim-lucene (a Lucene
+fork with a Processing-In-Memory offload for exact phrase search) on top of
+Apache Spark DataFrames, Arrow-vectorized pandas UDFs and Parquet segment
+files.  Reference semantics are cited per module as ``file:line`` paths under
+``/root/reference``; the implementation is Spark-first, not a port.
+
+Layout
+------
+- ``functions``  : pure numpy/pandas kernels (codecs, BM25 math, tokenizers)
+- ``operators``  : DataFrame-level jobs (index build, merge, search, dedup,
+                   similarity, text stats, multimodal plumbing)
+- ``plans``      : query routing / rewrite (indexed path vs brute force)
+- ``streaming``  : Structured Streaming ingestion helpers
+"""
+
+from pim_lucene_spark.config import IndexConfig
+
+__all__ = ["IndexConfig"]
+__version__ = "0.1.0"

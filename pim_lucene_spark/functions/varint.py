@@ -1,0 +1,107 @@
+"""Vectorized varint / zigzag codecs (numpy, no per-value Python loops).
+
+Wire format matches Lucene's ``DataOutput.writeVInt/writeVLong/writeZInt``:
+little-endian base-128 with a continuation bit in 0x80; ZInt is the zigzag
+transform ``(i << 1) ^ (i >> 31)`` followed by VInt.  Used by the postings
+codecs (see :mod:`pim_lucene_spark.functions.postings`), reproducing the
+reference's delta+varint compression semantics
+(``PimIndexWriter.java:850-893``).
+
+Both directions loop only over *byte positions* (<= 10 iterations), never
+over values, so encode/decode stay O(bytes) numpy work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SEVEN = np.uint64(7)
+_MASK7 = np.uint64(0x7F)
+
+
+def encode_uvarints(values: np.ndarray) -> np.ndarray:
+    """Encode an array of unsigned ints as concatenated varints → uint8 array."""
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    n = vals.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    # byte length of each value: 1 + number of 7-bit groups above the first
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        thresh = np.uint64(1) << np.uint64(7 * k)
+        more = vals >= thresh
+        if not more.any():
+            break
+        nbytes += more
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    out = np.zeros(int(starts[-1] + nbytes[-1]), dtype=np.uint8)
+    max_b = int(nbytes.max())
+    for j in range(max_b):
+        sel = nbytes > j
+        chunk = (vals[sel] >> np.uint64(7 * j)) & _MASK7
+        cont = (nbytes[sel] > (j + 1)).astype(np.uint8) << 7
+        out[starts[sel] + j] = chunk.astype(np.uint8) | cont
+    return out
+
+
+def decode_uvarints(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode a buffer of concatenated varints → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = b < 0x80
+    ends = np.flatnonzero(is_end)
+    n = ends.size
+    if n == 0 or ends[-1] != b.size - 1:
+        raise ValueError("truncated varint stream")
+    grp = np.zeros(b.size, dtype=np.int64)
+    grp[1:] = np.cumsum(is_end[:-1])
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos_in_grp = np.arange(b.size, dtype=np.int64) - starts[grp]
+    vals = np.zeros(n, dtype=np.uint64)
+    max_pos = int(pos_in_grp.max())
+    for j in range(max_pos + 1):
+        sel = pos_in_grp == j
+        if not sel.any():
+            continue
+        vals[grp[sel]] |= (b[sel].astype(np.uint64) & _MASK7) << np.uint64(7 * j)
+    return vals
+
+
+def zigzag_encode(values: np.ndarray) -> np.ndarray:
+    """Signed int32 → zigzag uint (Lucene ZInt transform)."""
+    v = np.asarray(values, dtype=np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def zigzag_decode(values: np.ndarray) -> np.ndarray:
+    """Zigzag uint → signed int64."""
+    v = np.asarray(values, dtype=np.uint64)
+    return (v >> np.uint64(1)).astype(np.int64) ^ -(v & np.uint64(1)).astype(np.int64)
+
+
+def delta_encode(sorted_values: np.ndarray, first_delta_from: int = 0) -> np.ndarray:
+    """Strictly/weakly increasing ints → gaps (first gap relative to base)."""
+    v = np.asarray(sorted_values, dtype=np.int64)
+    if v.size == 0:
+        return v.astype(np.uint64)
+    out = np.empty_like(v)
+    out[0] = v[0] - first_delta_from
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    if np.any(out < 0):
+        raise ValueError("delta_encode requires sorted input")
+    return out.astype(np.uint64)
+
+
+def delta_decode(gaps: np.ndarray, first_delta_from: int = 0) -> np.ndarray:
+    """Inverse of :func:`delta_encode`."""
+    g = np.asarray(gaps, dtype=np.int64)
+    if g.size == 0:
+        return g
+    out = np.cumsum(g)
+    if first_delta_from:
+        out += first_delta_from
+    return out

@@ -1,0 +1,84 @@
+"""Index manifest: global metadata, per-partition lineage + metrics.
+
+The Spark-native analogue of the reference's ``pimIndexInfo``
+(``PimIndexWriter.java:232-247``, ``PimIndexInfo.java:36-78``): number of
+partitions/segments, per-field quantization factor, doc-count bookkeeping —
+extended with the build-metrics set the reference emits under
+``ENABLE_STATS`` (``PimIndexWriter.java:638-649``: per-DPU term counts and
+byte sizes) and with chunk-level checkpoint lineage for resumable builds
+(Spark-native analogue of ``context_save_restore.c:17-68``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class IndexManifest:
+    index_dir: str
+    num_partitions: int
+    num_segments: int
+    doc_count: int
+    sum_total_term_freq: int
+    nb_doc_per_segment: int
+    tokenizer: str = "whitespace"
+    k1: float = 1.2
+    b: float = 0.75
+    norm_quant_factor: int = 0
+    build_chunks: int = 1
+    completed_chunks: list[int] = field(default_factory=list)
+    source: str = ""
+    content_col: str = "content"
+    metrics: dict = field(default_factory=dict)
+    version: int = 1
+
+    # --- paths -------------------------------------------------------------
+    @property
+    def docs_path(self) -> str:
+        return os.path.join(self.index_dir, "docs")
+
+    @property
+    def norms_path(self) -> str:
+        return os.path.join(self.index_dir, "norms")
+
+    @property
+    def stats_path(self) -> str:
+        return os.path.join(self.index_dir, "stats")
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.index_dir, "postings")
+
+    def chunk_path(self, chunk: int) -> str:
+        return os.path.join(self.postings_path, f"chunk={chunk}")
+
+    def chunk_marker(self, chunk: int) -> str:
+        return os.path.join(self.index_dir, f"_CHUNK_{chunk}_DONE")
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.index_dir, "manifest.json")
+
+    @property
+    def avgdl(self) -> float:
+        """float64 avgdl; cast at use site per scoring precision
+        (BM25Similarity.java:108-111)."""
+        return self.sum_total_term_freq / float(self.doc_count)
+
+    # --- persistence ---------------------------------------------------------
+    def save(self) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=2, sort_keys=True)
+        os.replace(tmp, self.manifest_path)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IndexManifest":
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            data = json.load(f)
+        data["index_dir"] = index_dir
+        return cls(**data)

@@ -1,0 +1,421 @@
+"""Distributed inverted-index build job (reference operators B1-B14).
+
+Dataflow (all DataFrame/Arrow; per-row work only inside vectorized pandas
+UDFs):
+
+1. **Doc-ID assignment** — dense int64 ids in deterministic ``order_cols``
+   order (replaces Lucene's segment-local docIDs): range-repartition +
+   within-partition sort, per-partition counts collected once, offsets
+   broadcast back.  Scale: two passes over the persisted sorted frame, no
+   global single-partition window.
+2. **Docs table** — ``doc_id, <meta>, content, sha256(content),
+   token_count, norm`` written as Parquet.  ``sha256`` is the per-row
+   invariant column; ``norm`` is Lucene's SmallFloat byte4 of the token
+   count (``BM25Similarity.java:131-142``).
+3. **Collection stats** — one global aggregate: doc_count, sum of token
+   counts → avgdl (``BM25Similarity.java:108-111``, consumed at
+   ``PimIndexWriter.java:190-205``).
+4. **Norms table** — per partition ``pid = doc_id % P`` (round-robin
+   doc→partition routing, ``PimIndexWriter.java:496-503``), a dense uint8
+   blob indexed by ``rel_doc = doc_id // P``
+   (``PimIndexWriter.java:918-942``).
+5. **Postings** — per partition: tokenize → explode → sort by (term,
+   doc, pos) → delta+varint columnar blobs with per-segment skip sizes +
+   max-tf block-max data (``PimIndexWriter.java:826-916``).  Built in
+   ``build_chunks`` independent jobs with completion markers → resumable
+   (analogue of ``context_save_restore.c:17-68``).
+6. **Term stats** — global ``groupBy(term)`` over per-partition df/ttf →
+   the TermStatistics source for scoring (``PimPhraseQuery.java:110-132``).
+7. **Manifest** — pimIndexInfo analogue + per-partition metrics
+   (docs indexed, postings emitted, bytes compressed; the ENABLE_STATS set,
+   ``PimIndexWriter.java:638-649``).
+
+At cluster scale: the only wide exchanges are the range partition for ID
+assignment and the ``groupBy(pid)`` hash shuffles; postings rows are
+written partition-major so the search job's ``term IN (...)`` filter is
+served by Parquet predicate pushdown + dictionary/row-group pruning
+without touching cold partitions' pages.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.functions.postings import (
+    segmented_delta,
+    uvarint_byte_lengths,
+)
+from pim_lucene_spark.functions.smallfloat import int_to_byte4
+from pim_lucene_spark.functions.tokenize import explode_tokens, tokenize_series
+from pim_lucene_spark.functions.varint import encode_uvarints
+from pim_lucene_spark.manifest import IndexManifest
+
+POSTINGS_SCHEMA = T.StructType([
+    T.StructField("pid", T.IntegerType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("ttf", T.LongType(), False),
+    T.StructField("seg_doc_counts", T.ArrayType(T.LongType()), False),
+    T.StructField("seg_doc_bytes", T.ArrayType(T.LongType()), False),
+    T.StructField("seg_freq_bytes", T.ArrayType(T.LongType()), False),
+    T.StructField("seg_pos_bytes", T.ArrayType(T.LongType()), False),
+    T.StructField("seg_max_tf", T.ArrayType(T.LongType()), False),
+    T.StructField("doc_blob", T.BinaryType(), False),
+    T.StructField("freq_blob", T.BinaryType(), False),
+    T.StructField("pos_blob", T.BinaryType(), False),
+])
+
+NORMS_SCHEMA = T.StructType([
+    T.StructField("pid", T.IntegerType(), False),
+    T.StructField("num_docs", T.LongType(), False),
+    T.StructField("norms", T.BinaryType(), False),
+])
+
+
+def assign_doc_ids(df: DataFrame, order_cols: list[str],
+                   num_partitions: int | None = None) -> DataFrame:
+    """Dense deterministic int64 ``doc_id`` by global ``order_cols`` order.
+
+    Range-repartition + sortWithinPartitions gives a globally sorted frame;
+    a one-row-per-partition count job computes offsets; a mapInPandas pass
+    stamps ids.  The sorted frame is persisted so both passes see the same
+    (sampled) range boundaries.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sorted_df = (df.repartitionByRange(n, *order_cols)
+                   .sortWithinPartitions(*order_cols)
+                   .persist())
+    counts = (sorted_df.groupBy(F.spark_partition_id().alias("part"))
+              .count().collect())
+    by_part = {r["part"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for p in sorted(by_part):
+        offsets[p] = acc
+        acc += by_part[p]
+    spark = df.sparkSession
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = T.StructType(sorted_df.schema.fields +
+                              [T.StructField("doc_id", T.LongType(), False)])
+
+    def stamp(pdf_iter):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        base = b_offsets.value.get(pid, 0)
+        seen = 0
+        for pdf in pdf_iter:
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(base + seen, base + seen + len(pdf),
+                                      dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    return sorted_df.mapInPandas(stamp, out_schema)
+
+
+def _norm_udf():
+    @F.pandas_udf(T.IntegerType())
+    def norm_of_count(token_count: pd.Series) -> pd.Series:
+        return pd.Series(int_to_byte4(token_count.to_numpy(np.int64)).astype(np.int32))
+    return norm_of_count
+
+
+def _token_count_udf(tokenizer: str):
+    @F.pandas_udf(T.LongType())
+    def token_count(content: pd.Series) -> pd.Series:
+        return tokenize_series(content, tokenizer).str.len().fillna(0).astype(np.int64)
+    return token_count
+
+
+def _build_norms_kernel(num_partitions: int):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        rel = pdf["doc_id"].to_numpy(np.int64) // num_partitions
+        order = np.argsort(rel, kind="stable")
+        rel = rel[order]
+        norms = pdf["norm"].to_numpy(np.int64)[order].astype(np.uint8)
+        if rel.size and not np.array_equal(rel, np.arange(rel.size)):
+            raise ValueError(
+                f"partition {pid}: doc ids not dense (rel_doc gaps); "
+                "assign_doc_ids must produce dense global ids")
+        return pd.DataFrame({
+            "pid": [pid], "num_docs": [rel.size],
+            "norms": [norms.tobytes()],
+        })
+    return fn
+
+
+def _build_postings_kernel(num_partitions: int, num_segments: int,
+                           nb_doc_per_segment: int, tokenizer: str):
+    """Per-partition posting-list builder (B7-B10), fully vectorized.
+
+    All three varint streams (doc gaps, freqs, position gaps) are encoded
+    once for the whole partition in term-major order, then sliced per term
+    by precomputed byte offsets — no per-term encode calls.
+    """
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        token_lists = tokenize_series(pdf["content"], tokenizer)
+        tok_doc, terms, tok_pos = explode_tokens(doc_ids, token_lists)
+        if terms.size == 0:
+            return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+        # term codes sorted by unicode code points == UTF-8 byte order
+        # (BytesRef.compareTo semantics, term_lookup.c:31-69)
+        codes, uniques = pd.factorize(pd.Series(terms), sort=True)
+        order = np.argsort(codes, kind="stable")  # stable keeps (doc, pos) order
+        codes = codes[order]
+        tok_doc = tok_doc[order]
+        tok_pos = tok_pos[order]
+
+        # (term, doc) run-lengths → per-posting freq
+        td_change = np.empty(codes.size, dtype=bool)
+        td_change[0] = True
+        td_change[1:] = (codes[1:] != codes[:-1]) | (tok_doc[1:] != tok_doc[:-1])
+        posting_start = np.flatnonzero(td_change)
+        freqs = np.diff(np.concatenate([posting_start, [codes.size]]))
+
+        p_term = codes[posting_start]
+        p_doc = tok_doc[posting_start]
+        p_rel = p_doc // num_partitions
+        p_seg = p_doc // nb_doc_per_segment
+
+        # --- doc-gap stream: reset at each (term, segment) start -----------
+        ts_start = np.empty(p_term.size, dtype=bool)
+        ts_start[0] = True
+        ts_start[1:] = (p_term[1:] != p_term[:-1]) | (p_seg[1:] != p_seg[:-1])
+        doc_gaps = segmented_delta(p_rel, ts_start)
+        doc_lens = uvarint_byte_lengths(doc_gaps)
+        doc_stream = encode_uvarints(doc_gaps)
+
+        # --- freq stream ----------------------------------------------------
+        freq_u = freqs.astype(np.uint64)
+        freq_lens = uvarint_byte_lengths(freq_u)
+        freq_stream = encode_uvarints(freq_u)
+
+        # --- position-gap stream: reset at each posting start ---------------
+        pos_start = td_change  # aligned with token rows
+        pos_gaps = segmented_delta(tok_pos, pos_start)
+        pos_lens = uvarint_byte_lengths(pos_gaps)
+        pos_stream = encode_uvarints(pos_gaps)
+        pos_csum = np.concatenate([[0], np.cumsum(pos_lens)])
+        tok_off = np.concatenate([posting_start, [codes.size]])
+        pos_bytes_per_posting = pos_csum[tok_off[1:]] - pos_csum[tok_off[:-1]]
+
+        # --- per-term boundaries --------------------------------------------
+        t_change = np.empty(p_term.size, dtype=bool)
+        t_change[0] = True
+        t_change[1:] = p_term[1:] != p_term[:-1]
+        term_start = np.flatnonzero(t_change)          # into postings
+        term_end = np.concatenate([term_start[1:], [p_term.size]])
+        n_terms = term_start.size
+        term_ids = p_term[term_start]
+
+        # per-(term, seg) aggregates via flat index
+        flat = (np.searchsorted(term_start, np.arange(p_term.size), side="right") - 1
+                ) * num_segments + p_seg
+        size = n_terms * num_segments
+        seg_doc_counts = np.bincount(flat, minlength=size).reshape(n_terms, num_segments)
+        seg_doc_bytes = np.zeros(size, np.int64)
+        np.add.at(seg_doc_bytes, flat, doc_lens)
+        seg_freq_bytes = np.zeros(size, np.int64)
+        np.add.at(seg_freq_bytes, flat, freq_lens)
+        seg_pos_bytes = np.zeros(size, np.int64)
+        np.add.at(seg_pos_bytes, flat, pos_bytes_per_posting)
+        seg_max_tf = np.zeros(size, np.int64)
+        np.maximum.at(seg_max_tf, flat, freqs)
+        seg_doc_bytes = seg_doc_bytes.reshape(n_terms, num_segments)
+        seg_freq_bytes = seg_freq_bytes.reshape(n_terms, num_segments)
+        seg_pos_bytes = seg_pos_bytes.reshape(n_terms, num_segments)
+        seg_max_tf = seg_max_tf.reshape(n_terms, num_segments)
+
+        # per-term byte slices in each stream
+        doc_csum = np.concatenate([[0], np.cumsum(doc_lens)])
+        freq_csum = np.concatenate([[0], np.cumsum(freq_lens)])
+        doc_off = doc_csum[term_start]
+        doc_end = doc_csum[term_end]
+        freq_off = freq_csum[term_start]
+        freq_end = freq_csum[term_end]
+        pos_off = pos_csum[tok_off[:-1]][term_start]
+        pos_end_arr = pos_csum[tok_off[1:]][term_end - 1]
+
+        # per-term df/ttf
+        tf_csum = np.concatenate([[0], np.cumsum(freqs)])
+        term_df = term_end - term_start
+        term_ttf = tf_csum[term_end] - tf_csum[term_start]
+
+        doc_buf = doc_stream.tobytes()
+        freq_buf = freq_stream.tobytes()
+        pos_buf = pos_stream.tobytes()
+        return pd.DataFrame({
+            "pid": np.full(n_terms, pid, dtype=np.int32),
+            "term": uniques[term_ids].astype(object),
+            "df": term_df.astype(np.int64),
+            "ttf": term_ttf.astype(np.int64),
+            "seg_doc_counts": list(seg_doc_counts),
+            "seg_doc_bytes": list(seg_doc_bytes),
+            "seg_freq_bytes": list(seg_freq_bytes),
+            "seg_pos_bytes": list(seg_pos_bytes),
+            "seg_max_tf": list(seg_max_tf),
+            "doc_blob": [doc_buf[a:b] for a, b in zip(doc_off, doc_end)],
+            "freq_blob": [freq_buf[a:b] for a, b in zip(freq_off, freq_end)],
+            "pos_blob": [pos_buf[a:b] for a, b in zip(pos_off, pos_end_arr)],
+        })
+
+    return fn
+
+
+def build_index(
+    spark: SparkSession,
+    df: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+    content_col: str = "content",
+    id_col: str | None = None,
+    order_cols: list[str] | None = None,
+    meta_cols: list[str] | None = None,
+    resume: bool = False,
+    source: str = "",
+) -> IndexManifest:
+    """Build (or resume building) the full index under ``index_dir``."""
+    os.makedirs(index_dir, exist_ok=True)
+    t0 = time.time()
+    P = cfg.num_partitions
+
+    manifest: IndexManifest | None = None
+    if resume and os.path.exists(os.path.join(index_dir, "manifest.json")):
+        manifest = IndexManifest.load(index_dir)
+
+    docs_done = manifest is not None and os.path.exists(
+        os.path.join(index_dir, "_DOCS_DONE"))
+
+    if not docs_done:
+        if id_col is None:
+            df = assign_doc_ids(df, order_cols or [content_col])
+            id_col_eff = "doc_id"
+        else:
+            id_col_eff = id_col
+            df = df.withColumn("doc_id", F.col(id_col_eff).cast("long"))
+        docs = df.withColumn("sha256", F.sha2(F.col(content_col), 256))
+        docs = docs.withColumn("token_count",
+                               _token_count_udf(cfg.tokenizer)(F.col(content_col)))
+        docs = docs.withColumn("norm", _norm_udf()(F.col("token_count")))
+        keep = ["doc_id"] + (meta_cols or []) + [content_col, "sha256",
+                                                 "token_count", "norm"]
+        if content_col != "content":
+            docs = docs.withColumnRenamed(content_col, "content")
+            keep = [c if c != content_col else "content" for c in keep]
+        docs.select(*keep).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "docs"))
+        open(os.path.join(index_dir, "_DOCS_DONE"), "w").close()
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+
+    stats_row = docs.agg(
+        F.count("*").alias("doc_count"),
+        F.sum("token_count").alias("sum_ttf"),
+        F.max("doc_id").alias("max_id"),
+    ).collect()[0]
+    doc_count = int(stats_row["doc_count"])
+    sum_ttf = int(stats_row["sum_ttf"] or 0)
+    if doc_count == 0:
+        raise ValueError("empty corpus")
+    if int(stats_row["max_id"]) != doc_count - 1:
+        raise ValueError("doc ids must be dense 0..N-1 (use assign_doc_ids)")
+    nb_doc_per_segment = -(-doc_count // cfg.num_segments)
+
+    if manifest is None:
+        manifest = IndexManifest(
+            index_dir=index_dir,
+            num_partitions=P,
+            num_segments=cfg.num_segments,
+            doc_count=doc_count,
+            sum_total_term_freq=sum_ttf,
+            nb_doc_per_segment=nb_doc_per_segment,
+            tokenizer=cfg.tokenizer,
+            k1=cfg.k1,
+            b=cfg.b,
+            build_chunks=cfg.build_chunks,
+            source=source,
+            content_col="content",
+        )
+
+    # norm-inverse quantization factor (PimIndexWriter.java:468-484)
+    from pim_lucene_spark.functions import bm25
+    from pim_lucene_spark.functions.smallfloat import quantize_norm_inverse
+    avgdl32 = bm25.avg_field_length(sum_ttf, doc_count, "float32")
+    qf, _quant = quantize_norm_inverse(bm25.score_cache(avgdl32, cfg.k1, cfg.b))
+    manifest.norm_quant_factor = int(qf)
+
+    pid_col = F.pmod(F.col("doc_id"), F.lit(P)).cast("int").alias("pid")
+
+    # --- norms table ---------------------------------------------------------
+    if not os.path.exists(os.path.join(index_dir, "_NORMS_DONE")):
+        (docs.select("doc_id", "norm", pid_col)
+             .groupBy("pid")
+             .applyInPandas(_build_norms_kernel(P), NORMS_SCHEMA)
+             .write.mode("overwrite").parquet(manifest.norms_path))
+        open(os.path.join(index_dir, "_NORMS_DONE"), "w").close()
+
+    # --- postings, chunked + resumable ---------------------------------------
+    kernel = _build_postings_kernel(P, cfg.num_segments, nb_doc_per_segment,
+                                    cfg.tokenizer)
+    done = set(manifest.completed_chunks) if resume else set()
+    for chunk in range(cfg.build_chunks):
+        if chunk in done and os.path.exists(manifest.chunk_marker(chunk)):
+            continue
+        (docs.select("doc_id", "content", pid_col)
+             .filter(F.pmod(F.col("pid"), F.lit(cfg.build_chunks)) == chunk)
+             .groupBy("pid")
+             .applyInPandas(kernel, POSTINGS_SCHEMA)
+             .write.mode("overwrite").parquet(manifest.chunk_path(chunk)))
+        open(manifest.chunk_marker(chunk), "w").close()
+        if chunk not in manifest.completed_chunks:
+            manifest.completed_chunks.append(chunk)
+        manifest.save()
+
+    postings = spark.read.parquet(*[manifest.chunk_path(c)
+                                    for c in range(cfg.build_chunks)])
+
+    # --- global term stats (Q2 source) ----------------------------------------
+    if not os.path.exists(os.path.join(index_dir, "_STATS_DONE")):
+        (postings.groupBy("term")
+                 .agg(F.sum("df").alias("doc_freq"),
+                      F.sum("ttf").alias("total_tf"))
+                 .write.mode("overwrite").parquet(manifest.stats_path))
+        open(os.path.join(index_dir, "_STATS_DONE"), "w").close()
+
+    # --- per-partition metrics (ENABLE_STATS set) ------------------------------
+    metrics_rows = (postings.groupBy("pid").agg(
+        F.count("*").alias("terms"),
+        F.sum("df").alias("postings"),
+        F.sum("ttf").alias("tokens"),
+        (F.sum(F.length("doc_blob")) + F.sum(F.length("freq_blob"))
+         + F.sum(F.length("pos_blob"))).alias("bytes"),
+    ).collect())
+    manifest.metrics = {
+        "build_seconds": round(time.time() - t0, 3),
+        "doc_count": doc_count,
+        "sum_total_term_freq": sum_ttf,
+        "per_partition": {
+            int(r["pid"]): {
+                "terms": int(r["terms"]),
+                "postings": int(r["postings"]),
+                "tokens": int(r["tokens"]),
+                "bytes_compressed": int(r["bytes"]),
+            } for r in metrics_rows
+        },
+    }
+    manifest.save()
+    return manifest
