@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark: index-build throughput + BM25 query latency at a given SF.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": <sf>,
+   "index_build_sec": ..., "index_docs_per_sec": ...,
+   "batch_qps": ..., "p95_query_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Methodology mirrors the reference benchmark driver
+(``SearchWikiDPUMultiThread.java:138-163``): fixed query set, wall-clock
+QPS, per-query latency; query batching amortizes one scan per batch
+(``PimSystemManager.java:401-437`` semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline engine queries (vocabulary guaranteed by the synthetic corpus)
+BENCH_QUERIES = {
+    "q_term_hot": "the",
+    "q_term_mid": "vector",
+    "q_phrase2": "the fast",
+    "q_phrase3": "batch batch batch",
+    "q_phrase4": "table scan merge part",
+    "q_phrase_miss": "merge zzzznotfound",
+}
+BATCH = [(i, q) for i, q in enumerate([
+    "the fast", "key order", "sort table", "scan merge", "part window",
+    "small hash", "join order", "batch batch", "stream spark", "window dup",
+    "merge", "vector", "customer line", "group query row", "data slow",
+    "filter customer", "value merge", "agg line", "big merge", "spark table",
+])]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder
+             .master(f"local[{CPUS}]")
+             .appName("pim_lucene_spark_bench")
+             .config("spark.sql.shuffle.partitions", str(CPUS))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pim_lucene_spark import IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+    from pim_lucene_spark.operators.search import search
+
+    docs = (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .withColumnRenamed("text", "content"))
+    n_docs = docs.count()
+
+    index_dir = f"/tmp/pim_bench_index_{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = IndexConfig(num_partitions=max(CPUS, 8), num_segments=4,
+                      build_chunks=1)
+    t0 = time.time()
+    manifest = build_index(spark, docs, index_dir, cfg,
+                           content_col="content", id_col="doc_id",
+                           source=SF_DIR)
+    build_sec = time.time() - t0
+
+    # warm-up (JIT + file cache), not timed
+    search(spark, manifest, [(0, "the")], k=10).count()
+
+    per_query: dict[str, float] = {}
+    lat = []
+    for name, text in BENCH_QUERIES.items():
+        t = time.time()
+        search(spark, manifest, [(0, text)], k=10).collect()
+        dt = time.time() - t
+        per_query[name] = round(dt, 4)
+        lat.append(dt)
+
+    # batched throughput: the whole query set in one job
+    t = time.time()
+    search(spark, manifest, BATCH, k=10).collect()
+    batch_sec = time.time() - t
+    per_query["q_batch20"] = round(batch_sec, 4)
+
+    total = round(sum(per_query.values()), 4)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "index_build_plus_bm25_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs": int(n_docs),
+        "index_build_sec": round(build_sec, 3),
+        "index_docs_per_sec": round(n_docs / build_sec, 1),
+        "batch_qps": round(len(BATCH) / batch_sec, 2),
+        "p95_query_sec": round(float(np.percentile(lat, 95)), 4),
+        "cpus": CPUS,
+    }
+    shutil.rmtree(index_dir, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce``: exact top-k cosine neighbors — broadcast the
+  (small) query set, JVM-side dot products via zip_with/aggregate, window
+  top-k.  The baseline; scales as one pass over the corpus per batch.
+- ``lsh_bucketed_topk``: random-hyperplane LSH (sign bits of seeded
+  projections) — the scale path: each vector lands in one bucket, the
+  join touches only same-bucket candidates.  Recall-approximate; exact
+  rerank within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, cosine) for each query id.
+
+    All arithmetic in float64 (embeddings upcast) with deterministic
+    left-to-right fold order, so the result is ANSI-SQL reproducible.
+    """
+    base = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("v"))
+    queries = (base.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
+               .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    joined = base.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("qid"))
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = joined.select("qid", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).drop("rank"))
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, num_planes: int = 16, seed: int = 42):
+    planes = _hyperplanes(dim, num_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (m.astype(np.float64) @ planes.T) > 0  # (n, planes)
+        vals = (signs.astype(np.uint64)
+                << np.arange(num_planes, dtype=np.uint64)).sum(axis=1)
+        return pd.Series(vals.view(np.int64))
+
+    return bucket
+
+
+def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                      num_planes: int = 12, seed: int = 42,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k: exact rerank within the query's LSH bucket.
+
+    Deterministic (seeded hyperplanes); recall depends on num_planes.  At
+    100 TB the bucket column is precomputed at ingest and the join is an
+    equi-join on bucket — no all-pairs pass.
+    """
+    first = emb.select(F.col(vec_col)).first()
+    dim = len(first[0])
+    bucket = lsh_bucket_udf(dim, num_planes, seed)
+    base = (emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double")).alias("v"))
+            .withColumn("bucket", bucket(F.col("v"))))
+    queries = (base.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
+               .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                       F.col("bucket").alias("qbucket")))
+    joined = base.join(F.broadcast(queries),
+                       (F.col("bucket") == F.col("qbucket"))
+                       & (F.col("vec_id") != F.col("qid")))
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = joined.select("qid", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).drop("rank"))
