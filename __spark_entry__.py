@@ -60,7 +60,7 @@ def _get_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
     manifest_file = os.path.join(index_dir, "manifest.json")
     if os.path.exists(manifest_file):
         m = IndexManifest.load(index_dir)
-        if len(m.completed_chunks) == m.build_chunks:
+        if len(m.completed_chunks) == m.build_chunks and m.version >= 2:
             return m
     return build_index(spark, _docs(spark, sf_dir), index_dir, _CFG,
                        content_col="content", id_col="doc_id",

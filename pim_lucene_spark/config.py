@@ -36,6 +36,15 @@ class IndexConfig:
         this many independent Spark jobs, each writing a completion marker;
         a resumed build skips completed chunks (Spark-native analogue of the
         DPU context save/restore, ``context_save_restore.c:17-68``).
+    max_postings_per_stripe
+        Skew bound: a term whose partition-local posting list exceeds this
+        many docs is split into multiple stripe rows, each independently
+        delta-decodable.  Round-robin doc routing already spreads hot terms
+        evenly *across* partitions (``PimIndexWriter.java:496-503``); the
+        stripe cap bounds the *within-partition* row size so hot keywords
+        (``def``/``the``/...) never produce multi-GB Parquet cells or Arrow
+        batches at 100 TB scale — the explicit skew handling the reference
+        lacks (its README.md:46-48 names the imbalance an open problem).
     """
 
     num_partitions: int = 8
@@ -44,6 +53,7 @@ class IndexConfig:
     b: float = 0.75
     build_chunks: int = 4
     tokenizer: str = "whitespace"  # "whitespace" | "code"
+    max_postings_per_stripe: int = 1 << 17
 
     def __post_init__(self) -> None:
         if self.num_partitions < 1:
@@ -53,6 +63,8 @@ class IndexConfig:
             raise ValueError("num_segments must be in [1, 255]")
         if self.build_chunks < 1:
             raise ValueError("build_chunks must be >= 1")
+        if self.max_postings_per_stripe < 1:
+            raise ValueError("max_postings_per_stripe must be >= 1")
 
 
 DOC_SCHEMA_COLUMNS = ("repo", "path", "commit", "lang", "content")

@@ -28,12 +28,15 @@ class IndexManifest:
     k1: float = 1.2
     b: float = 0.75
     norm_quant_factor: int = 0
+    max_postings_per_stripe: int = 1 << 17
     build_chunks: int = 1
     completed_chunks: list[int] = field(default_factory=list)
     source: str = ""
     content_col: str = "content"
     metrics: dict = field(default_factory=dict)
-    version: int = 1
+    # format version 2: striped posting rows (term split across multiple
+    # rows when its partition-local df exceeds the stripe cap)
+    version: int = 2
 
     # --- paths -------------------------------------------------------------
     @property

@@ -61,6 +61,7 @@ from pim_lucene_spark.manifest import IndexManifest
 POSTINGS_SCHEMA = T.StructType([
     T.StructField("pid", T.IntegerType(), False),
     T.StructField("term", T.StringType(), False),
+    T.StructField("stripe", T.IntegerType(), False),
     T.StructField("df", T.LongType(), False),
     T.StructField("ttf", T.LongType(), False),
     T.StructField("seg_doc_counts", T.ArrayType(T.LongType()), False),
@@ -153,14 +154,135 @@ def _build_norms_kernel(num_partitions: int):
     return fn
 
 
-def _build_postings_kernel(num_partitions: int, num_segments: int,
-                           nb_doc_per_segment: int, tokenizer: str):
-    """Per-partition posting-list builder (B7-B10), fully vectorized.
+def encode_partition_postings(pid: int, codes: np.ndarray, tok_doc: np.ndarray,
+                              tok_pos: np.ndarray, uniques: np.ndarray,
+                              num_partitions: int, num_segments: int,
+                              nb_doc_per_segment: int,
+                              stripe_cap: int) -> pd.DataFrame:
+    """Encode one partition's token stream into striped posting rows.
+
+    Inputs are token-level arrays sorted by ``(codes, tok_doc, tok_pos)``
+    (``codes`` factorized in UTF-8 byte order).  Shared by the build kernel
+    (tokens from the corpus) and the merge kernel (tokens reconstructed from
+    decoded source postings).
 
     All three varint streams (doc gaps, freqs, position gaps) are encoded
-    once for the whole partition in term-major order, then sliced per term
-    by precomputed byte offsets — no per-term encode calls.
+    once for the whole partition in term-major order, then sliced per
+    (term, stripe) row by precomputed byte offsets — no per-term encode
+    calls.  Terms with more than ``stripe_cap`` partition-local postings are
+    split into multiple stripe rows; the doc-gap delta chain resets at each
+    stripe start so every stripe decodes independently (skew bound — see
+    ``IndexConfig.max_postings_per_stripe``).
     """
+    if codes.size == 0:
+        return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    # (term, doc) run-lengths → per-posting freq
+    td_change = np.empty(codes.size, dtype=bool)
+    td_change[0] = True
+    td_change[1:] = (codes[1:] != codes[:-1]) | (tok_doc[1:] != tok_doc[:-1])
+    posting_start = np.flatnonzero(td_change)
+    freqs = np.diff(np.concatenate([posting_start, [codes.size]]))
+
+    p_term = codes[posting_start]
+    p_doc = tok_doc[posting_start]
+    p_rel = p_doc // num_partitions
+    p_seg = p_doc // nb_doc_per_segment
+    n_post = p_term.size
+
+    # --- stripe assignment (skew bound) -----------------------------------
+    t_change = np.empty(n_post, dtype=bool)
+    t_change[0] = True
+    t_change[1:] = p_term[1:] != p_term[:-1]
+    term_start_idx = np.flatnonzero(t_change)
+    term_of = np.searchsorted(term_start_idx, np.arange(n_post),
+                              side="right") - 1
+    rank_in_term = np.arange(n_post) - term_start_idx[term_of]
+    stripe = rank_in_term // stripe_cap
+    r_change = t_change.copy()
+    r_change[1:] |= stripe[1:] != stripe[:-1]
+    row_start = np.flatnonzero(r_change)               # into postings
+    row_end = np.concatenate([row_start[1:], [n_post]])
+    row_of = np.searchsorted(row_start, np.arange(n_post), side="right") - 1
+    n_rows = row_start.size
+
+    # --- doc-gap stream: reset at each (row, segment) start ----------------
+    ts_start = r_change.copy()
+    ts_start[1:] |= p_seg[1:] != p_seg[:-1]
+    doc_gaps = segmented_delta(p_rel, ts_start)
+    doc_lens = uvarint_byte_lengths(doc_gaps)
+    doc_stream = encode_uvarints(doc_gaps)
+
+    # --- freq stream --------------------------------------------------------
+    freq_u = freqs.astype(np.uint64)
+    freq_lens = uvarint_byte_lengths(freq_u)
+    freq_stream = encode_uvarints(freq_u)
+
+    # --- position-gap stream: reset at each posting start -------------------
+    pos_start = td_change  # aligned with token rows
+    pos_gaps = segmented_delta(tok_pos, pos_start)
+    pos_lens = uvarint_byte_lengths(pos_gaps)
+    pos_stream = encode_uvarints(pos_gaps)
+    pos_csum = np.concatenate([[0], np.cumsum(pos_lens)])
+    tok_off = np.concatenate([posting_start, [codes.size]])
+    pos_bytes_per_posting = pos_csum[tok_off[1:]] - pos_csum[tok_off[:-1]]
+
+    # per-(row, seg) aggregates via flat index
+    flat = row_of * num_segments + p_seg
+    size = n_rows * num_segments
+    seg_doc_counts = np.bincount(flat, minlength=size).reshape(n_rows, num_segments)
+    seg_doc_bytes = np.zeros(size, np.int64)
+    np.add.at(seg_doc_bytes, flat, doc_lens)
+    seg_freq_bytes = np.zeros(size, np.int64)
+    np.add.at(seg_freq_bytes, flat, freq_lens)
+    seg_pos_bytes = np.zeros(size, np.int64)
+    np.add.at(seg_pos_bytes, flat, pos_bytes_per_posting)
+    seg_max_tf = np.zeros(size, np.int64)
+    np.maximum.at(seg_max_tf, flat, freqs)
+    seg_doc_bytes = seg_doc_bytes.reshape(n_rows, num_segments)
+    seg_freq_bytes = seg_freq_bytes.reshape(n_rows, num_segments)
+    seg_pos_bytes = seg_pos_bytes.reshape(n_rows, num_segments)
+    seg_max_tf = seg_max_tf.reshape(n_rows, num_segments)
+
+    # per-row byte slices in each stream
+    doc_csum = np.concatenate([[0], np.cumsum(doc_lens)])
+    freq_csum = np.concatenate([[0], np.cumsum(freq_lens)])
+    doc_off = doc_csum[row_start]
+    doc_end = doc_csum[row_end]
+    freq_off = freq_csum[row_start]
+    freq_end = freq_csum[row_end]
+    pos_off = pos_csum[tok_off[:-1]][row_start]
+    pos_end_arr = pos_csum[tok_off[1:]][row_end - 1]
+
+    # per-row df/ttf
+    tf_csum = np.concatenate([[0], np.cumsum(freqs)])
+    row_df = row_end - row_start
+    row_ttf = tf_csum[row_end] - tf_csum[row_start]
+
+    doc_buf = doc_stream.tobytes()
+    freq_buf = freq_stream.tobytes()
+    pos_buf = pos_stream.tobytes()
+    return pd.DataFrame({
+        "pid": np.full(n_rows, pid, dtype=np.int32),
+        "term": uniques[p_term[row_start]].astype(object),
+        "stripe": stripe[row_start].astype(np.int32),
+        "df": row_df.astype(np.int64),
+        "ttf": row_ttf.astype(np.int64),
+        "seg_doc_counts": list(seg_doc_counts),
+        "seg_doc_bytes": list(seg_doc_bytes),
+        "seg_freq_bytes": list(seg_freq_bytes),
+        "seg_pos_bytes": list(seg_pos_bytes),
+        "seg_max_tf": list(seg_max_tf),
+        "doc_blob": [doc_buf[a:b] for a, b in zip(doc_off, doc_end)],
+        "freq_blob": [freq_buf[a:b] for a, b in zip(freq_off, freq_end)],
+        "pos_blob": [pos_buf[a:b] for a, b in zip(pos_off, pos_end_arr)],
+    })
+
+
+def _build_postings_kernel(num_partitions: int, num_segments: int,
+                           nb_doc_per_segment: int, tokenizer: str,
+                           stripe_cap: int):
+    """Per-partition posting-list builder (B7-B10), fully vectorized."""
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
@@ -175,103 +297,10 @@ def _build_postings_kernel(num_partitions: int, num_segments: int,
         # (BytesRef.compareTo semantics, term_lookup.c:31-69)
         codes, uniques = pd.factorize(pd.Series(terms), sort=True)
         order = np.argsort(codes, kind="stable")  # stable keeps (doc, pos) order
-        codes = codes[order]
-        tok_doc = tok_doc[order]
-        tok_pos = tok_pos[order]
-
-        # (term, doc) run-lengths → per-posting freq
-        td_change = np.empty(codes.size, dtype=bool)
-        td_change[0] = True
-        td_change[1:] = (codes[1:] != codes[:-1]) | (tok_doc[1:] != tok_doc[:-1])
-        posting_start = np.flatnonzero(td_change)
-        freqs = np.diff(np.concatenate([posting_start, [codes.size]]))
-
-        p_term = codes[posting_start]
-        p_doc = tok_doc[posting_start]
-        p_rel = p_doc // num_partitions
-        p_seg = p_doc // nb_doc_per_segment
-
-        # --- doc-gap stream: reset at each (term, segment) start -----------
-        ts_start = np.empty(p_term.size, dtype=bool)
-        ts_start[0] = True
-        ts_start[1:] = (p_term[1:] != p_term[:-1]) | (p_seg[1:] != p_seg[:-1])
-        doc_gaps = segmented_delta(p_rel, ts_start)
-        doc_lens = uvarint_byte_lengths(doc_gaps)
-        doc_stream = encode_uvarints(doc_gaps)
-
-        # --- freq stream ----------------------------------------------------
-        freq_u = freqs.astype(np.uint64)
-        freq_lens = uvarint_byte_lengths(freq_u)
-        freq_stream = encode_uvarints(freq_u)
-
-        # --- position-gap stream: reset at each posting start ---------------
-        pos_start = td_change  # aligned with token rows
-        pos_gaps = segmented_delta(tok_pos, pos_start)
-        pos_lens = uvarint_byte_lengths(pos_gaps)
-        pos_stream = encode_uvarints(pos_gaps)
-        pos_csum = np.concatenate([[0], np.cumsum(pos_lens)])
-        tok_off = np.concatenate([posting_start, [codes.size]])
-        pos_bytes_per_posting = pos_csum[tok_off[1:]] - pos_csum[tok_off[:-1]]
-
-        # --- per-term boundaries --------------------------------------------
-        t_change = np.empty(p_term.size, dtype=bool)
-        t_change[0] = True
-        t_change[1:] = p_term[1:] != p_term[:-1]
-        term_start = np.flatnonzero(t_change)          # into postings
-        term_end = np.concatenate([term_start[1:], [p_term.size]])
-        n_terms = term_start.size
-        term_ids = p_term[term_start]
-
-        # per-(term, seg) aggregates via flat index
-        flat = (np.searchsorted(term_start, np.arange(p_term.size), side="right") - 1
-                ) * num_segments + p_seg
-        size = n_terms * num_segments
-        seg_doc_counts = np.bincount(flat, minlength=size).reshape(n_terms, num_segments)
-        seg_doc_bytes = np.zeros(size, np.int64)
-        np.add.at(seg_doc_bytes, flat, doc_lens)
-        seg_freq_bytes = np.zeros(size, np.int64)
-        np.add.at(seg_freq_bytes, flat, freq_lens)
-        seg_pos_bytes = np.zeros(size, np.int64)
-        np.add.at(seg_pos_bytes, flat, pos_bytes_per_posting)
-        seg_max_tf = np.zeros(size, np.int64)
-        np.maximum.at(seg_max_tf, flat, freqs)
-        seg_doc_bytes = seg_doc_bytes.reshape(n_terms, num_segments)
-        seg_freq_bytes = seg_freq_bytes.reshape(n_terms, num_segments)
-        seg_pos_bytes = seg_pos_bytes.reshape(n_terms, num_segments)
-        seg_max_tf = seg_max_tf.reshape(n_terms, num_segments)
-
-        # per-term byte slices in each stream
-        doc_csum = np.concatenate([[0], np.cumsum(doc_lens)])
-        freq_csum = np.concatenate([[0], np.cumsum(freq_lens)])
-        doc_off = doc_csum[term_start]
-        doc_end = doc_csum[term_end]
-        freq_off = freq_csum[term_start]
-        freq_end = freq_csum[term_end]
-        pos_off = pos_csum[tok_off[:-1]][term_start]
-        pos_end_arr = pos_csum[tok_off[1:]][term_end - 1]
-
-        # per-term df/ttf
-        tf_csum = np.concatenate([[0], np.cumsum(freqs)])
-        term_df = term_end - term_start
-        term_ttf = tf_csum[term_end] - tf_csum[term_start]
-
-        doc_buf = doc_stream.tobytes()
-        freq_buf = freq_stream.tobytes()
-        pos_buf = pos_stream.tobytes()
-        return pd.DataFrame({
-            "pid": np.full(n_terms, pid, dtype=np.int32),
-            "term": uniques[term_ids].astype(object),
-            "df": term_df.astype(np.int64),
-            "ttf": term_ttf.astype(np.int64),
-            "seg_doc_counts": list(seg_doc_counts),
-            "seg_doc_bytes": list(seg_doc_bytes),
-            "seg_freq_bytes": list(seg_freq_bytes),
-            "seg_pos_bytes": list(seg_pos_bytes),
-            "seg_max_tf": list(seg_max_tf),
-            "doc_blob": [doc_buf[a:b] for a, b in zip(doc_off, doc_end)],
-            "freq_blob": [freq_buf[a:b] for a, b in zip(freq_off, freq_end)],
-            "pos_blob": [pos_buf[a:b] for a, b in zip(pos_off, pos_end_arr)],
-        })
+        return encode_partition_postings(
+            pid, codes[order], tok_doc[order], tok_pos[order],
+            np.asarray(uniques), num_partitions, num_segments,
+            nb_doc_per_segment, stripe_cap)
 
     return fn
 
@@ -296,6 +325,12 @@ def build_index(
     manifest: IndexManifest | None = None
     if resume and os.path.exists(os.path.join(index_dir, "manifest.json")):
         manifest = IndexManifest.load(index_dir)
+    if not resume:
+        # fresh build: stale checkpoint markers from a previous build in the
+        # same dir must not short-circuit any stage
+        import glob
+        for marker in glob.glob(os.path.join(index_dir, "_*_DONE")):
+            os.remove(marker)
 
     docs_done = manifest is not None and os.path.exists(
         os.path.join(index_dir, "_DOCS_DONE"))
@@ -346,6 +381,7 @@ def build_index(
             tokenizer=cfg.tokenizer,
             k1=cfg.k1,
             b=cfg.b,
+            max_postings_per_stripe=cfg.max_postings_per_stripe,
             build_chunks=cfg.build_chunks,
             source=source,
             content_col="content",
@@ -370,7 +406,7 @@ def build_index(
 
     # --- postings, chunked + resumable ---------------------------------------
     kernel = _build_postings_kernel(P, cfg.num_segments, nb_doc_per_segment,
-                                    cfg.tokenizer)
+                                    cfg.tokenizer, cfg.max_postings_per_stripe)
     done = set(manifest.completed_chunks) if resume else set()
     for chunk in range(cfg.build_chunks):
         if chunk in done and os.path.exists(manifest.chunk_marker(chunk)):
@@ -398,7 +434,7 @@ def build_index(
 
     # --- per-partition metrics (ENABLE_STATS set) ------------------------------
     metrics_rows = (postings.groupBy("pid").agg(
-        F.count("*").alias("terms"),
+        F.count_distinct("term").alias("terms"),
         F.sum("df").alias("postings"),
         F.sum("ttf").alias("tokens"),
         (F.sum(F.length("doc_blob")) + F.sum(F.length("freq_blob"))

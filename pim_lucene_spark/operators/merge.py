@@ -1,0 +1,207 @@
+"""Multi-way index merge — Lucene-style segment compaction (operator B6).
+
+The reference's ``CompositeTermsEnum`` streams a k-way merge of per-segment
+sorted term dictionaries into one index (``PimIndexWriter.java:249-324``);
+Lucene's segment merge concatenates doc spaces with per-segment doc-base
+offsets.  The Spark-native re-expression merges whole *indexes* built over
+disjoint document batches (incremental indexing):
+
+- Each source index ``s`` gets a doc-base offset ``base_s`` — the previous
+  bases plus the previous source's doc span **rounded up to a multiple of
+  the partition count** so that ``(doc + base_s) % P == doc % P``: a doc
+  never changes partition, which makes the merge embarrassingly parallel
+  per partition (no doc re-routing shuffle, only a ``groupBy(pid)``
+  co-location of the sources' posting rows).
+- Within a partition, every source's relative docIDs shift by the constant
+  ``base_s / P``; posting lists for the same term are decoded, shifted,
+  doc-order concatenated (sources are doc-ordered and bases ascending) and
+  re-encoded with the merged index's segment geometry — the same sorted
+  multi-way merge semantics, vectorized.
+- Norms blobs are placed at their shifted offsets in a merged dense blob
+  (gaps from the round-up are zero padding; those docIDs simply never
+  appear in any posting list).
+
+At 100 TB scale this is the compaction path for incremental builds: cost
+is one co-partitioned shuffle of compressed posting rows (no
+re-tokenization of content), the same way Lucene merges avoid re-analysis.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pim_lucene_spark.functions.postings import decode_columnar
+from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.operators.index_build import (
+    NORMS_SCHEMA,
+    POSTINGS_SCHEMA,
+    encode_partition_postings,
+)
+
+
+def _load(m: IndexManifest | str) -> IndexManifest:
+    return IndexManifest.load(m) if isinstance(m, str) else m
+
+
+def _merge_postings_kernel(rel_shifts: list[int], num_partitions: int,
+                           num_segments: int, nb_doc_per_segment: int,
+                           stripe_cap: int):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        terms_parts, doc_parts, pos_parts = [], [], []
+        for row in pdf.itertuples(index=False):
+            tp = decode_columnar(row.doc_blob, row.freq_blob, row.pos_blob,
+                                 np.asarray(row.seg_doc_counts),
+                                 decode_positions=True)
+            abs_doc = (tp.rel_docs + rel_shifts[row.src]) * num_partitions + pid
+            tok_doc = np.repeat(abs_doc, tp.freqs)
+            terms_parts.append(np.full(tok_doc.size, row.term, dtype=object))
+            doc_parts.append(tok_doc)
+            pos_parts.append(tp.positions)
+        terms = np.concatenate(terms_parts)
+        tok_doc = np.concatenate(doc_parts)
+        tok_pos = np.concatenate(pos_parts)
+        codes, uniques = pd.factorize(pd.Series(terms), sort=True)
+        order = np.lexsort((tok_pos, tok_doc, codes))
+        return encode_partition_postings(
+            pid, codes[order], tok_doc[order], tok_pos[order],
+            np.asarray(uniques), num_partitions, num_segments,
+            nb_doc_per_segment, stripe_cap)
+
+    return fn
+
+
+def _merge_norms_kernel(rel_shifts: list[int]):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        pdf = pdf.sort_values("src")
+        last = pdf.iloc[-1]
+        out = np.zeros(rel_shifts[int(last["src"])] + int(last["num_docs"]),
+                       dtype=np.uint8)
+        total = 0
+        for row in pdf.itertuples(index=False):
+            blob = np.frombuffer(row.norms, dtype=np.uint8)
+            off = rel_shifts[row.src]
+            out[off:off + blob.size] = blob
+            total += blob.size
+        return pd.DataFrame({"pid": [pid], "num_docs": [total],
+                             "norms": [out.tobytes()]})
+
+    return fn
+
+
+def merge_indexes(spark: SparkSession, sources: list,
+                  out_dir: str, num_segments: int | None = None,
+                  ) -> IndexManifest:
+    """Merge indexes built over disjoint doc batches into one index.
+
+    Sources must share ``num_partitions``, tokenizer and BM25 constants.
+    Returns the manifest of the merged index under ``out_dir``.
+    """
+    ms = [_load(s) for s in sources]
+    if len(ms) < 2:
+        raise ValueError("need at least two source indexes")
+    P = ms[0].num_partitions
+    for m in ms[1:]:
+        if (m.num_partitions, m.tokenizer, m.k1, m.b) != \
+                (P, ms[0].tokenizer, ms[0].k1, ms[0].b):
+            raise ValueError("sources disagree on partitions/tokenizer/BM25")
+
+    t0 = time.time()
+    # doc-base offsets, rounded up to multiples of P (partition-preserving)
+    bases, acc = [], 0
+    for m in ms:
+        bases.append(acc)
+        acc += -(-m.doc_count // P) * P
+    span = bases[-1] + ms[-1].doc_count
+    rel_shifts = [b // P for b in bases]
+    segs = num_segments or max(m.num_segments for m in ms)
+    nb_doc_per_segment = -(-span // segs)
+    doc_count = sum(m.doc_count for m in ms)
+    sum_ttf = sum(m.sum_total_term_freq for m in ms)
+    stripe_cap = min(getattr(m, "max_postings_per_stripe", 1 << 17)
+                     for m in ms)
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = IndexManifest(
+        index_dir=out_dir, num_partitions=P, num_segments=segs,
+        doc_count=doc_count, sum_total_term_freq=sum_ttf,
+        nb_doc_per_segment=nb_doc_per_segment, tokenizer=ms[0].tokenizer,
+        k1=ms[0].k1, b=ms[0].b, build_chunks=1, completed_chunks=[0],
+        source=" + ".join(m.index_dir for m in ms), content_col="content",
+        max_postings_per_stripe=stripe_cap,
+    )
+
+    from pim_lucene_spark.functions import bm25
+    from pim_lucene_spark.functions.smallfloat import quantize_norm_inverse
+    avgdl32 = bm25.avg_field_length(sum_ttf, doc_count, "float32")
+    qf, _ = quantize_norm_inverse(bm25.score_cache(avgdl32, ms[0].k1, ms[0].b))
+    manifest.norm_quant_factor = int(qf)
+
+    # --- docs: union with shifted ids -------------------------------------
+    docs = None
+    for m, base in zip(ms, bases):
+        d = (spark.read.parquet(m.docs_path)
+             .withColumn("doc_id", F.col("doc_id") + F.lit(base)))
+        docs = d if docs is None else docs.unionByName(d)
+    docs.write.mode("overwrite").parquet(manifest.docs_path)
+
+    # --- postings: per-partition multi-way merge ---------------------------
+    postings = None
+    for i, m in enumerate(ms):
+        p = (spark.read.parquet(*[m.chunk_path(c)
+                                  for c in range(m.build_chunks)])
+             .withColumn("src", F.lit(i)))
+        postings = p if postings is None else postings.unionByName(p)
+    kernel = _merge_postings_kernel(rel_shifts, P, segs, nb_doc_per_segment,
+                                    stripe_cap)
+    (postings.groupBy("pid").applyInPandas(kernel, POSTINGS_SCHEMA)
+     .write.mode("overwrite").parquet(manifest.chunk_path(0)))
+
+    # --- norms: shifted dense blobs ----------------------------------------
+    norms = None
+    for i, m in enumerate(ms):
+        nm = spark.read.parquet(m.norms_path).withColumn("src", F.lit(i))
+        norms = nm if norms is None else norms.unionByName(nm)
+    (norms.groupBy("pid").applyInPandas(_merge_norms_kernel(rel_shifts),
+                                        NORMS_SCHEMA)
+     .write.mode("overwrite").parquet(manifest.norms_path))
+
+    # --- term stats: re-aggregate over merged postings ----------------------
+    merged = spark.read.parquet(manifest.chunk_path(0))
+    (merged.groupBy("term")
+     .agg(F.sum("df").alias("doc_freq"), F.sum("ttf").alias("total_tf"))
+     .write.mode("overwrite").parquet(manifest.stats_path))
+
+    metrics_rows = (merged.groupBy("pid").agg(
+        F.count_distinct("term").alias("terms"),
+        F.sum("df").alias("postings"),
+        F.sum("ttf").alias("tokens"),
+        (F.sum(F.length("doc_blob")) + F.sum(F.length("freq_blob"))
+         + F.sum(F.length("pos_blob"))).alias("bytes"),
+    ).collect())
+    manifest.metrics = {
+        "merge_seconds": round(time.time() - t0, 3),
+        "doc_count": doc_count,
+        "sources": [m.index_dir for m in ms],
+        "doc_bases": bases,
+        "per_partition": {
+            int(r["pid"]): {
+                "terms": int(r["terms"]),
+                "postings": int(r["postings"]),
+                "tokens": int(r["tokens"]),
+                "bytes_compressed": int(r["bytes"]),
+            } for r in metrics_rows
+        },
+    }
+    manifest.save()
+    return manifest

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pim_lucene_spark.functions import bm25
-from pim_lucene_spark.functions.postings import decode_columnar
+from pim_lucene_spark.functions.postings import TermPostings, decode_columnar
 from pim_lucene_spark.functions.tokenize import tokenize_one
 from pim_lucene_spark.manifest import IndexManifest
 
@@ -105,19 +105,33 @@ def _match_kernel(payload: dict):
         cache = payload["cache"]
         norms = np.frombuffer(norms_pdf.iloc[0]["norms"], dtype=np.uint8)
 
-        by_term = {}
+        # hot terms are striped across multiple rows (skew bound,
+        # IndexConfig.max_postings_per_stripe) — reassemble in stripe order
+        by_term: dict[str, list] = {}
         for row in postings_pdf.itertuples(index=False):
-            by_term[row.term] = row
+            by_term.setdefault(row.term, []).append(row)
         decoded: dict[str, object] = {}
 
         def get_decoded(term, need_positions):
             tp = decoded.get(term)
             if tp is None or (need_positions and tp.positions.size == 0
                               and tp.pos_offsets[-1] > 0):
-                row = by_term[term]
-                tp = decode_columnar(row.doc_blob, row.freq_blob, row.pos_blob,
-                                     np.asarray(row.seg_doc_counts),
-                                     decode_positions=need_positions)
+                rows = sorted(by_term[term], key=lambda r: r.stripe)
+                parts = [decode_columnar(r.doc_blob, r.freq_blob, r.pos_blob,
+                                         np.asarray(r.seg_doc_counts),
+                                         decode_positions=need_positions)
+                         for r in rows]
+                if len(parts) == 1:
+                    tp = parts[0]
+                else:
+                    freqs = np.concatenate([p.freqs for p in parts])
+                    pos_offsets = np.zeros(freqs.size + 1, dtype=np.int64)
+                    np.cumsum(freqs, out=pos_offsets[1:])
+                    tp = TermPostings(
+                        rel_docs=np.concatenate([p.rel_docs for p in parts]),
+                        freqs=freqs,
+                        positions=np.concatenate([p.positions for p in parts]),
+                        pos_offsets=pos_offsets)
                 decoded[term] = tp
             return tp
 

@@ -114,6 +114,22 @@ def test_float64_precision_mode(spark, tmp_index_dir):
                                    expected.score.to_numpy(), rtol=0, atol=0)
 
 
+def test_hot_term_striping_equivalent(spark, tmp_index_dir):
+    """Skew bound: a tiny stripe cap must split hot posting lists into
+    multiple independently-decodable rows without changing any result."""
+    cfg = IndexConfig(num_partitions=1, num_segments=2, build_chunks=1,
+                      max_postings_per_stripe=1)
+    manifest, res = _spark_results(spark, tmp_index_dir, FIXTURE_DOCS,
+                                   QUERIES, cfg, k=10)
+    postings = spark.read.parquet(manifest.chunk_path(0)).toPandas()
+    assert postings["stripe"].max() >= 1, "expected at least one striped term"
+    assert (postings["df"] <= 1).all(), "stripe cap exceeded"
+    # global term stats still sum across stripes
+    stats = spark.read.parquet(manifest.stats_path).toPandas()
+    assert int(stats.set_index("term").loc["red", "doc_freq"]) == 2
+    _assert_matches_model(res, FIXTURE_DOCS, QUERIES, k=10)
+
+
 def test_resume_from_checkpoint_identical(spark, tmp_index_dir):
     """Kill-after-subset → resume → identical index (north rule)."""
     import glob
