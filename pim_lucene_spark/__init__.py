@@ -16,6 +16,7 @@ Layout
 """
 
 from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.manifest import IndexManifest
 
-__all__ = ["IndexConfig"]
-__version__ = "0.1.0"
+__all__ = ["IndexConfig", "IndexManifest"]
+__version__ = "0.2.0"

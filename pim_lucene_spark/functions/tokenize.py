@@ -18,6 +18,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 _CODE_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\d+|[^\sA-Za-z_0-9]")
 
@@ -38,6 +40,118 @@ def tokenize_one(text: str, tokenizer: str = "whitespace") -> list[str]:
     if tokenizer == "code":
         return _CODE_TOKEN_RE.findall(text or "")
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def tokenize_to_codes(texts: pd.Series, tokenizer: str = "whitespace"):
+    """Series[str] → ``(doc_idx, codes, positions, uniques)`` without
+    materializing per-token Python strings.
+
+    The build hot path: per-token work stays in Arrow C++ buffers
+    (``utf8_split_whitespace`` → ``list_flatten`` → ``dictionary_encode``);
+    Python objects exist only for the per-partition *vocabulary* (the
+    dictionary), which is orders of magnitude smaller than the token
+    stream.  This is what keeps 32 concurrent build kernels from
+    saturating memory bandwidth with PyObject churn.
+
+    - ``doc_idx``: int64 row ordinal (into ``texts``) per kept token
+    - ``codes``: int64 index into ``uniques`` per kept token
+    - ``positions``: 0-based token ordinal within its doc
+    - ``uniques``: object ndarray of distinct terms, sorted by code point
+      (== UTF-8 byte order, ``BytesRef.compareTo`` semantics)
+    """
+    n = len(texts)
+    if tokenizer == "whitespace":
+        arr = _as_arrow_strings(texts)
+        lists = pc.utf8_split_whitespace(arr)
+        raw_lens = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        enc = pc.dictionary_encode(flat)
+        idx = np.asarray(enc.indices).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+        # Arrow emits empty tokens for leading/trailing/consecutive
+        # whitespace — drop them (pandas/Python split() semantics)
+        has_empty = bool((vocab == "").any())
+        if has_empty:
+            empty_code = int(np.flatnonzero(vocab == "")[0])
+            keep = idx != empty_code
+            idx = idx[keep]
+            doc_idx = doc_idx[keep]
+    elif tokenizer == "code":
+        if not isinstance(texts, pd.Series):
+            texts = pd.Series(np.asarray(texts, dtype=object))
+        token_lists = texts.fillna("").str.findall(_CODE_TOKEN_RE)
+        lens = token_lists.str.len().fillna(0).astype(np.int64).to_numpy()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if int(lens.sum()):
+            terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in token_lists if len(t)])
+        else:
+            terms = np.empty(0, dtype=object)
+        codes_raw, uniques = pd.factorize(pd.Series(terms), sort=True)
+        positions = _ordinals_within(doc_idx, n)
+        return doc_idx, codes_raw.astype(np.int64), positions, \
+            np.asarray(uniques, dtype=object)
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+    # sort vocabulary by code point; remap codes through the rank table.
+    # "" (if present) sorts first — drop it from the vocab and shift ranks
+    # down; no kept token maps to it.
+    order = np.argsort(vocab)
+    rank = np.empty(vocab.size, dtype=np.int64)
+    rank[order] = np.arange(vocab.size)
+    uniques = vocab[order]
+    if has_empty:
+        rank -= 1
+        uniques = uniques[1:]
+    codes = rank[idx] if idx.size else idx
+    positions = _ordinals_within(doc_idx, n)
+    return doc_idx, codes, positions, uniques
+
+
+def _ordinals_within(doc_idx: np.ndarray, n_docs: int) -> np.ndarray:
+    """0-based ordinal of each element within its (nondecreasing) group."""
+    lens = np.bincount(doc_idx, minlength=n_docs)
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    return np.arange(doc_idx.size, dtype=np.int64) - starts
+
+
+def _as_arrow_strings(texts) -> pa.Array | pa.ChunkedArray:
+    """pd.Series | pa.Array | pa.ChunkedArray → non-null Arrow strings."""
+    if isinstance(texts, pd.Series):
+        return pa.Array.from_pandas(texts.fillna(""), type=pa.string())
+    arr = texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    if not pa.types.is_string(arr.type):
+        arr = arr.cast(pa.string())
+    return arr
+
+
+def token_counts(texts, tokenizer: str = "whitespace") -> np.ndarray:
+    """Per-doc token count (int64), Arrow-native for whitespace.
+
+    Accepts a pandas Series or an Arrow (Chunked)Array — the latter avoids
+    any per-doc Python string objects entirely (mapInArrow path).
+    """
+    if tokenizer == "whitespace":
+        arr = _as_arrow_strings(texts)
+        lists = pc.utf8_split_whitespace(arr)
+        raw = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        is_empty = np.asarray(pc.equal(flat, ""))
+        if is_empty.any():
+            csum = np.concatenate([[0], np.cumsum(is_empty)])
+            offs = np.concatenate([[0], np.cumsum(raw)])
+            raw = raw - (csum[offs[1:]] - csum[offs[:-1]])
+        return raw
+    if not isinstance(texts, pd.Series):
+        texts = pd.Series(np.asarray(texts, dtype=object))
+    return tokenize_series(texts, tokenizer).str.len() \
+        .fillna(0).astype(np.int64).to_numpy()
 
 
 def explode_tokens(doc_ids: np.ndarray, token_lists: pd.Series):

@@ -44,7 +44,8 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+import pyarrow as pa
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -54,7 +55,7 @@ from pim_lucene_spark.functions.postings import (
     uvarint_byte_lengths,
 )
 from pim_lucene_spark.functions.smallfloat import int_to_byte4
-from pim_lucene_spark.functions.tokenize import explode_tokens, tokenize_series
+from pim_lucene_spark.functions.tokenize import token_counts, tokenize_to_codes
 from pim_lucene_spark.functions.varint import encode_uvarints
 from pim_lucene_spark.manifest import IndexManifest
 
@@ -78,6 +79,22 @@ NORMS_SCHEMA = T.StructType([
     T.StructField("pid", T.IntegerType(), False),
     T.StructField("num_docs", T.LongType(), False),
     T.StructField("norms", T.BinaryType(), False),
+])
+
+PA_POSTINGS_SCHEMA = pa.schema([
+    ("pid", pa.int32()),
+    ("term", pa.string()),
+    ("stripe", pa.int32()),
+    ("df", pa.int64()),
+    ("ttf", pa.int64()),
+    ("seg_doc_counts", pa.list_(pa.int64())),
+    ("seg_doc_bytes", pa.list_(pa.int64())),
+    ("seg_freq_bytes", pa.list_(pa.int64())),
+    ("seg_pos_bytes", pa.list_(pa.int64())),
+    ("seg_max_tf", pa.list_(pa.int64())),
+    ("doc_blob", pa.binary()),
+    ("freq_blob", pa.binary()),
+    ("pos_blob", pa.binary()),
 ])
 
 
@@ -122,18 +139,31 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str],
     return sorted_df.mapInPandas(stamp, out_schema)
 
 
-def _norm_udf():
-    @F.pandas_udf(T.IntegerType())
-    def norm_of_count(token_count: pd.Series) -> pd.Series:
-        return pd.Series(int_to_byte4(token_count.to_numpy(np.int64)).astype(np.int32))
-    return norm_of_count
+def _add_doc_meta(docs: DataFrame, tokenizer: str) -> DataFrame:
+    """Append ``token_count`` (B2 analyze) + SmallFloat ``norm`` byte (B3).
 
+    ``mapInArrow``: the content column never becomes Python string objects
+    — counting runs on Arrow buffers (``utf8_split_whitespace`` +
+    ``list_value_length``), one pass, zero per-doc PyObjects.
+    """
+    out_schema = T.StructType(docs.schema.fields + [
+        T.StructField("token_count", T.LongType(), False),
+        T.StructField("norm", T.IntegerType(), False),
+    ])
 
-def _token_count_udf(tokenizer: str):
-    @F.pandas_udf(T.LongType())
-    def token_count(content: pd.Series) -> pd.Series:
-        return tokenize_series(content, tokenizer).str.len().fillna(0).astype(np.int64)
-    return token_count
+    def gen(batches):
+        for batch in batches:
+            counts = token_counts(batch.column("content"), tokenizer)
+            arrays = list(batch.columns) + [
+                pa.array(counts, type=pa.int64()),
+                pa.array(int_to_byte4(counts).astype(np.int32),
+                         type=pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=list(batch.schema.names) + ["token_count",
+                                                          "norm"])
+
+    return docs.mapInArrow(gen, out_schema)
 
 
 def _build_norms_kernel(num_partitions: int):
@@ -282,25 +312,33 @@ def encode_partition_postings(pid: int, codes: np.ndarray, tok_doc: np.ndarray,
 def _build_postings_kernel(num_partitions: int, num_segments: int,
                            nb_doc_per_segment: int, tokenizer: str,
                            stripe_cap: int):
-    """Per-partition posting-list builder (B7-B10), fully vectorized."""
+    """Per-partition posting-list builder (B7-B10), fully vectorized.
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(key[0])
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        token_lists = tokenize_series(pdf["content"], tokenizer)
-        tok_doc, terms, tok_pos = explode_tokens(doc_ids, token_lists)
-        if terms.size == 0:
-            return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
+    ``applyInArrow`` kernel: content strings stay in Arrow buffers through
+    tokenize + dictionary-encode (codes come back in code-point order ==
+    UTF-8 byte order, ``BytesRef.compareTo`` semantics,
+    ``term_lookup.c:31-69``); Python objects exist only for the partition
+    vocabulary and the output rows.
+    """
 
-        # term codes sorted by unicode code points == UTF-8 byte order
-        # (BytesRef.compareTo semantics, term_lookup.c:31-69)
-        codes, uniques = pd.factorize(pd.Series(terms), sort=True)
-        order = np.argsort(codes, kind="stable")  # stable keeps (doc, pos) order
-        return encode_partition_postings(
+    def fn(key: tuple, table: pa.Table) -> pa.Table:
+        k0 = key[0]
+        pid = int(k0.as_py() if hasattr(k0, "as_py") else k0)
+        doc_ids = np.asarray(table.column("doc_id").combine_chunks())
+        doc_idx, codes, tok_pos, uniques = tokenize_to_codes(
+            table.column("content"), tokenizer)
+        if codes.size == 0:
+            return PA_POSTINGS_SCHEMA.empty_table()
+        tok_doc = doc_ids[doc_idx].astype(np.int64)
+        # shuffle order is arbitrary → full (term, doc, pos) lexsort
+        # (positions are already ascending per doc, kept by stability)
+        order = np.lexsort((tok_pos, tok_doc, codes))
+        pdf = encode_partition_postings(
             pid, codes[order], tok_doc[order], tok_pos[order],
-            np.asarray(uniques), num_partitions, num_segments,
+            uniques, num_partitions, num_segments,
             nb_doc_per_segment, stripe_cap)
+        return pa.Table.from_pandas(pdf, schema=PA_POSTINGS_SCHEMA,
+                                    preserve_index=False)
 
     return fn
 
@@ -320,6 +358,14 @@ def build_index(
     """Build (or resume building) the full index under ``index_dir``."""
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.time()
+    phase_t: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        phase_t[name] = round(now - _last[0], 3)
+        _last[0] = now
+
     P = cfg.num_partitions
 
     manifest: IndexManifest | None = None
@@ -343,27 +389,33 @@ def build_index(
             id_col_eff = id_col
             df = df.withColumn("doc_id", F.col(id_col_eff).cast("long"))
         docs = df.withColumn("sha256", F.sha2(F.col(content_col), 256))
-        docs = docs.withColumn("token_count",
-                               _token_count_udf(cfg.tokenizer)(F.col(content_col)))
-        docs = docs.withColumn("norm", _norm_udf()(F.col("token_count")))
-        keep = ["doc_id"] + (meta_cols or []) + [content_col, "sha256",
-                                                 "token_count", "norm"]
         if content_col != "content":
             docs = docs.withColumnRenamed(content_col, "content")
-            keep = [c if c != content_col else "content" for c in keep]
-        docs.select(*keep).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "docs"))
+        keep = ["doc_id"] + (meta_cols or []) + ["content", "sha256",
+                                                 "token_count", "norm"]
+        docs = _add_doc_meta(docs, cfg.tokenizer)
+        # collection stats (B4) observed during the write — no extra scan
+        obs = Observation("collection_stats")
+        (docs.select(*keep)
+             .observe(obs, F.count(F.lit(1)).alias("doc_count"),
+                      F.sum("token_count").alias("sum_ttf"),
+                      F.max("doc_id").alias("max_id"))
+             .write.mode("overwrite").parquet(os.path.join(index_dir, "docs")))
+        stats_row = obs.get
         open(os.path.join(index_dir, "_DOCS_DONE"), "w").close()
+    _mark("docs_write")
 
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
 
-    stats_row = docs.agg(
-        F.count("*").alias("doc_count"),
-        F.sum("token_count").alias("sum_ttf"),
-        F.max("doc_id").alias("max_id"),
-    ).collect()[0]
+    if docs_done:  # resumed: docs already on disk, aggregate them
+        stats_row = docs.agg(
+            F.count("*").alias("doc_count"),
+            F.sum("token_count").alias("sum_ttf"),
+            F.max("doc_id").alias("max_id"),
+        ).collect()[0]
     doc_count = int(stats_row["doc_count"])
     sum_ttf = int(stats_row["sum_ttf"] or 0)
+    _mark("collection_stats")
     if doc_count == 0:
         raise ValueError("empty corpus")
     if int(stats_row["max_id"]) != doc_count - 1:
@@ -396,52 +448,77 @@ def build_index(
 
     pid_col = F.pmod(F.col("doc_id"), F.lit(P)).cast("int").alias("pid")
 
-    # --- norms table ---------------------------------------------------------
-    if not os.path.exists(os.path.join(index_dir, "_NORMS_DONE")):
-        (docs.select("doc_id", "norm", pid_col)
-             .groupBy("pid")
-             .applyInPandas(_build_norms_kernel(P), NORMS_SCHEMA)
-             .write.mode("overwrite").parquet(manifest.norms_path))
-        open(os.path.join(index_dir, "_NORMS_DONE"), "w").close()
+    # --- norms table ∥ postings chunks ----------------------------------------
+    # Independent Spark jobs from one session run concurrently (separate
+    # driver threads) — the norms job (tiny, 1 byte/doc) rides along the
+    # postings build instead of adding a serial stage.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # --- postings, chunked + resumable ---------------------------------------
-    kernel = _build_postings_kernel(P, cfg.num_segments, nb_doc_per_segment,
-                                    cfg.tokenizer, cfg.max_postings_per_stripe)
-    done = set(manifest.completed_chunks) if resume else set()
-    for chunk in range(cfg.build_chunks):
-        if chunk in done and os.path.exists(manifest.chunk_marker(chunk)):
-            continue
-        (docs.select("doc_id", "content", pid_col)
-             .filter(F.pmod(F.col("pid"), F.lit(cfg.build_chunks)) == chunk)
-             .groupBy("pid")
-             .applyInPandas(kernel, POSTINGS_SCHEMA)
-             .write.mode("overwrite").parquet(manifest.chunk_path(chunk)))
-        open(manifest.chunk_marker(chunk), "w").close()
-        if chunk not in manifest.completed_chunks:
-            manifest.completed_chunks.append(chunk)
-        manifest.save()
+    def _norms_job() -> None:
+        if not os.path.exists(os.path.join(index_dir, "_NORMS_DONE")):
+            (docs.select("doc_id", "norm", pid_col)
+                 .groupBy("pid")
+                 .applyInPandas(_build_norms_kernel(P), NORMS_SCHEMA)
+                 .write.mode("overwrite").parquet(manifest.norms_path))
+            open(os.path.join(index_dir, "_NORMS_DONE"), "w").close()
+
+    def _postings_job() -> None:
+        # chunked + resumable (context_save_restore.c analogue)
+        kernel = _build_postings_kernel(P, cfg.num_segments,
+                                        nb_doc_per_segment, cfg.tokenizer,
+                                        cfg.max_postings_per_stripe)
+        done = set(manifest.completed_chunks) if resume else set()
+        for chunk in range(cfg.build_chunks):
+            if chunk in done and os.path.exists(manifest.chunk_marker(chunk)):
+                continue
+            (docs.select("doc_id", "content", pid_col)
+                 .filter(F.pmod(F.col("pid"), F.lit(cfg.build_chunks)) == chunk)
+                 .groupBy("pid")
+                 .applyInArrow(kernel, POSTINGS_SCHEMA)
+                 .write.mode("overwrite").parquet(manifest.chunk_path(chunk)))
+            open(manifest.chunk_marker(chunk), "w").close()
+            if chunk not in manifest.completed_chunks:
+                manifest.completed_chunks.append(chunk)
+            manifest.save()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_norms = pool.submit(_norms_job)
+        f_post = pool.submit(_postings_job)
+        f_norms.result()
+        f_post.result()
+    _mark("norms+postings")
 
     postings = spark.read.parquet(*[manifest.chunk_path(c)
                                     for c in range(cfg.build_chunks)])
 
-    # --- global term stats (Q2 source) ----------------------------------------
-    if not os.path.exists(os.path.join(index_dir, "_STATS_DONE")):
-        (postings.groupBy("term")
-                 .agg(F.sum("df").alias("doc_freq"),
-                      F.sum("ttf").alias("total_tf"))
-                 .write.mode("overwrite").parquet(manifest.stats_path))
-        open(os.path.join(index_dir, "_STATS_DONE"), "w").close()
+    # --- term stats (Q2 source) ∥ per-partition metrics ------------------------
+    def _stats_job() -> None:
+        if not os.path.exists(os.path.join(index_dir, "_STATS_DONE")):
+            (postings.groupBy("term")
+                     .agg(F.sum("df").alias("doc_freq"),
+                          F.sum("ttf").alias("total_tf"))
+                     .write.mode("overwrite").parquet(manifest.stats_path))
+            open(os.path.join(index_dir, "_STATS_DONE"), "w").close()
 
-    # --- per-partition metrics (ENABLE_STATS set) ------------------------------
-    metrics_rows = (postings.groupBy("pid").agg(
-        F.count_distinct("term").alias("terms"),
-        F.sum("df").alias("postings"),
-        F.sum("ttf").alias("tokens"),
-        (F.sum(F.length("doc_blob")) + F.sum(F.length("freq_blob"))
-         + F.sum(F.length("pos_blob"))).alias("bytes"),
-    ).collect())
+    def _metrics_job():
+        # the ENABLE_STATS set (PimIndexWriter.java:638-649)
+        return (postings.groupBy("pid").agg(
+            F.count_distinct("term").alias("terms"),
+            F.sum("df").alias("postings"),
+            F.sum("ttf").alias("tokens"),
+            (F.sum(F.length("doc_blob")) + F.sum(F.length("freq_blob"))
+             + F.sum(F.length("pos_blob"))).alias("bytes"),
+        ).collect())
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stats = pool.submit(_stats_job)
+        f_metrics = pool.submit(_metrics_job)
+        f_stats.result()
+        metrics_rows = f_metrics.result()
+    _mark("stats+metrics")
     manifest.metrics = {
         "build_seconds": round(time.time() - t0, 3),
+        "phase_seconds": phase_t,
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
         "per_partition": {

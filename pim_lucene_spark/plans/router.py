@@ -1,0 +1,192 @@
+"""Query routing — the engine's analogue of the reference's rewrite+fallback.
+
+``PimPhraseQuery.rewrite`` keeps the PIM-offloaded query type only for
+slop == 0 under BM25 similarity and otherwise falls back to the standard
+Lucene ``PhraseQuery`` (``PimPhraseQuery.java:74-88``); at scorer time the
+weight additionally falls back to CPU when the PIM system is not ready for
+the current index generation (``PimPhraseWeight.java:70-121``).
+
+Spark-native mapping:
+
+- *indexed path*: the partitioned postings index + BM25 kernel
+  (:mod:`pim_lucene_spark.operators.search`)
+- *fallback path*: a brute-force DataFrame scan that tokenizes ``content``
+  on the fly and position-matches in a pandas UDF — the same numbers as the
+  index path, usable when no index exists for the snapshot, when slop > 0
+  is requested (not supported by the indexed kernel, same as the
+  reference), or as a differential-testing oracle (the role of the CPU
+  path in ``TestPimIndexSearcher.checkPhraseQuery``).
+"""
+
+from __future__ import annotations
+
+import os
+from enum import Enum
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.operators.search import RESULT_SCHEMA, search
+
+
+class QueryRoute(Enum):
+    INDEXED = "indexed"          # partitioned postings + BM25 kernel
+    BRUTE_FORCE = "brute_force"  # full-scan DataFrame path
+
+
+def route_query(index: IndexManifest | str | None, slop: int = 0) -> QueryRoute:
+    """Decide the execution path (PimPhraseQuery.java:74-88 semantics).
+
+    slop != 0 or a missing/incomplete index routes to brute force.
+    """
+    if slop != 0 or index is None:
+        return QueryRoute.BRUTE_FORCE
+    manifest = index
+    if isinstance(index, str):
+        if not os.path.exists(os.path.join(index, "manifest.json")):
+            return QueryRoute.BRUTE_FORCE
+        manifest = IndexManifest.load(index)
+    if len(manifest.completed_chunks) != manifest.build_chunks:
+        return QueryRoute.BRUTE_FORCE  # index generation not ready
+    return QueryRoute.INDEXED
+
+
+def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
+                       k: int = 10, content_col: str = "content",
+                       id_col: str = "doc_id", tokenizer: str = "whitespace",
+                       precision: str = "float32",
+                       k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Full-scan phrase BM25 (the CPU-fallback path, Q23).
+
+    One distributed pass: global stats aggregates, then a mapInPandas
+    match+score kernel per input split, then a global top-k window.  Same
+    overlap-counting freq and float expression tree as the indexed path.
+    """
+    from pim_lucene_spark.functions import bm25
+    from pim_lucene_spark.functions.smallfloat import int_to_byte4
+    from pim_lucene_spark.functions.tokenize import token_counts, tokenize_one
+
+    spark = docs.sparkSession
+    term_lists = {qid: tokenize_one(text, tokenizer) for qid, text in queries}
+    all_terms = sorted({t for ts in term_lists.values() for t in ts})
+    empty = spark.createDataFrame([], RESULT_SCHEMA)
+    if not all_terms:
+        return empty
+
+    @F.pandas_udf(T.LongType())
+    def tokcnt(content: pd.Series) -> pd.Series:
+        return pd.Series(token_counts(content, tokenizer))
+
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(content_col).alias("content")) \
+               .withColumn("token_count", tokcnt(F.col("content")))
+    base = base.persist()
+    try:
+        # collection + term stats in one scan each (Q2 without an index)
+        row = base.agg(F.count("*").alias("n"),
+                       F.sum("token_count").alias("s")).collect()[0]
+        doc_count, sum_ttf = int(row["n"]), int(row["s"] or 0)
+        if doc_count == 0:
+            return empty
+
+        tok_col = F.split(F.trim(F.col("content")), r"\s+") \
+            if tokenizer == "whitespace" else None
+        if tok_col is not None:
+            df_stats = (base
+                        .select(F.explode(F.array_distinct(
+                            F.filter(tok_col, lambda x: x != ""))).alias("term"))
+                        .filter(F.col("term").isin(all_terms))
+                        .groupBy("term").count().collect())
+        else:  # code tokenizer: count via the python tokenizer
+            @F.pandas_udf(T.ArrayType(T.StringType()))
+            def toks(content: pd.Series) -> pd.Series:
+                from pim_lucene_spark.functions.tokenize import tokenize_series
+                return tokenize_series(content, tokenizer).map(
+                    lambda xs: list(set(xs)))
+            df_stats = (base.select(F.explode(toks(F.col("content"))).alias("term"))
+                        .filter(F.col("term").isin(all_terms))
+                        .groupBy("term").count().collect())
+        doc_freq = {r["term"]: int(r["count"]) for r in df_stats}
+
+        planned = []
+        for qid, terms in term_lists.items():
+            if not terms or any(t not in doc_freq for t in terms):
+                continue  # Q3 short-circuit
+            dfs = np.array([doc_freq[t] for t in terms], dtype=np.int64)
+            w = bm25.phrase_weight(dfs, doc_count, boost=1.0,
+                                   precision=precision)
+            planned.append((qid, tuple(terms), float(w)))
+        if not planned:
+            return empty
+
+        avgdl = bm25.avg_field_length(sum_ttf, doc_count, precision)
+        cache = bm25.score_cache(avgdl, k1, b, precision)
+
+        def kernel(pdf_iter):
+            from pim_lucene_spark.functions.tokenize import tokenize_to_codes
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                doc_ids = pdf["doc_id"].to_numpy(np.int64)
+                norms = int_to_byte4(
+                    pdf["token_count"].to_numpy(np.int64)).astype(np.uint8)
+                doc_idx, codes, pos, uniques = tokenize_to_codes(
+                    pdf["content"], tokenizer)
+                lookup = {t: i for i, t in enumerate(uniques)}
+                out = []
+                for qid, terms, weight in planned:
+                    tcodes = [lookup.get(t, -1) for t in terms]
+                    if any(c < 0 for c in tcodes):
+                        continue
+                    # per-doc position sets per term via sorted keys
+                    keys = None
+                    for i, c in enumerate(tcodes):
+                        m = codes == c
+                        kk = doc_idx[m] * (np.int64(1) << 32) + (pos[m] - i)
+                        keys = kk if i == 0 else keys[
+                            np.isin(keys, kk, assume_unique=False)]
+                        if keys is None or keys.size == 0:
+                            break
+                    if keys is None or keys.size == 0:
+                        continue
+                    rows = (keys >> 32).astype(np.int64)
+                    uniq_rows, freq = np.unique(rows, return_counts=True)
+                    sc = bm25.score(freq, norms[uniq_rows], weight, cache,
+                                    precision)
+                    out.append(pd.DataFrame({
+                        "qid": np.full(uniq_rows.size, qid, np.int64),
+                        "doc_id": doc_ids[uniq_rows],
+                        "freq": freq.astype(np.int64),
+                        "norm": norms[uniq_rows].astype(np.int32),
+                        "score": np.asarray(sc, dtype=np.float64),
+                    }))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        hits = base.mapInPandas(kernel, RESULT_SCHEMA)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (hits.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k).drop("rank"))
+    finally:
+        base.unpersist()
+
+
+def search_with_fallback(spark: SparkSession, index: IndexManifest | str | None,
+                         docs: DataFrame | None, queries: list[tuple[int, str]],
+                         k: int = 10, slop: int = 0,
+                         precision: str = "float32", **kw) -> DataFrame:
+    """Route to the indexed kernel or the brute-force scan (Q1 + Q23)."""
+    route = route_query(index, slop)
+    if route is QueryRoute.INDEXED:
+        return search(spark, index, queries, k=k, precision=precision)
+    if docs is None:
+        raise ValueError("brute-force route requires the docs DataFrame")
+    if slop != 0:
+        raise NotImplementedError(
+            "slop > 0 is out of scope (reference delegates it to plain "
+            "Lucene PhraseQuery, PimPhraseQuery.java:77-82)")
+    return brute_force_search(docs, queries, k=k, precision=precision, **kw)

@@ -1,0 +1,103 @@
+"""Streaming ingestion — incremental index generations + compaction.
+
+The reference is batch-only: each Lucene commit triggers a full PIM index
+rebuild (``PimIndexWriter.doAfterCommit``, ``PimIndexWriter.java:139-144``)
+and queries are answered against the loaded generation; its only streaming
+machinery is the bounded query queue (``PimSystemManager.java:265-281``).
+The Spark-native engine goes further, because Structured Streaming makes
+the natural fit explicit:
+
+- ``stream_index`` attaches a ``foreachBatch`` sink to any streaming
+  DataFrame of documents.  Every micro-batch becomes one self-contained
+  index *generation* under ``<root>/gen=<epoch>`` (same layout as a batch
+  build — a Lucene "segment" in the merge sense), so ingestion never
+  rewrites existing postings: append-only, crash-safe (a half-written
+  generation has no manifest and is ignored).
+- ``merge_generations`` compacts generations with the Lucene-style
+  multi-way merge (:mod:`pim_lucene_spark.operators.merge`), exactly like
+  background segment merging.
+- Queries run against any generation, or against the compacted index.
+
+Doc IDs within a generation are batch-local (dense from 0); the merge
+assigns partition-preserving doc-base offsets, so global IDs are
+``gen_base + local_id`` — the same arithmetic Lucene uses for per-segment
+``docBase``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.operators.index_build import build_index
+from pim_lucene_spark.operators.merge import merge_indexes
+
+
+def _gen_dir(root: str, batch_id: int) -> str:
+    return os.path.join(root, f"gen={batch_id:010d}")
+
+
+def stream_index(stream_df: DataFrame, index_root: str,
+                 cfg: IndexConfig = IndexConfig(),
+                 content_col: str = "content",
+                 id_col: str | None = None,
+                 checkpoint_dir: str | None = None,
+                 trigger_available_now: bool = True,
+                 query_name: str = "pim_stream_index"):
+    """Attach an incremental index-build sink to a streaming DataFrame.
+
+    Returns the started ``StreamingQuery``.  With
+    ``trigger_available_now`` the query drains the currently-available
+    input and stops (batch-style test runs); otherwise it runs continuous
+    micro-batches.
+    """
+    os.makedirs(index_root, exist_ok=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if len(batch_df.take(1)) == 0:
+            return
+        spark = batch_df.sparkSession
+        build_index(spark, batch_df, _gen_dir(index_root, batch_id), cfg,
+                    content_col=content_col, id_col=id_col,
+                    source=f"stream-batch-{batch_id}")
+
+    writer = (stream_df.writeStream
+              .queryName(query_name)
+              .foreachBatch(write_batch)
+              .option("checkpointLocation",
+                      checkpoint_dir or os.path.join(index_root, "_checkpoint")))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def list_generations(index_root: str) -> list[str]:
+    """Complete (manifest-bearing) generations, oldest first."""
+    if not os.path.isdir(index_root):
+        return []
+    gens = []
+    for name in sorted(os.listdir(index_root)):
+        d = os.path.join(index_root, name)
+        if name.startswith("gen=") and \
+                os.path.exists(os.path.join(d, "manifest.json")):
+            m = IndexManifest.load(d)
+            if len(m.completed_chunks) == m.build_chunks:
+                gens.append(d)
+    return gens
+
+
+def merge_generations(spark: SparkSession, index_root: str,
+                      out_dir: str | None = None,
+                      num_segments: int | None = None) -> IndexManifest:
+    """Compact all complete generations into one index (segment merge)."""
+    gens = list_generations(index_root)
+    if not gens:
+        raise ValueError(f"no complete generations under {index_root}")
+    if len(gens) == 1:
+        return IndexManifest.load(gens[0])
+    return merge_indexes(spark, gens,
+                         out_dir or os.path.join(index_root, "compacted"),
+                         num_segments=num_segments)
