@@ -20,10 +20,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pim_lucene_spark import IndexConfig, oracle
+from pim_lucene_spark.corpus import generate_corpus
 from pim_lucene_spark.manifest import IndexManifest
 from pim_lucene_spark.operators import dedup, multimodal, similarity, textstats
 from pim_lucene_spark.operators.index_build import build_index
+from pim_lucene_spark.operators.merge import merge_indexes
 from pim_lucene_spark.operators.search import search
+from pim_lucene_spark.plans.router import brute_force_search
 
 # ---------------------------------------------------------------------------
 # fixed query sets (deterministic; vocabulary present in the synthetic docs)
@@ -72,6 +75,66 @@ def _searched(spark, sf_dir, queries, k):
     res = search(spark, m, queries, k=k, precision="float64")
     return res.select("qid", "doc_id", "freq",
                       F.round("score", 6).alias("score"))
+
+
+def _get_merged_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
+    """Split the corpus in half, build two indexes, merge them (B6).
+
+    Doc ids: first half unchanged, second half re-based to
+    ``ceil(h/P)*P`` — the partition-preserving doc-base offset.
+    """
+    key = hashlib.md5((sf_dir + "|merged").encode()).hexdigest()[:12]
+    root = os.path.join("/tmp", "pim_index_cache", key)
+    merged_dir = os.path.join(root, "merged")
+    if os.path.exists(os.path.join(merged_dir, "manifest.json")):
+        m = IndexManifest.load(merged_dir)
+        if m.version >= 2:
+            return m
+    docs = _docs(spark, sf_dir)
+    h = docs.count() // 2
+    a = docs.filter(F.col("doc_id") < h)
+    b = (docs.filter(F.col("doc_id") >= h)
+         .withColumn("doc_id", F.col("doc_id") - F.lit(h)))
+    cfg = IndexConfig(num_partitions=_CFG.num_partitions,
+                      num_segments=_CFG.num_segments, build_chunks=1)
+    m_a = build_index(spark, a, os.path.join(root, "a"), cfg,
+                      content_col="content", id_col="doc_id")
+    m_b = build_index(spark, b, os.path.join(root, "b"), cfg,
+                      content_col="content", id_col="doc_id")
+    return merge_indexes(spark, [m_a, m_b], merged_dir)
+
+
+def _q_merged_phrase(spark, sf_dir):
+    m = _get_merged_index(spark, sf_dir)
+    res = search(spark, m, PHRASE_QUERIES, k=10, precision="float64")
+    return res.select("qid", "doc_id", "freq",
+                      F.round("score", 6).alias("score"))
+
+
+def _q_fallback_scan(spark, sf_dir):
+    res = brute_force_search(_docs(spark, sf_dir), PHRASE_QUERIES, k=10,
+                             precision="float64")
+    return res.select("qid", "doc_id", "freq",
+                      F.round("score", 6).alias("score"))
+
+
+def _q_corpus(spark, sf_dir):
+    c = generate_corpus(spark, 300, seed=42, num_partitions=8)
+    return c.select("doc_id", "repo", "lang",
+                    F.length("content").alias("n_chars"))
+
+
+# CTE that shadows `documents` with the merged-id view: first half keeps
+# its ids, second half re-based by ceil(h/P)*P (P = index partitions)
+_MERGE_REMAP_CTE = f"""documents AS (
+  SELECT CASE WHEN d.doc_id < p.h THEN d.doc_id
+              ELSE d.doc_id - p.h + p.base END AS doc_id, d.text
+  FROM main.documents d CROSS JOIN (
+    SELECT count(*) // 2 AS h,
+           CAST(ceil((count(*) // 2) / {float(_CFG.num_partitions)})
+                * {_CFG.num_partitions} AS BIGINT) AS base
+    FROM main.documents) p
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("qid", "doc_id", "freq"),
         "engine_no_match":
             lambda s, d: _searched(s, d, NOMATCH_QUERIES, k=10),
+        "engine_merged_phrase_bm25": _q_merged_phrase,
+        "engine_fallback_scan_bm25": _q_fallback_scan,
+        "corpus_generate": _q_corpus,
         "index_term_stats": _q_term_stats,
         "index_collection_stats": _q_collection_stats,
         "index_doc_norms": _q_doc_norms,
@@ -225,6 +291,13 @@ def oracle_sql() -> dict[str, str]:
                             "CAST(0 AS BIGINT) AS doc_id, "
                             "CAST(0 AS BIGINT) AS freq, "
                             "CAST(0.0 AS DOUBLE) AS score WHERE 1=0"),
+        # merged index: same BM25 SQL over the doc-id-remapped corpus view
+        "engine_merged_phrase_bm25":
+            oracle.phrase_bm25_sql(PHRASE_QUERIES, k=10).replace(
+                "WITH ", f"WITH {_MERGE_REMAP_CTE}, ", 1),
+        # brute-force fallback path computes the identical result set
+        "engine_fallback_scan_bm25": oracle.phrase_bm25_sql(PHRASE_QUERIES,
+                                                            k=10),
         "index_term_stats": oracle.TERM_STATS_SQL,
         "index_collection_stats": oracle.COLLECTION_STATS_SQL,
         "index_doc_norms": oracle.DOC_NORMS_SQL,
@@ -318,6 +391,6 @@ def oracle_sql() -> dict[str, str]:
                    upper(hex(encode(substr(text, 1, 8)))) AS header_hex
             FROM documents""",
         # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk /
-        # multimodal_features: deterministic but hash/plane-seeded —
-        # not ANSI-SQL-expressible → rows-only checks.
+        # multimodal_features / corpus_generate: deterministic but
+        # hash/plane-seeded — not ANSI-SQL-expressible → rows-only checks.
     }
