@@ -172,6 +172,16 @@ def _q_collection_stats(spark, sf_dir):
         ]))
 
 
+def _q_sha_invariant(spark, sf_dir):
+    """Stored per-row sha256 + the violation count vs the source table."""
+    from pim_lucene_spark.operators.index_build import verify_content_invariant
+    m = _get_index(spark, sf_dir)
+    violations = verify_content_invariant(spark, m, _docs(spark, sf_dir))
+    return (spark.read.parquet(m.docs_path)
+            .select("doc_id", "sha256")
+            .withColumn("violations", F.lit(violations).cast("long")))
+
+
 def _q_term_stats(spark, sf_dir):
     m = _get_index(spark, sf_dir)
     return (spark.read.parquet(m.stats_path)
@@ -210,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "corpus_generate": _q_corpus,
+        "index_sha256_invariant": _q_sha_invariant,
         "index_term_stats": _q_term_stats,
         "index_collection_stats": _q_collection_stats,
         "index_doc_norms": _q_doc_norms,
@@ -298,6 +309,11 @@ def oracle_sql() -> dict[str, str]:
         # brute-force fallback path computes the identical result set
         "engine_fallback_scan_bm25": oracle.phrase_bm25_sql(PHRASE_QUERIES,
                                                             k=10),
+        "index_sha256_invariant": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   sha256(text) AS sha256,
+                   CAST(0 AS BIGINT) AS violations
+            FROM documents""",
         "index_term_stats": oracle.TERM_STATS_SQL,
         "index_collection_stats": oracle.COLLECTION_STATS_SQL,
         "index_doc_norms": oracle.DOC_NORMS_SQL,

@@ -343,6 +343,29 @@ def _build_postings_kernel(num_partitions: int, num_segments: int,
     return fn
 
 
+def verify_content_invariant(spark: SparkSession, manifest: IndexManifest,
+                             source_df: DataFrame,
+                             content_col: str = "content",
+                             id_col: str = "doc_id") -> int:
+    """Per-row ``sha256(content)`` equality vs the source table (north rule).
+
+    Joins the index's docs table back to the source on doc id and counts
+    rows whose stored ``sha256`` differs from ``sha2(source.content, 256)``
+    (or that are missing on either side).  Returns the violation count
+    (0 == invariant holds); callers decide whether to raise.
+    """
+    stored = spark.read.parquet(manifest.docs_path).select(
+        F.col("doc_id"), F.col("sha256").alias("stored_sha"))
+    src = source_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("src_sha"))
+    bad = (stored.join(src, "doc_id", "full_outer")
+           .filter((F.col("stored_sha").isNull()) |
+                   (F.col("src_sha").isNull()) |
+                   (F.col("stored_sha") != F.col("src_sha"))))
+    return bad.count()
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,

@@ -229,6 +229,19 @@ def _match_kernel(payload: dict):
     return fn
 
 
+# term → doc_freq cache per index generation (0 = negative entry).  The
+# reference caches scoring stats per query batch (PimPhraseScoreStats);
+# we additionally reuse them across batches — repeated hot terms skip the
+# stats-lookup job entirely.  Keyed by manifest identity so a rebuilt
+# index in the same dir invalidates.
+_TERM_STATS_CACHE: dict[tuple, dict[str, int]] = {}
+
+
+def _stats_cache_key(m: IndexManifest) -> tuple:
+    return (m.index_dir, m.doc_count, m.sum_total_term_freq,
+            m.norm_quant_factor)
+
+
 def plan_queries(spark: SparkSession, manifest: IndexManifest,
                  queries: list[tuple[int, str]], k: int,
                  precision: str) -> tuple[list, list[str]]:
@@ -238,10 +251,16 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
     all_terms = sorted({t for ts in term_lists.values() for t in ts})
     if not all_terms:
         return [], []
-    stats = (spark.read.parquet(manifest.stats_path)
-             .filter(F.col("term").isin(all_terms))
-             .collect())
-    doc_freq = {r["term"]: int(r["doc_freq"]) for r in stats}
+    cache = _TERM_STATS_CACHE.setdefault(_stats_cache_key(manifest), {})
+    missing = [t for t in all_terms if t not in cache]
+    if missing:
+        stats = (spark.read.parquet(manifest.stats_path)
+                 .filter(F.col("term").isin(missing))
+                 .collect())
+        found = {r["term"]: int(r["doc_freq"]) for r in stats}
+        for t in missing:
+            cache[t] = found.get(t, 0)
+    doc_freq = {t: cache[t] for t in all_terms if cache[t] > 0}
     planned = []
     for qid, terms in term_lists.items():
         if not terms or any(t not in doc_freq for t in terms):
