@@ -183,6 +183,34 @@ def encode_columnar(
     }
 
 
+def slice_segments(doc_blob: bytes, freq_blob: bytes, pos_blob: bytes,
+                   seg_doc_counts: np.ndarray, seg_doc_bytes: np.ndarray,
+                   seg_freq_bytes: np.ndarray, seg_pos_bytes: np.ndarray,
+                   seg_mask: np.ndarray):
+    """Seek to the selected segments via the per-segment skip sizes.
+
+    The reference stores per-(term, DPU-segment) postings byte sizes so any
+    segment can be sought and decoded independently
+    (``PimIndexWriter.java:826-849,903-916``; zero-size segments skipped at
+    ``matcher.c:31-35``, absent terms at ``dpu.c:204-207``).  Returns
+    ``(doc_blob', freq_blob', pos_blob', seg_doc_counts')`` restricted to
+    ``seg_mask`` — decodable by :func:`decode_columnar` because the
+    delta chain resets at every segment start.
+    """
+    counts = np.asarray(seg_doc_counts, dtype=np.int64)
+    mask = np.asarray(seg_mask, dtype=bool)
+
+    def cut(blob: bytes, sizes) -> bytes:
+        sizes = np.asarray(sizes, dtype=np.int64)
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        return b"".join(blob[starts[i]:ends[i]]
+                        for i in np.flatnonzero(mask & (sizes > 0)))
+
+    return (cut(doc_blob, seg_doc_bytes), cut(freq_blob, seg_freq_bytes),
+            cut(pos_blob, seg_pos_bytes), np.where(mask, counts, 0))
+
+
 def decode_columnar(
     doc_blob: bytes,
     freq_blob: bytes,

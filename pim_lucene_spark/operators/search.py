@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pim_lucene_spark.functions import bm25
-from pim_lucene_spark.functions.postings import TermPostings, decode_columnar
+from pim_lucene_spark.functions.postings import (
+    TermPostings,
+    decode_columnar,
+    slice_segments,
+)
 from pim_lucene_spark.functions.tokenize import tokenize_one
 from pim_lucene_spark.manifest import IndexManifest
 
@@ -112,26 +116,44 @@ def _match_kernel(payload: dict):
             by_term.setdefault(row.term, []).append(row)
         decoded: dict[str, object] = {}
 
-        def get_decoded(term, need_positions):
+        def _concat(parts):
+            if len(parts) == 1:
+                return parts[0]
+            freqs = np.concatenate([p.freqs for p in parts])
+            pos_offsets = np.zeros(freqs.size + 1, dtype=np.int64)
+            np.cumsum(freqs, out=pos_offsets[1:])
+            return TermPostings(
+                rel_docs=np.concatenate([p.rel_docs for p in parts]),
+                freqs=freqs,
+                positions=np.concatenate([p.positions for p in parts]),
+                pos_offsets=pos_offsets)
+
+        def get_decoded(term, need_positions, seg_mask=None):
+            """seg_mask prunes decode to the segments where every query
+            term is present — the skip-data seek of matcher.c:31-35 /
+            dpu.c:204-207 (segment sizes from PimIndexWriter.java:903-916).
+            Full decodes are cached; masked decodes are query-specific."""
+            if seg_mask is not None:
+                rows = sorted(by_term[term], key=lambda r: r.stripe)
+                parts = []
+                for r in rows:
+                    blobs = slice_segments(
+                        r.doc_blob, r.freq_blob, r.pos_blob,
+                        np.asarray(r.seg_doc_counts),
+                        np.asarray(r.seg_doc_bytes),
+                        np.asarray(r.seg_freq_bytes),
+                        np.asarray(r.seg_pos_bytes), seg_mask)
+                    parts.append(decode_columnar(
+                        *blobs, decode_positions=need_positions))
+                return _concat(parts)
             tp = decoded.get(term)
             if tp is None or (need_positions and tp.positions.size == 0
                               and tp.pos_offsets[-1] > 0):
                 rows = sorted(by_term[term], key=lambda r: r.stripe)
-                parts = [decode_columnar(r.doc_blob, r.freq_blob, r.pos_blob,
-                                         np.asarray(r.seg_doc_counts),
-                                         decode_positions=need_positions)
-                         for r in rows]
-                if len(parts) == 1:
-                    tp = parts[0]
-                else:
-                    freqs = np.concatenate([p.freqs for p in parts])
-                    pos_offsets = np.zeros(freqs.size + 1, dtype=np.int64)
-                    np.cumsum(freqs, out=pos_offsets[1:])
-                    tp = TermPostings(
-                        rel_docs=np.concatenate([p.rel_docs for p in parts]),
-                        freqs=freqs,
-                        positions=np.concatenate([p.positions for p in parts]),
-                        pos_offsets=pos_offsets)
+                tp = _concat([decode_columnar(
+                    r.doc_blob, r.freq_blob, r.pos_blob,
+                    np.asarray(r.seg_doc_counts),
+                    decode_positions=need_positions) for r in rows])
                 decoded[term] = tp
             return tp
 
@@ -140,7 +162,22 @@ def _match_kernel(payload: dict):
                 continue  # this partition lacks a term → no hits here
             uniq = list(dict.fromkeys(terms))
             multi = len(terms) > 1
-            tps = [get_decoded(t, multi) for t in uniq]
+            seg_mask = None
+            if multi:
+                # co-presence prune: a phrase can only match in segments
+                # where EVERY term has postings (dpu.c:204-207 semantics)
+                pres = None
+                for t in uniq:
+                    p = None
+                    for r in by_term[t]:
+                        c = np.asarray(r.seg_doc_counts) > 0
+                        p = c if p is None else (p | c)
+                    pres = p if pres is None else (pres & p)
+                if not pres.any():
+                    continue
+                if not pres.all():
+                    seg_mask = pres
+            tps = [get_decoded(t, multi, seg_mask) for t in uniq]
 
             # k-way sorted docID intersection (leapfrog semantics)
             cand = tps[0].rel_docs

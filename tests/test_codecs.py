@@ -199,3 +199,39 @@ def test_interleaved_roundtrip_matches_columnar():
         np.testing.assert_array_equal(dec.rel_docs, rel)
         np.testing.assert_array_equal(dec.freqs, fr)
         np.testing.assert_array_equal(dec.positions, pos)
+
+
+def test_slice_segments_masked_decode():
+    """Per-segment skip sizes let any segment subset be sought and decoded
+    independently (PimIndexWriter.java:903-916; matcher.c:31-35)."""
+    import numpy as np
+    from pim_lucene_spark.functions.postings import (
+        decode_columnar, encode_columnar, slice_segments)
+
+    rng = np.random.RandomState(3)
+    num_segments = 5
+    nb_per_seg = 20
+    rel = np.sort(rng.choice(100, size=40, replace=False))
+    abs_doc = rel  # partition of 1
+    segs = abs_doc // nb_per_seg
+    freqs = rng.randint(1, 5, size=rel.size)
+    positions = np.concatenate(
+        [np.sort(rng.choice(50, size=f, replace=False)) for f in freqs])
+    enc = encode_columnar(rel, freqs, positions, segs, num_segments)
+
+    for mask_bits in [(1, 1, 1, 1, 1), (1, 0, 1, 0, 1), (0, 0, 0, 0, 1),
+                      (0, 1, 0, 0, 0)]:
+        mask = np.array(mask_bits, dtype=bool)
+        blobs = slice_segments(enc["doc_blob"], enc["freq_blob"],
+                               enc["pos_blob"], enc["seg_doc_counts"],
+                               enc["seg_doc_bytes"], enc["seg_freq_bytes"],
+                               enc["seg_pos_bytes"], mask)
+        tp = decode_columnar(*blobs)
+        keep = mask[segs]
+        np.testing.assert_array_equal(tp.rel_docs, rel[keep])
+        np.testing.assert_array_equal(tp.freqs, freqs[keep])
+        off = np.concatenate([[0], np.cumsum(freqs)])
+        exp_pos = np.concatenate(
+            [positions[off[i]:off[i + 1]] for i in np.flatnonzero(keep)]
+        ) if keep.any() else np.empty(0, dtype=np.int64)
+        np.testing.assert_array_equal(tp.positions, exp_pos)

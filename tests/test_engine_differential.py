@@ -159,3 +159,20 @@ def test_resume_from_checkpoint_identical(spark, tmp_index_dir):
     pd.testing.assert_frame_equal(
         full.sort_values(["qid", "doc_id"]).reset_index(drop=True),
         res2.sort_values(["qid", "doc_id"]).reset_index(drop=True))
+
+
+def test_segment_copresence_prune_correct(spark, tmp_index_dir):
+    """Terms co-present in only one segment: the masked-decode path must
+    return identical results to the model (pruning is exercised because
+    docs are range-striped into segments and the phrase lives in one)."""
+    docs = pd.DataFrame({
+        "doc_id": range(12),
+        "content": (["aaa zzz"] * 2            # seg 0: aaa + zzz
+                    + ["aaa bbb"] * 4          # aaa everywhere
+                    + ["bbb ccc"] * 4
+                    + ["zzz aaa zzz aaa"] * 2),  # seg 3: both again
+    })
+    queries = [(0, "aaa zzz"), (1, "zzz aaa"), (2, "aaa"), (3, "bbb ccc")]
+    cfg = IndexConfig(num_partitions=1, num_segments=4, build_chunks=1)
+    _, res = _spark_results(spark, tmp_index_dir, docs, queries, cfg, k=10)
+    _assert_matches_model(res, docs, queries, k=10)
