@@ -16,7 +16,8 @@ Layout
 """
 
 from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.index import FullTextIndex
 from pim_lucene_spark.manifest import IndexManifest
 
-__all__ = ["IndexConfig", "IndexManifest"]
+__all__ = ["FullTextIndex", "IndexConfig", "IndexManifest"]
 __version__ = "0.2.0"
