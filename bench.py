@@ -85,14 +85,17 @@ def main() -> None:
     lat = []
     for name, text in BENCH_QUERIES.items():
         t = time.time()
-        search(spark, manifest, [(0, text)], k=10).collect()
+        # driver-side top-k merge (host merge of topdocs_sync.c): lowest
+        # latency for small k
+        search(spark, manifest, [(0, text)], k=10,
+               final_merge="driver").collect()
         dt = time.time() - t
         per_query[name] = round(dt, 4)
         lat.append(dt)
 
     # batched throughput: the whole query set in one job
     t = time.time()
-    search(spark, manifest, BATCH, k=10).collect()
+    search(spark, manifest, BATCH, k=10, final_merge="driver").collect()
     batch_sec = time.time() - t
     per_query["q_batch20"] = round(batch_sec, 4)
 

@@ -312,12 +312,19 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
 
 def search(spark: SparkSession, index: IndexManifest | str,
            queries: list[tuple[int, str]], k: int = 10,
-           precision: str = "float32") -> DataFrame:
+           precision: str = "float32",
+           final_merge: str = "window") -> DataFrame:
     """Batched top-k phrase/term search → DataFrame(qid, doc_id, freq, norm, score).
 
     ``precision='float32'`` reproduces Lucene's float expression tree
     (scores returned as their exact float64 upcast); ``'float64'`` runs the
     same tree in doubles (ANSI-SQL reproducible).
+
+    ``final_merge``: ``'window'`` (default) keeps the global top-k as a
+    rank window in the plan; ``'driver'`` collects the per-partition
+    top-k rows (≤ P·k per query — tiny) and heap-merges on the driver,
+    the reference's host-side merge (``topdocs_sync.c:369-412``) — one
+    exchange less, lower latency for small k.
     """
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
     planned, needed_terms = plan_queries(spark, manifest, queries, k, precision)
@@ -343,6 +350,14 @@ def search(spark: SparkSession, index: IndexManifest | str,
     per_part = (postings.groupBy("pid")
                 .cogroup(norms.groupBy("pid"))
                 .applyInPandas(_match_kernel(payload), RESULT_SCHEMA))
+
+    if final_merge == "driver":
+        pdf = per_part.toPandas()
+        if len(pdf):
+            pdf = (pdf.sort_values(["qid", "score", "doc_id"],
+                                   ascending=[True, False, True])
+                   .groupby("qid", sort=True).head(k))
+        return spark.createDataFrame(pdf, RESULT_SCHEMA)
 
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (per_part

@@ -176,3 +176,17 @@ def test_segment_copresence_prune_correct(spark, tmp_index_dir):
     cfg = IndexConfig(num_partitions=1, num_segments=4, build_chunks=1)
     _, res = _spark_results(spark, tmp_index_dir, docs, queries, cfg, k=10)
     _assert_matches_model(res, docs, queries, k=10)
+
+
+def test_driver_merge_equals_window_merge(spark, tmp_index_dir):
+    """The driver-side top-k merge (topdocs_sync.c host-merge analogue)
+    must return exactly the window-rank result."""
+    cfg = IndexConfig(num_partitions=4, num_segments=2, build_chunks=1)
+    sdf = spark.createDataFrame(FIXTURE_DOCS)
+    m = build_index(spark, sdf, tmp_index_dir, cfg,
+                    content_col="content", id_col="doc_id")
+    a = (search(spark, m, QUERIES, k=3, final_merge="window").toPandas()
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    b = (search(spark, m, QUERIES, k=3, final_merge="driver").toPandas()
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
