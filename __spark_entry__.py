@@ -63,7 +63,7 @@ def _get_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
     manifest_file = os.path.join(index_dir, "manifest.json")
     if os.path.exists(manifest_file):
         m = IndexManifest.load(index_dir)
-        if len(m.completed_chunks) == m.build_chunks and m.version >= 2:
+        if len(m.completed_chunks) == m.build_chunks and m.version >= 3:
             return m
     return build_index(spark, _docs(spark, sf_dir), index_dir, _CFG,
                        content_col="content", id_col="doc_id",
@@ -88,7 +88,7 @@ def _get_merged_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
     merged_dir = os.path.join(root, "merged")
     if os.path.exists(os.path.join(merged_dir, "manifest.json")):
         m = IndexManifest.load(merged_dir)
-        if m.version >= 2:
+        if m.version >= 3:
             return m
     docs = _docs(spark, sf_dir)
     h = docs.count() // 2

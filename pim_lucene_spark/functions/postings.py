@@ -211,6 +211,28 @@ def slice_segments(doc_blob: bytes, freq_blob: bytes, pos_blob: bytes,
             cut(pos_blob, seg_pos_bytes), np.where(mask, counts, 0))
 
 
+def decode_positions_slice(pos_bytes: bytes, freqs: np.ndarray) -> np.ndarray:
+    """Decode a contiguous slice of the position-gap stream.
+
+    ``freqs`` are the per-posting frequencies of exactly the postings whose
+    positions the slice holds (the delta chain resets at every posting
+    start, so any posting-aligned byte range decodes independently — the
+    block-max WAND lazy-decode path uses this to decode only the
+    (term, segment) units the score-bound loop actually evaluates).
+    """
+    gaps = decode_uvarints(pos_bytes).astype(np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    offs = np.zeros(freqs.size + 1, dtype=np.int64)
+    np.cumsum(freqs, out=offs[1:])
+    starts = offs[:-1][freqs > 0]
+    if starts.size == 0:
+        return np.empty(0, dtype=np.int64)
+    c = np.cumsum(gaps)
+    base = np.where(starts > 0, c[starts - 1], 0)
+    reps = np.diff(np.concatenate([starts, [gaps.size]]))
+    return c - np.repeat(base, reps)
+
+
 def decode_columnar(
     doc_blob: bytes,
     freq_blob: bytes,

@@ -10,7 +10,7 @@ engine's one-object equivalent:
     hits = idx.search([(0, "def main"), (1, "import os")], k=10)
     one  = idx.search_phrase("exact phrase here", k=10)
     idx2 = FullTextIndex.open(spark, "/path/idx")
-    merged = idx.merge_with(other, "/path/merged")
+    merged = idx.merge_with(other, out_dir="/path/merged")
 """
 
 from __future__ import annotations

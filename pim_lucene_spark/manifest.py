@@ -34,9 +34,18 @@ class IndexManifest:
     source: str = ""
     content_col: str = "content"
     metrics: dict = field(default_factory=dict)
-    # format version 2: striped posting rows (term split across multiple
-    # rows when its partition-local df exceeds the stripe cap)
-    version: int = 2
+    # doc-id span (max doc_id + 1, including round-up padding gaps from
+    # merges).  0 == dense ids (span == doc_count, fresh builds).  Merges
+    # MUST compute doc-base offsets from the span, not doc_count — a merged
+    # source's id space contains gaps.
+    doc_span: int = 0
+    # unique id of this build/merge (stats caches key on it so a rebuilt
+    # index in the same directory never serves stale term stats)
+    build_id: str = ""
+    # format version 3: norms parquet laid out as norms/pid=N/ so search
+    # tasks read their partition's blob directly (no norms shuffle);
+    # doc_span/build_id fields.  version 2: striped posting rows.
+    version: int = 3
 
     # --- paths -------------------------------------------------------------
     @property
@@ -64,6 +73,13 @@ class IndexManifest:
     @property
     def manifest_path(self) -> str:
         return os.path.join(self.index_dir, "manifest.json")
+
+    @property
+    def span(self) -> int:
+        """Doc-id span (max doc_id + 1).  Equals ``doc_count`` for fresh
+        (dense-id) builds; larger for merged indexes whose id space has
+        partition-round-up gaps."""
+        return self.doc_span or self.doc_count
 
     @property
     def avgdl(self) -> float:

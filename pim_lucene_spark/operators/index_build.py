@@ -100,12 +100,20 @@ PA_POSTINGS_SCHEMA = pa.schema([
 
 def assign_doc_ids(df: DataFrame, order_cols: list[str],
                    num_partitions: int | None = None) -> DataFrame:
+    """Dense deterministic int64 ``doc_id`` by global ``order_cols`` order."""
+    return _assign_doc_ids(df, order_cols, num_partitions)[0]
+
+
+def _assign_doc_ids(df: DataFrame, order_cols: list[str],
+                    num_partitions: int | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
     """Dense deterministic int64 ``doc_id`` by global ``order_cols`` order.
 
     Range-repartition + sortWithinPartitions gives a globally sorted frame;
     a one-row-per-partition count job computes offsets; a mapInPandas pass
     stamps ids.  The sorted frame is persisted so both passes see the same
-    (sampled) range boundaries.
+    (sampled) range boundaries; it is returned alongside the result so the
+    caller can ``unpersist()`` once the result has been materialized.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     sorted_df = (df.repartitionByRange(n, *order_cols)
@@ -136,7 +144,7 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str],
             seen += len(pdf)
             yield pdf
 
-    return sorted_df.mapInPandas(stamp, out_schema)
+    return sorted_df.mapInPandas(stamp, out_schema), sorted_df
 
 
 def _add_doc_meta(docs: DataFrame, tokenizer: str) -> DataFrame:
@@ -405,8 +413,9 @@ def build_index(
         os.path.join(index_dir, "_DOCS_DONE"))
 
     if not docs_done:
+        persisted = None
         if id_col is None:
-            df = assign_doc_ids(df, order_cols or [content_col])
+            df, persisted = _assign_doc_ids(df, order_cols or [content_col])
             id_col_eff = "doc_id"
         else:
             id_col_eff = id_col
@@ -425,6 +434,8 @@ def build_index(
                       F.max("doc_id").alias("max_id"))
              .write.mode("overwrite").parquet(os.path.join(index_dir, "docs")))
         stats_row = obs.get
+        if persisted is not None:
+            persisted.unpersist()
         open(os.path.join(index_dir, "_DOCS_DONE"), "w").close()
     _mark("docs_write")
 
@@ -446,6 +457,7 @@ def build_index(
     nb_doc_per_segment = -(-doc_count // cfg.num_segments)
 
     if manifest is None:
+        import uuid
         manifest = IndexManifest(
             index_dir=index_dir,
             num_partitions=P,
@@ -460,6 +472,8 @@ def build_index(
             build_chunks=cfg.build_chunks,
             source=source,
             content_col="content",
+            doc_span=doc_count,  # fresh builds validate dense 0..N-1 ids
+            build_id=uuid.uuid4().hex,
         )
 
     # norm-inverse quantization factor (PimIndexWriter.java:468-484)
@@ -478,11 +492,16 @@ def build_index(
     from concurrent.futures import ThreadPoolExecutor
 
     def _norms_job() -> None:
+        # norms are laid out as norms/pid=N/ so a search task for partition
+        # N reads exactly its 1-byte/doc blob straight off the (shared)
+        # filesystem — the norms side never enters a Spark shuffle, the
+        # same way a Lucene segment reads its own .nvd file
         if not os.path.exists(os.path.join(index_dir, "_NORMS_DONE")):
             (docs.select("doc_id", "norm", pid_col)
                  .groupBy("pid")
                  .applyInPandas(_build_norms_kernel(P), NORMS_SCHEMA)
-                 .write.mode("overwrite").parquet(manifest.norms_path))
+                 .write.mode("overwrite").partitionBy("pid")
+                 .parquet(manifest.norms_path))
             open(os.path.join(index_dir, "_NORMS_DONE"), "w").close()
 
     def _postings_job() -> None:

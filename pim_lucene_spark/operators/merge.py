@@ -7,19 +7,27 @@ offsets.  The Spark-native re-expression merges whole *indexes* built over
 disjoint document batches (incremental indexing):
 
 - Each source index ``s`` gets a doc-base offset ``base_s`` — the previous
-  bases plus the previous source's doc span **rounded up to a multiple of
-  the partition count** so that ``(doc + base_s) % P == doc % P``: a doc
-  never changes partition, which makes the merge embarrassingly parallel
-  per partition (no doc re-routing shuffle, only a ``groupBy(pid)``
-  co-location of the sources' posting rows).
+  bases plus the previous source's **doc-id span** (max doc_id + 1,
+  ``IndexManifest.span``) rounded up to a multiple of the partition count
+  so that ``(doc + base_s) % P == doc % P``: a doc never changes partition,
+  which makes the merge embarrassingly parallel per partition (no doc
+  re-routing shuffle, only a ``groupBy(pid)`` co-location of the sources'
+  posting rows).  Using the span (not ``doc_count``) keeps re-merges of
+  already-merged indexes correct: a merged id space contains round-up gaps,
+  so ``max doc_id + 1 > doc_count``.
 - Within a partition, every source's relative docIDs shift by the constant
-  ``base_s / P``; posting lists for the same term are decoded, shifted,
-  doc-order concatenated (sources are doc-ordered and bases ascending) and
-  re-encoded with the merged index's segment geometry — the same sorted
-  multi-way merge semantics, vectorized.
+  ``base_s / P``; posting lists merge **at the posting level**: each
+  source row's compressed streams are decoded to (doc, freq, positions)
+  arrays, doc ids shifted, and the rows concatenated in (term, source,
+  stripe) order — already globally (term, doc, pos)-sorted because bases
+  ascend and each source row is doc-ordered.  No token-level Python
+  objects are ever materialized (term identity travels as an int64 code);
+  peak memory is 3 int64 arrays over the token stream, the same profile
+  as the build kernel.
 - Norms blobs are placed at their shifted offsets in a merged dense blob
   (gaps from the round-up are zero padding; those docIDs simply never
-  appear in any posting list).
+  appear in any posting list).  Blob placement uses actual blob lengths,
+  which for a merged source exceed its ``num_docs`` (padding).
 
 At 100 TB scale this is the compaction path for incremental builds: cost
 is one co-partitioned shuffle of compressed posting rows (no
@@ -30,12 +38,12 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from pim_lucene_spark.functions.postings import decode_columnar
 from pim_lucene_spark.manifest import IndexManifest
@@ -57,24 +65,34 @@ def _merge_postings_kernel(rel_shifts: list[int], num_partitions: int,
         pid = int(key[0])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        terms_parts, doc_parts, pos_parts = [], [], []
-        for row in pdf.itertuples(index=False):
+        # factorize terms once at the ROW level: per-token term identity is
+        # an int64 code, never a Python string (rows ≪ tokens)
+        row_codes, uniques = pd.factorize(pdf["term"], sort=True)
+        srcs = pdf["src"].to_numpy(np.int64)
+        stripes = pdf["stripe"].to_numpy(np.int64)
+        # (code, src, stripe) order ⇒ concatenated streams are globally
+        # (term, doc, pos)-sorted: bases ascend across sources and each
+        # source row is doc-ordered with ascending stripes
+        order = np.lexsort((stripes, srcs, row_codes))
+        pdf = pdf.iloc[order]
+        row_codes = row_codes[order]
+
+        code_parts, doc_parts, pos_parts = [], [], []
+        for code, row in zip(row_codes, pdf.itertuples(index=False)):
             tp = decode_columnar(row.doc_blob, row.freq_blob, row.pos_blob,
                                  np.asarray(row.seg_doc_counts),
                                  decode_positions=True)
             abs_doc = (tp.rel_docs + rel_shifts[row.src]) * num_partitions + pid
             tok_doc = np.repeat(abs_doc, tp.freqs)
-            terms_parts.append(np.full(tok_doc.size, row.term, dtype=object))
+            code_parts.append(np.full(tok_doc.size, code, dtype=np.int64))
             doc_parts.append(tok_doc)
             pos_parts.append(tp.positions)
-        terms = np.concatenate(terms_parts)
+        codes = np.concatenate(code_parts)
         tok_doc = np.concatenate(doc_parts)
         tok_pos = np.concatenate(pos_parts)
-        codes, uniques = pd.factorize(pd.Series(terms), sort=True)
-        order = np.lexsort((tok_pos, tok_doc, codes))
         return encode_partition_postings(
-            pid, codes[order], tok_doc[order], tok_pos[order],
-            np.asarray(uniques), num_partitions, num_segments,
+            pid, codes, tok_doc, tok_pos,
+            np.asarray(uniques, dtype=object), num_partitions, num_segments,
             nb_doc_per_segment, stripe_cap)
 
     return fn
@@ -83,16 +101,16 @@ def _merge_postings_kernel(rel_shifts: list[int], num_partitions: int,
 def _merge_norms_kernel(rel_shifts: list[int]):
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
-        pdf = pdf.sort_values("src")
-        last = pdf.iloc[-1]
-        out = np.zeros(rel_shifts[int(last["src"])] + int(last["num_docs"]),
-                       dtype=np.uint8)
-        total = 0
+        placed, total, size = [], 0, 0
         for row in pdf.itertuples(index=False):
             blob = np.frombuffer(row.norms, dtype=np.uint8)
             off = rel_shifts[row.src]
+            placed.append((off, blob))
+            total += int(row.num_docs)
+            size = max(size, off + blob.size)
+        out = np.zeros(size, dtype=np.uint8)
+        for off, blob in placed:
             out[off:off + blob.size] = blob
-            total += blob.size
         return pd.DataFrame({"pid": [pid], "num_docs": [total],
                              "norms": [out.tobytes()]})
 
@@ -105,7 +123,9 @@ def merge_indexes(spark: SparkSession, sources: list,
     """Merge indexes built over disjoint doc batches into one index.
 
     Sources must share ``num_partitions``, tokenizer and BM25 constants.
-    Returns the manifest of the merged index under ``out_dir``.
+    Sources may themselves be merged indexes (incremental compaction
+    chains): doc-base offsets are computed from each source's padded
+    doc-id span.  Returns the manifest of the merged index.
     """
     ms = [_load(s) for s in sources]
     if len(ms) < 2:
@@ -117,12 +137,13 @@ def merge_indexes(spark: SparkSession, sources: list,
             raise ValueError("sources disagree on partitions/tokenizer/BM25")
 
     t0 = time.time()
-    # doc-base offsets, rounded up to multiples of P (partition-preserving)
+    # doc-base offsets from the padded SPAN, rounded up to multiples of P
+    # (partition-preserving; span != doc_count for already-merged sources)
     bases, acc = [], 0
     for m in ms:
         bases.append(acc)
-        acc += -(-m.doc_count // P) * P
-    span = bases[-1] + ms[-1].doc_count
+        acc += -(-m.span // P) * P
+    span = bases[-1] + ms[-1].span
     rel_shifts = [b // P for b in bases]
     segs = num_segments or max(m.num_segments for m in ms)
     nb_doc_per_segment = -(-span // segs)
@@ -139,6 +160,7 @@ def merge_indexes(spark: SparkSession, sources: list,
         k1=ms[0].k1, b=ms[0].b, build_chunks=1, completed_chunks=[0],
         source=" + ".join(m.index_dir for m in ms), content_col="content",
         max_postings_per_stripe=stripe_cap,
+        doc_span=span, build_id=uuid.uuid4().hex,
     )
 
     from pim_lucene_spark.functions import bm25
@@ -167,14 +189,17 @@ def merge_indexes(spark: SparkSession, sources: list,
     (postings.groupBy("pid").applyInPandas(kernel, POSTINGS_SCHEMA)
      .write.mode("overwrite").parquet(manifest.chunk_path(0)))
 
-    # --- norms: shifted dense blobs ----------------------------------------
+    # --- norms: shifted dense blobs, laid out per-pid for direct reads ------
     norms = None
     for i, m in enumerate(ms):
-        nm = spark.read.parquet(m.norms_path).withColumn("src", F.lit(i))
+        nm = (spark.read.parquet(m.norms_path)
+              .select(F.col("pid").cast("int").alias("pid"), "num_docs",
+                      "norms")
+              .withColumn("src", F.lit(i)))
         norms = nm if norms is None else norms.unionByName(nm)
     (norms.groupBy("pid").applyInPandas(_merge_norms_kernel(rel_shifts),
                                         NORMS_SCHEMA)
-     .write.mode("overwrite").parquet(manifest.norms_path))
+     .write.mode("overwrite").partitionBy("pid").parquet(manifest.norms_path))
 
     # --- term stats: re-aggregate over merged postings ----------------------
     merged = spark.read.parquet(manifest.chunk_path(0))

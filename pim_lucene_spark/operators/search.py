@@ -11,26 +11,46 @@ host↔DPU protocol in ``topdocs_sync.c:469-544``):
 2. The postings Parquet is scanned with ``term IN (query terms)`` — pushed
    to the Parquet reader (dictionary + row-group pruning), the analogue of
    the per-DPU term-dictionary lookup (``term_lookup.c:107-222``).
-3. Matching posting rows are cogrouped with the norms table by partition
-   id and evaluated in one Arrow-vectorized ``applyInPandas`` kernel per
-   partition: vectorized varint decode → k-way sorted docID intersection
-   (leapfrog semantics, ``matcher.c:82-128``) → position alignment counting
-   every overlapping occurrence (``matcher.c:133-177``) → BM25 scoring with
-   Lucene's exact float32 expression tree → per-partition top-k with a
-   WAND-style candidate cut: candidates are processed in descending
-   upper-bound order (ub = score(min term tf, norm), the admissible bound
-   of ``score_lower_bound.c:88-122``) and evaluation stops once the k-th
-   best exact score exceeds the next upper bound.
+3. Matching posting rows are evaluated in one Arrow-vectorized
+   ``applyInPandas`` kernel per partition; the partition's norms blob
+   (1 byte/doc) is read directly from the index's ``norms/pid=N/`` Parquet
+   layout — a side-data read, never a Spark shuffle (the way a Lucene
+   segment reads its own norms file).  Kernel: vectorized varint decode →
+   k-way sorted docID intersection (leapfrog semantics, ``matcher.c:
+   82-128``) → position alignment counting every overlapping occurrence
+   (``matcher.c:133-177``) → BM25 scoring with Lucene's exact float32
+   expression tree → per-partition top-k.
+
+   **Block-max pruning** (``score_lower_bound.c:88-122``,
+   ``matcher.c:121-128`` semantics):
+
+   - *term queries*: segments are scored in descending order of their
+     admissible upper bound ``score(seg_max_tf, best_norm)``; once the
+     running k-th best exact score strictly exceeds the next segment's
+     bound, the remaining segments are never even *decoded* (classic
+     block-max WAND skipping, exact because the bound is computed with the
+     identical float expression tree at maximal inputs — float rounding is
+     monotone).
+   - *phrase queries*: candidates are evaluated in descending upper-bound
+     order (ub = score(min term tf, actual norm) — tighter than any
+     segment-level bound) with the evaluation cut once the k-th best exact
+     score exceeds the next ub; position blobs are decoded **lazily per
+     (term, segment) unit** only when a candidate chunk actually touches
+     them, so a pruned tail (or a stopword-heavy term) never pays its
+     position-decode cost.
+
 4. Global top-k per query: window rank over (score desc, doc_id asc) —
    Lucene ``TopScoreDocCollector`` tie-break order.
 
-Scale notes: only rows for query terms are shuffled (tiny); the norms side
-is 1 byte/doc.  Both sides hash-partition on ``pid`` so the cogroup is a
-co-partitioned zip at 1000-executor scale.  The final window runs over at
-most ``P * k`` rows per query.
+Scale notes: only rows for query terms are shuffled (tiny); norms never
+shuffle (direct per-pid read).  The final window runs over at most
+``P * k`` rows per query.
 """
 
 from __future__ import annotations
+
+import os
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -40,9 +60,8 @@ from pyspark.sql import types as T
 
 from pim_lucene_spark.functions import bm25
 from pim_lucene_spark.functions.postings import (
-    TermPostings,
     decode_columnar,
-    slice_segments,
+    decode_positions_slice,
 )
 from pim_lucene_spark.functions.tokenize import tokenize_one
 from pim_lucene_spark.manifest import IndexManifest
@@ -57,6 +76,107 @@ RESULT_SCHEMA = T.StructType([
 
 _POS_KEY_SHIFT = np.int64(1) << np.int64(32)
 
+# per-process decode instrumentation (per-worker in distributed runs;
+# authoritative when the kernel is invoked directly — tests/bench use it
+# to prove block-max pruning actually skips decode work)
+DECODE_STATS = {
+    "doc_bytes": 0,      # doc+freq blob bytes decoded
+    "pos_bytes": 0,      # position blob bytes decoded
+    "pos_units": 0,      # (term, segment) position units decoded
+    "segments_scored": 0,    # single-term path: segments decoded+scored
+    "segments_skipped": 0,   # single-term path: segments pruned by bound
+}
+
+
+def reset_decode_stats() -> dict:
+    snap = dict(DECODE_STATS)
+    for k in DECODE_STATS:
+        DECODE_STATS[k] = 0
+    return snap
+
+
+class _LazyPostings:
+    """One term's partition postings with per-(stripe, segment) lazy
+    position decode.
+
+    Doc ids and freqs decode eagerly (they drive intersection and the
+    WAND bounds); the position stream of each (stripe, segment) unit is
+    sought via the stored skip sizes (``PimIndexWriter.java:903-916``) and
+    decoded only when :meth:`ensure_positions` is asked for a candidate
+    living inside it.
+    """
+
+    __slots__ = ("rel_docs", "freqs", "pos_offsets", "positions",
+                 "_u_lo", "_u_hi", "_u_blob", "_u_blo", "_u_bhi", "_u_filled")
+
+    def __init__(self, rows, seg_mask: np.ndarray | None = None):
+        rel_parts, freq_parts = [], []
+        u_lo, u_blob, u_blo, u_bhi = [], [], [], []
+        plo = 0
+        for r in rows:  # rows pre-sorted by stripe
+            counts = np.asarray(r.seg_doc_counts, dtype=np.int64)
+            eff = counts > 0
+            if seg_mask is not None:
+                eff &= seg_mask
+            sel = np.flatnonzero(eff)
+            if sel.size == 0:
+                continue
+            dby = np.asarray(r.seg_doc_bytes, dtype=np.int64)
+            fby = np.asarray(r.seg_freq_bytes, dtype=np.int64)
+            pby = np.asarray(r.seg_pos_bytes, dtype=np.int64)
+            dend, fend, pend = np.cumsum(dby), np.cumsum(fby), np.cumsum(pby)
+            doc_b = b"".join(r.doc_blob[dend[i] - dby[i]:dend[i]] for i in sel)
+            freq_b = b"".join(r.freq_blob[fend[i] - fby[i]:fend[i]]
+                              for i in sel)
+            DECODE_STATS["doc_bytes"] += len(doc_b) + len(freq_b)
+            tp = decode_columnar(doc_b, freq_b, b"",
+                                 np.where(eff, counts, 0),
+                                 decode_positions=False)
+            rel_parts.append(tp.rel_docs)
+            freq_parts.append(tp.freqs)
+            for i in sel:
+                u_lo.append(plo)
+                u_blob.append(r.pos_blob)
+                u_blo.append(int(pend[i] - pby[i]))
+                u_bhi.append(int(pend[i]))
+                plo += int(counts[i])
+        if rel_parts:
+            self.rel_docs = np.concatenate(rel_parts)
+            self.freqs = np.concatenate(freq_parts)
+        else:
+            self.rel_docs = np.empty(0, dtype=np.int64)
+            self.freqs = np.empty(0, dtype=np.int64)
+        self.pos_offsets = np.zeros(self.freqs.size + 1, dtype=np.int64)
+        np.cumsum(self.freqs, out=self.pos_offsets[1:])
+        self.positions: np.ndarray | None = None
+        self._u_lo = np.asarray(u_lo, dtype=np.int64)
+        self._u_hi = (np.concatenate([self._u_lo[1:], [self.freqs.size]])
+                      if u_lo else np.empty(0, dtype=np.int64))
+        self._u_blob = u_blob
+        self._u_blo = u_blo
+        self._u_bhi = u_bhi
+        self._u_filled = np.zeros(len(u_lo), dtype=bool)
+
+    def ensure_positions(self, idx: np.ndarray) -> None:
+        """Decode the position units containing candidate indices ``idx``."""
+        if self.positions is None:
+            self.positions = np.zeros(int(self.pos_offsets[-1]),
+                                      dtype=np.int64)
+        if self._u_lo.size == 0 or idx.size == 0:
+            return
+        uids = np.unique(np.searchsorted(self._u_lo, idx, side="right") - 1)
+        for u in uids:
+            if self._u_filled[u]:
+                continue
+            lo, hi = int(self._u_lo[u]), int(self._u_hi[u])
+            blob = self._u_blob[u][self._u_blo[u]:self._u_bhi[u]]
+            pos = decode_positions_slice(blob, self.freqs[lo:hi])
+            tlo = int(self.pos_offsets[lo])
+            self.positions[tlo:tlo + pos.size] = pos
+            self._u_filled[u] = True
+            DECODE_STATS["pos_bytes"] += len(blob)
+            DECODE_STATS["pos_units"] += 1
+
 
 def _phrase_match_counts(postings_by_term: list, cand_idx_by_term: list[np.ndarray],
                          n_cand: int) -> np.ndarray:
@@ -66,9 +186,11 @@ def _phrase_match_counts(postings_by_term: list, cand_idx_by_term: list[np.ndarr
     as ``cand_rank * 2^32 + shifted_pos``; successive sorted-array
     intersections leave one key per aligned start position
     (``matcher.c:133-177`` semantics: every overlapping start counts).
+    Position units are decoded lazily for exactly the candidates given.
     """
     keys = None
     for i, (tp, idx) in enumerate(zip(postings_by_term, cand_idx_by_term)):
+        tp.ensure_positions(idx)
         starts = tp.pos_offsets[idx]
         ends = tp.pos_offsets[idx + 1]
         lens = ends - starts
@@ -92,92 +214,128 @@ def _phrase_match_counts(postings_by_term: list, cand_idx_by_term: list[np.ndarr
     return counts
 
 
-def _match_kernel(payload: dict):
-    """Build the per-partition cogrouped applyInPandas kernel."""
+def _single_term_topk(rows, norms: np.ndarray, weight: float,
+                      cache: np.ndarray, precision: str, k: int,
+                      num_segments: int):
+    """Single-term scoring with block-max segment skipping.
 
-    def fn(key, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(key[0])
-        out_qid, out_doc, out_freq, out_norm, out_score = [], [], [], [], []
-        if len(postings_pdf) == 0 or len(norms_pdf) == 0:
-            return pd.DataFrame({"qid": [], "doc_id": [], "freq": [],
-                                 "norm": [], "score": []}).astype(
-                {"qid": np.int64, "doc_id": np.int64, "freq": np.int64,
-                 "norm": np.int32, "score": np.float64})
-        P = payload["num_partitions"]
-        k = payload["k"]
-        precision = payload["precision"]
-        cache = payload["cache"]
-        norms = np.frombuffer(norms_pdf.iloc[0]["norms"], dtype=np.uint8)
+    Segments are visited in descending admissible upper-bound order
+    (``ub = score(seg_max_tf, best_norm)``); once k docs are collected and
+    the k-th best exact score strictly exceeds the next segment's bound,
+    the remaining segments are skipped without decoding a byte — the
+    block-max WAND skip of ``score_lower_bound.c:88-122`` /
+    ``matcher.c:121-128``, exact because float rounding is monotone so the
+    bound computed by the identical expression tree at maximal inputs
+    dominates every in-segment score.
+    """
+    counts_tot = np.zeros(num_segments, dtype=np.int64)
+    max_tf = np.zeros(num_segments, dtype=np.int64)
+    for r in rows:
+        counts_tot += np.asarray(r.seg_doc_counts, dtype=np.int64)
+        max_tf = np.maximum(max_tf, np.asarray(r.seg_max_tf, dtype=np.int64))
+    total = int(counts_tot.sum())
+    if k >= total:  # no pruning possible — decode everything
+        lp = _LazyPostings(rows)
+        nb = norms[lp.rel_docs]
+        sc = bm25.score(lp.freqs, nb, weight, cache, precision)
+        DECODE_STATS["segments_scored"] += int((counts_tot > 0).sum())
+        return lp.rel_docs, lp.freqs, nb, np.asarray(sc, dtype=np.float64)
 
-        # hot terms are striped across multiple rows (skew bound,
-        # IndexConfig.max_postings_per_stripe) — reassemble in stripe order
-        by_term: dict[str, list] = {}
-        for row in postings_pdf.itertuples(index=False):
-            by_term.setdefault(row.term, []).append(row)
-        decoded: dict[str, object] = {}
+    best_byte = int(np.argmax(cache))
+    live = np.flatnonzero(counts_tot > 0)
+    ub = np.asarray(bm25.score(max_tf[live],
+                               np.full(live.size, best_byte, dtype=np.int64),
+                               weight, cache, precision), dtype=np.float64)
+    o = np.argsort(-ub, kind="stable")
+    order, ub_sorted = live[o], ub[o]
 
-        def _concat(parts):
-            if len(parts) == 1:
-                return parts[0]
-            freqs = np.concatenate([p.freqs for p in parts])
-            pos_offsets = np.zeros(freqs.size + 1, dtype=np.int64)
-            np.cumsum(freqs, out=pos_offsets[1:])
-            return TermPostings(
-                rel_docs=np.concatenate([p.rel_docs for p in parts]),
-                freqs=freqs,
-                positions=np.concatenate([p.positions for p in parts]),
-                pos_offsets=pos_offsets)
+    parts: list[tuple] = []
+    n_coll, kth, i = 0, -np.inf, 0
+    batch_target = max(4 * k, 256)
+    while i < order.size:
+        if n_coll >= k and ub_sorted[i] < kth:
+            DECODE_STATS["segments_skipped"] += int(order.size - i)
+            break
+        j, exp = i, 0
+        while j < order.size and (j == i or exp < batch_target):
+            exp += int(counts_tot[order[j]])
+            j += 1
+        mask = np.zeros(num_segments, dtype=bool)
+        mask[order[i:j]] = True
+        lp = _LazyPostings(rows, mask)
+        nb = norms[lp.rel_docs]
+        sc = np.asarray(bm25.score(lp.freqs, nb, weight, cache, precision),
+                        dtype=np.float64)
+        parts.append((lp.rel_docs, lp.freqs, nb, sc))
+        n_coll += lp.rel_docs.size
+        DECODE_STATS["segments_scored"] += int(j - i)
+        if n_coll >= k:
+            allsc = np.concatenate([p[3] for p in parts])
+            kth = float(np.partition(allsc, -k)[-k])
+        i = j
+    cand = np.concatenate([p[0] for p in parts])
+    freqs = np.concatenate([p[1] for p in parts])
+    nb = np.concatenate([p[2] for p in parts])
+    scores = np.concatenate([p[3] for p in parts])
+    return cand, freqs, nb, scores
 
-        def get_decoded(term, need_positions, seg_mask=None):
-            """seg_mask prunes decode to the segments where every query
-            term is present — the skip-data seek of matcher.c:31-35 /
-            dpu.c:204-207 (segment sizes from PimIndexWriter.java:903-916).
-            Full decodes are cached; masked decodes are query-specific."""
-            if seg_mask is not None:
-                rows = sorted(by_term[term], key=lambda r: r.stripe)
-                parts = []
-                for r in rows:
-                    blobs = slice_segments(
-                        r.doc_blob, r.freq_blob, r.pos_blob,
-                        np.asarray(r.seg_doc_counts),
-                        np.asarray(r.seg_doc_bytes),
-                        np.asarray(r.seg_freq_bytes),
-                        np.asarray(r.seg_pos_bytes), seg_mask)
-                    parts.append(decode_columnar(
-                        *blobs, decode_positions=need_positions))
-                return _concat(parts)
-            tp = decoded.get(term)
-            if tp is None or (need_positions and tp.positions.size == 0
-                              and tp.pos_offsets[-1] > 0):
-                rows = sorted(by_term[term], key=lambda r: r.stripe)
-                tp = _concat([decode_columnar(
-                    r.doc_blob, r.freq_blob, r.pos_blob,
-                    np.asarray(r.seg_doc_counts),
-                    decode_positions=need_positions) for r in rows])
-                decoded[term] = tp
-            return tp
 
-        for qid, terms, weight in payload["queries"]:
-            if any(t not in by_term for t in terms):
-                continue  # this partition lacks a term → no hits here
-            uniq = list(dict.fromkeys(terms))
-            multi = len(terms) > 1
-            seg_mask = None
-            if multi:
-                # co-presence prune: a phrase can only match in segments
-                # where EVERY term has postings (dpu.c:204-207 semantics)
-                pres = None
-                for t in uniq:
-                    p = None
-                    for r in by_term[t]:
-                        c = np.asarray(r.seg_doc_counts) > 0
-                        p = c if p is None else (p | c)
-                    pres = p if pres is None else (pres & p)
-                if not pres.any():
-                    continue
-                if not pres.all():
-                    seg_mask = pres
-            tps = [get_decoded(t, multi, seg_mask) for t in uniq]
+def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame,
+                norms: np.ndarray) -> pd.DataFrame:
+    out_qid, out_doc, out_freq, out_norm, out_score = [], [], [], [], []
+    P = payload["num_partitions"]
+    k = payload["k"]
+    precision = payload["precision"]
+    cache = payload["cache"]
+    num_segments = payload["num_segments"]
+
+    # hot terms are striped across multiple rows (skew bound,
+    # IndexConfig.max_postings_per_stripe) — reassemble in stripe order
+    by_term: dict[str, list] = {}
+    for row in postings_pdf.itertuples(index=False):
+        by_term.setdefault(row.term, []).append(row)
+    for rows in by_term.values():
+        rows.sort(key=lambda r: r.stripe)
+    decoded: dict[str, _LazyPostings] = {}
+
+    def get_decoded(term, seg_mask=None) -> _LazyPostings:
+        """Full decodes are cached across the query batch (repeated hot
+        terms decode once); co-presence-masked decodes are query-specific.
+        Positions stay lazy either way."""
+        if seg_mask is not None:
+            return _LazyPostings(by_term[term], seg_mask)
+        tp = decoded.get(term)
+        if tp is None:
+            tp = _LazyPostings(by_term[term])
+            decoded[term] = tp
+        return tp
+
+    for qid, terms, weight in payload["queries"]:
+        if any(t not in by_term for t in terms):
+            continue  # this partition lacks a term → no hits here
+        uniq = list(dict.fromkeys(terms))
+        multi = len(terms) > 1
+
+        if not multi:
+            cand, freqs, norm_bytes, scores = _single_term_topk(
+                by_term[terms[0]], norms, weight, cache, precision, k,
+                num_segments)
+            if cand.size == 0:
+                continue
+        else:
+            # co-presence prune: a phrase can only match in segments
+            # where EVERY term has postings (dpu.c:204-207 semantics)
+            pres = None
+            for t in uniq:
+                p = None
+                for r in by_term[t]:
+                    c = np.asarray(r.seg_doc_counts) > 0
+                    p = c if p is None else (p | c)
+                pres = p if pres is None else (pres & p)
+            if not pres.any():
+                continue
+            seg_mask = None if pres.all() else pres
+            tps = [get_decoded(t, seg_mask) for t in uniq]
 
             # k-way sorted docID intersection (leapfrog semantics)
             cand = tps[0].rel_docs
@@ -195,87 +353,118 @@ def _match_kernel(payload: dict):
             tfs = np.stack([tp.freqs[ix] for tp, ix in zip(tps, idxs)])
             norm_bytes = norms[cand]
 
-            if not multi:
-                freqs = tfs[0]
-                scores = bm25.score(freqs, norm_bytes, weight, cache, precision)
-            else:
-                # WAND-style cut: evaluate candidates in descending
-                # admissible upper bound order (phrase freq <= min term tf,
-                # score monotone in freq — score_lower_bound.c:88-122)
-                ub_freq = tfs.min(axis=0)
-                ub = bm25.score(ub_freq, norm_bytes, weight, cache, precision)
-                order = np.argsort(-ub.astype(np.float64), kind="stable")
-                term_order = [uniq.index(t) for t in terms]
-                freqs = np.zeros(cand.size, dtype=np.int64)
-                scores = np.full(cand.size, -np.inf)
-                chunk = max(4 * k, 256)
-                n_scored = 0
-                kth_best = -np.inf
-                for start in range(0, order.size, chunk):
-                    sel = order[start:start + chunk]
-                    # strict <: an unevaluated candidate with exact == kth
-                    # could still win the doc_id-asc tie-break
-                    if n_scored >= k and float(ub[sel[0]]) < kth_best:
-                        break  # no remaining candidate can beat the k-th
-                    sub_counts = _phrase_match_counts(
-                        [tps[j] for j in term_order],
-                        [idxs[j][sel] for j in term_order],
-                        sel.size)
-                    freqs[sel] = sub_counts
-                    hit = sub_counts > 0
-                    if hit.any():
-                        sc = bm25.score(sub_counts[hit], norm_bytes[sel][hit],
-                                        weight, cache, precision)
-                        scores[sel[hit]] = sc.astype(np.float64)
-                        n_scored += int(hit.sum())
-                        pos_scores = scores[scores > -np.inf]
-                        if pos_scores.size >= k:
-                            kth_best = float(np.partition(pos_scores, -k)[-k])
+            # WAND-style cut: evaluate candidates in descending
+            # admissible upper bound order (phrase freq <= min term tf,
+            # score monotone in freq — score_lower_bound.c:88-122);
+            # positions decode lazily per evaluated chunk
+            ub_freq = tfs.min(axis=0)
+            ub = bm25.score(ub_freq, norm_bytes, weight, cache, precision)
+            order = np.argsort(-ub.astype(np.float64), kind="stable")
+            term_order = [uniq.index(t) for t in terms]
+            freqs = np.zeros(cand.size, dtype=np.int64)
+            scores = np.full(cand.size, -np.inf)
+            chunk = max(4 * k, 256)
+            n_scored = 0
+            kth_best = -np.inf
+            for start in range(0, order.size, chunk):
+                sel = order[start:start + chunk]
+                # strict <: an unevaluated candidate with exact == kth
+                # could still win the doc_id-asc tie-break
+                if n_scored >= k and float(ub[sel[0]]) < kth_best:
+                    break  # no remaining candidate can beat the k-th
+                sub_counts = _phrase_match_counts(
+                    [tps[j] for j in term_order],
+                    [idxs[j][sel] for j in term_order],
+                    sel.size)
+                freqs[sel] = sub_counts
+                hit = sub_counts > 0
+                if hit.any():
+                    sc = bm25.score(sub_counts[hit], norm_bytes[sel][hit],
+                                    weight, cache, precision)
+                    scores[sel[hit]] = sc.astype(np.float64)
+                    n_scored += int(hit.sum())
+                    pos_scores = scores[scores > -np.inf]
+                    if pos_scores.size >= k:
+                        kth_best = float(np.partition(pos_scores, -k)[-k])
 
-            hit = freqs > 0
-            if not hit.any():
-                continue
-            h_doc = cand[hit] * P + pid
-            h_freq = freqs[hit]
-            h_norm = norm_bytes[hit]
-            h_score = np.asarray(scores)[hit].astype(np.float64)
-            # per-partition top-k (score desc, doc asc) to bound shuffle size
-            if h_doc.size > k:
-                ord_local = np.lexsort((h_doc, -h_score))[:k]
-            else:
-                ord_local = np.lexsort((h_doc, -h_score))
-            out_qid.append(np.full(ord_local.size, qid, dtype=np.int64))
-            out_doc.append(h_doc[ord_local])
-            out_freq.append(h_freq[ord_local])
-            out_norm.append(h_norm[ord_local].astype(np.int32))
-            out_score.append(h_score[ord_local])
+        hit = freqs > 0
+        if not hit.any():
+            continue
+        h_doc = cand[hit] * P + pid
+        h_freq = freqs[hit]
+        h_norm = norm_bytes[hit]
+        h_score = np.asarray(scores)[hit].astype(np.float64)
+        # per-partition top-k (score desc, doc asc) to bound shuffle size
+        if h_doc.size > k:
+            ord_local = np.lexsort((h_doc, -h_score))[:k]
+        else:
+            ord_local = np.lexsort((h_doc, -h_score))
+        out_qid.append(np.full(ord_local.size, qid, dtype=np.int64))
+        out_doc.append(h_doc[ord_local])
+        out_freq.append(h_freq[ord_local])
+        out_norm.append(h_norm[ord_local].astype(np.int32))
+        out_score.append(h_score[ord_local])
 
-        if not out_qid:
-            return pd.DataFrame({"qid": [], "doc_id": [], "freq": [],
-                                 "norm": [], "score": []}).astype(
-                {"qid": np.int64, "doc_id": np.int64, "freq": np.int64,
-                 "norm": np.int32, "score": np.float64})
-        return pd.DataFrame({
-            "qid": np.concatenate(out_qid),
-            "doc_id": np.concatenate(out_doc),
-            "freq": np.concatenate(out_freq),
-            "norm": np.concatenate(out_norm).astype(np.int32),
-            "score": np.concatenate(out_score),
-        })
+    if not out_qid:
+        return _empty_result()
+    return pd.DataFrame({
+        "qid": np.concatenate(out_qid),
+        "doc_id": np.concatenate(out_doc),
+        "freq": np.concatenate(out_freq),
+        "norm": np.concatenate(out_norm).astype(np.int32),
+        "score": np.concatenate(out_score),
+    })
 
+
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame({"qid": [], "doc_id": [], "freq": [],
+                         "norm": [], "score": []}).astype(
+        {"qid": np.int64, "doc_id": np.int64, "freq": np.int64,
+         "norm": np.int32, "score": np.float64})
+
+
+def _match_kernel(payload: dict):
+    """Per-partition kernel; norms come from a direct per-pid Parquet read
+    (``payload['norms_path']``) or, as a fallback, a cogrouped frame."""
+    norms_path = payload.get("norms_path")
+
+    if norms_path is not None:
+        def fn(key, postings_pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(key[0])
+            if len(postings_pdf) == 0:
+                return _empty_result()
+            part_dir = os.path.join(norms_path, f"pid={pid}")
+            if not os.path.isdir(part_dir):
+                return _empty_result()
+            import pyarrow.parquet as pq
+            blob = pq.read_table(part_dir, columns=["norms"]) \
+                .column("norms")[0].as_py()
+            norms = np.frombuffer(blob, dtype=np.uint8)
+            return _match_core(payload, pid, postings_pdf, norms)
+        return fn
+
+    def fn(key, postings_pdf: pd.DataFrame,
+           norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        if len(postings_pdf) == 0 or len(norms_pdf) == 0:
+            return _empty_result()
+        norms = np.frombuffer(norms_pdf.iloc[0]["norms"], dtype=np.uint8)
+        return _match_core(payload, pid, postings_pdf, norms)
     return fn
 
 
 # term → doc_freq cache per index generation (0 = negative entry).  The
 # reference caches scoring stats per query batch (PimPhraseScoreStats);
 # we additionally reuse them across batches — repeated hot terms skip the
-# stats-lookup job entirely.  Keyed by manifest identity so a rebuilt
-# index in the same dir invalidates.
-_TERM_STATS_CACHE: dict[tuple, dict[str, int]] = {}
+# stats-lookup job entirely.  Keyed by the manifest's build_id (a rebuilt
+# index in the same directory gets a new id and never serves stale stats);
+# LRU-bounded so dead indexes don't leak for the process lifetime.
+_TERM_STATS_CACHE: OrderedDict[tuple, dict[str, int]] = OrderedDict()
+_TERM_STATS_CACHE_MAX = 64
 
 
 def _stats_cache_key(m: IndexManifest) -> tuple:
-    return (m.index_dir, m.doc_count, m.sum_total_term_freq,
+    return (m.build_id or m.index_dir, m.doc_count, m.sum_total_term_freq,
             m.norm_quant_factor)
 
 
@@ -288,7 +477,11 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
     all_terms = sorted({t for ts in term_lists.values() for t in ts})
     if not all_terms:
         return [], []
-    cache = _TERM_STATS_CACHE.setdefault(_stats_cache_key(manifest), {})
+    key = _stats_cache_key(manifest)
+    cache = _TERM_STATS_CACHE.setdefault(key, {})
+    _TERM_STATS_CACHE.move_to_end(key)
+    while len(_TERM_STATS_CACHE) > _TERM_STATS_CACHE_MAX:
+        _TERM_STATS_CACHE.popitem(last=False)
     missing = [t for t in all_terms if t not in cache]
     if missing:
         stats = (spark.read.parquet(manifest.stats_path)
@@ -313,7 +506,8 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
 def search(spark: SparkSession, index: IndexManifest | str,
            queries: list[tuple[int, str]], k: int = 10,
            precision: str = "float32",
-           final_merge: str = "window") -> DataFrame:
+           final_merge: str = "window",
+           norms_access: str = "direct") -> DataFrame:
     """Batched top-k phrase/term search → DataFrame(qid, doc_id, freq, norm, score).
 
     ``precision='float32'`` reproduces Lucene's float expression tree
@@ -325,6 +519,13 @@ def search(spark: SparkSession, index: IndexManifest | str,
     top-k rows (≤ P·k per query — tiny) and heap-merges on the driver,
     the reference's host-side merge (``topdocs_sync.c:369-412``) — one
     exchange less, lower latency for small k.
+
+    ``norms_access``: ``'direct'`` (default) has each partition task read
+    its norms blob straight from the index's ``norms/pid=N/`` Parquet files
+    (requires executors to see the index path — true for any shared
+    filesystem / object store, exactly like the postings scan itself);
+    ``'cogroup'`` shuffles norms through a Spark cogroup instead (works on
+    v2 indexes and exotic deployments).
     """
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
     planned, needed_terms = plan_queries(spark, manifest, queries, k, precision)
@@ -334,22 +535,29 @@ def search(spark: SparkSession, index: IndexManifest | str,
 
     avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
                                   manifest.doc_count, precision)
+    use_direct = norms_access == "direct" and manifest.version >= 3
     payload = {
         "queries": planned,
         "k": int(k),
         "precision": precision,
         "cache": bm25.score_cache(avgdl, manifest.k1, manifest.b, precision),
         "num_partitions": manifest.num_partitions,
+        "num_segments": manifest.num_segments,
+        "norms_path": manifest.norms_path if use_direct else None,
     }
 
     postings = (spark.read.parquet(*[manifest.chunk_path(c) for c in
                                      range(manifest.build_chunks)])
                 .filter(F.col("term").isin(list(needed_terms))))
-    norms = spark.read.parquet(manifest.norms_path)
 
-    per_part = (postings.groupBy("pid")
-                .cogroup(norms.groupBy("pid"))
-                .applyInPandas(_match_kernel(payload), RESULT_SCHEMA))
+    if use_direct:
+        per_part = (postings.groupBy("pid")
+                    .applyInPandas(_match_kernel(payload), RESULT_SCHEMA))
+    else:
+        norms = spark.read.parquet(manifest.norms_path)
+        per_part = (postings.groupBy("pid")
+                    .cogroup(norms.groupBy("pid"))
+                    .applyInPandas(_match_kernel(payload), RESULT_SCHEMA))
 
     if final_merge == "driver":
         pdf = per_part.toPandas()

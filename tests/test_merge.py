@@ -84,6 +84,87 @@ def test_merge_matches_model_on_union(spark, tmp_index_dir, parts, segs):
     assert int(stats.loc["red", "total_tf"]) == int((toks == "red").sum())
 
 
+def test_remerge_of_merged_index(spark, tmp_index_dir):
+    """merge(merge(a,b),c) must equal merge(a,b,c): doc-base offsets come
+    from the padded doc-id SPAN, not doc_count (a merged id space has
+    round-up gaps — using doc_count silently overlapped ids)."""
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    frames = [DOCS_A, DOCS_B, DOCS_A.assign(
+        content=DOCS_A.content.str.replace("blah", "noise"))]
+    srcs = [build_index(spark, spark.createDataFrame(f),
+                        os.path.join(tmp_index_dir, f"s{i}"), cfg,
+                        content_col="content", id_col="doc_id")
+            for i, f in enumerate(frames)]
+
+    m_ab = merge_indexes(spark, srcs[:2], os.path.join(tmp_index_dir, "ab"))
+    m_chain = merge_indexes(spark, [m_ab, srcs[2]],
+                            os.path.join(tmp_index_dir, "chain"))
+    m_flat = merge_indexes(spark, srcs, os.path.join(tmp_index_dir, "flat"))
+
+    # span bookkeeping: chain and flat merges cover the same id space
+    assert m_ab.span == m_ab.doc_span > m_ab.doc_count - 1
+    assert m_chain.span == m_flat.span
+    assert m_chain.doc_count == m_flat.doc_count == sum(len(f) for f in frames)
+
+    # no overlapping doc ids anywhere
+    docs = spark.read.parquet(m_chain.docs_path).toPandas()
+    assert docs.doc_id.is_unique
+    assert int(docs.doc_id.max()) == m_chain.span - 1
+
+    qs = QUERIES + [(8, "noise noise"), (9, "blah")]
+    res_chain = (search(spark, m_chain, qs, k=20).toPandas()
+                 .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    res_flat = (search(spark, m_flat, qs, k=20).toPandas()
+                .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(res_chain, res_flat)
+
+    # and both match the brute-force model on the union with flat bases
+    P = cfg.num_partitions
+    bases, acc = [], 0
+    for f in frames:
+        bases.append(acc)
+        acc += -(-len(f) // P) * P
+    union = pd.concat([f.assign(doc_id=f.doc_id + b)
+                       for f, b in zip(frames, bases)], ignore_index=True)
+    model = BruteForceModel(union)
+    for qid, text in qs:
+        expected = model.search_phrase(text, k=20)
+        got = res_flat[res_flat.qid == qid].sort_values(
+            ["score", "doc_id"], ascending=[False, True])
+        assert got.doc_id.tolist() == expected.doc_id.tolist(), text
+
+
+def test_merge_norms_blob_spans(spark, tmp_index_dir):
+    """Merged norms blobs are sized by actual blob lengths (padded spans),
+    so a re-merge neither raises nor overwrites a prior source's norms."""
+    cfg = IndexConfig(num_partitions=2, num_segments=1, build_chunks=1)
+    m_a = build_index(spark, spark.createDataFrame(DOCS_A),
+                      os.path.join(tmp_index_dir, "a"), cfg,
+                      content_col="content", id_col="doc_id")
+    m_b = build_index(spark, spark.createDataFrame(DOCS_B),
+                      os.path.join(tmp_index_dir, "b"), cfg,
+                      content_col="content", id_col="doc_id")
+    m_ab = merge_indexes(spark, [m_a, m_b], os.path.join(tmp_index_dir, "ab"))
+    m_ab2 = merge_indexes(spark, [m_ab, m_a],
+                          os.path.join(tmp_index_dir, "ab2"))
+    norms = spark.read.parquet(m_ab2.norms_path).toPandas()
+    P = cfg.num_partitions
+    for row in norms.itertuples(index=False):
+        blob = np.frombuffer(row.norms, dtype=np.uint8)
+        # blob covers the merged span for this partition
+        assert blob.size >= (m_ab.span // P)
+        # all real docs have nonzero norms; doc norms from source A appear
+        # twice (once per copy), shifted by the padded per-partition span
+        shift = -(-m_ab.span // P)
+        a_blob = np.frombuffer(
+            spark.read.parquet(m_a.norms_path)
+            .filter(f"pid = {row.pid}").toPandas().iloc[0]["norms"],
+            dtype=np.uint8)
+        np.testing.assert_array_equal(blob[:a_blob.size], a_blob)
+        np.testing.assert_array_equal(
+            blob[shift:shift + a_blob.size], a_blob)
+
+
 def test_merge_three_way_with_striping(spark, tmp_index_dir):
     cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1,
                       max_postings_per_stripe=1)
