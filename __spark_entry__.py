@@ -42,6 +42,8 @@ PHRASE_QUERIES = [
 TERM_QUERIES = [(100, "merge"), (101, "vector"), (102, "spark")]
 FREQ_QUERIES = [(200, "batch batch"), (201, "merge"), (202, "the fast key")]
 NOMATCH_QUERIES = [(300, "merge zzzznotfound")]
+# sloppy phrases (slop=1: weights are binary-exact, hash-safe vs DuckDB)
+SLOP_QUERIES = [(400, "the key"), (401, "join order"), (402, "table merge")]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 _CFG = IndexConfig(num_partitions=8, num_segments=4, build_chunks=2)
@@ -108,6 +110,13 @@ def _q_merged_phrase(spark, sf_dir):
     m = _get_merged_index(spark, sf_dir)
     res = search(spark, m, PHRASE_QUERIES, k=10, precision="float64")
     return res.select("qid", "doc_id", "freq",
+                      F.round("score", 6).alias("score"))
+
+
+def _q_slop_scan(spark, sf_dir):
+    res = brute_force_search(_docs(spark, sf_dir), SLOP_QUERIES, k=10,
+                             precision="float64", slop=1)
+    return res.select("qid", "doc_id", F.round("freq", 6).alias("freq"),
                       F.round("score", 6).alias("score"))
 
 
@@ -219,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: _searched(s, d, NOMATCH_QUERIES, k=10),
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_fallback_scan_bm25": _q_fallback_scan,
+        "engine_slop_scan": _q_slop_scan,
         "corpus_generate": _q_corpus,
         "index_sha256_invariant": _q_sha_invariant,
         "index_term_stats": _q_term_stats,
@@ -309,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
         # brute-force fallback path computes the identical result set
         "engine_fallback_scan_bm25": oracle.phrase_bm25_sql(PHRASE_QUERIES,
                                                             k=10),
+        "engine_slop_scan": oracle.sloppy_phrase_bm25_sql(SLOP_QUERIES,
+                                                          slop=1, k=10),
         "index_sha256_invariant": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    sha256(text) AS sha256,

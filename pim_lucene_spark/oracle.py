@@ -113,6 +113,66 @@ def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10) -> str:
     return f"WITH {TOK_CTE} {body}"
 
 
+def _sloppy_freq_select(terms: list[str], slop: int) -> str:
+    """Per-doc sloppy phrase frequency: Σ 1/(1+bestlen) over first-term
+    anchors, bestlen = minimal adjusted-position span ≤ slop (the same
+    semantics as ``plans.router._sloppy_freqs``; the join window
+    ``|pp_i - a| <= slop`` is lossless because any assignment with span
+    ≤ slop keeps every term within slop of the anchor)."""
+    if len(terms) == 1:
+        return (f"SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq "
+                f"FROM positions WHERE term = '{_q(terms[0])}' "
+                f"GROUP BY doc_id")
+    joins, pps = [], ["CAST(p0.pos AS BIGINT)"]
+    for i in range(1, len(terms)):
+        pp = f"(p{i}.pos - {i})"
+        joins.append(
+            f"JOIN positions p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.term = '{_q(terms[i])}' "
+            f"AND abs({pp} - p0.pos) <= {slop}")
+        pps.append(pp)
+    span = f"(greatest({', '.join(pps)}) - least({', '.join(pps)}))"
+    anchors = (f"SELECT p0.doc_id, p0.pos AS a, min({span}) AS bestlen "
+               f"FROM positions p0 {' '.join(joins)} "
+               f"WHERE p0.term = '{_q(terms[0])}' "
+               f"GROUP BY p0.doc_id, p0.pos "
+               f"HAVING min({span}) <= {slop}")
+    return (f"SELECT doc_id, sum(1.0 / (1.0 + bestlen)) AS freq "
+            f"FROM ({anchors}) GROUP BY doc_id")
+
+
+def sloppy_phrase_bm25_sql(queries: list[tuple[int, str]], slop: int,
+                           k: int | None = 10) -> str:
+    """BM25 top-k SQL for sloppy phrases → (qid, doc_id, freq, score).
+
+    ``freq`` is DOUBLE (sum of sloppy weights).  Use slop values whose
+    weights ``1/(1+L)`` are binary-exact (slop <= 1) when comparing
+    hash-for-hash against the engine — larger slops can differ in the last
+    ulp from summation order.
+    """
+    selects = []
+    for qid, text in queries:
+        terms = tokenize_one(text)
+        if not terms:
+            continue
+        weight = "(" + " + ".join(_idf_sql(t) for t in terms) + ")"
+        freq_sel = _sloppy_freq_select(terms, slop)
+        cache = _cache_sql(_quantized_dl("docl.dl"))
+        score_exact = (f"({weight} - {weight} / "
+                       f"(1.0 + CAST(f.freq AS DOUBLE) * {cache}))")
+        qualify = (f"QUALIFY row_number() OVER "
+                   f"(ORDER BY {score_exact} DESC, f.doc_id ASC) <= {k} "
+                   if k is not None else "")
+        selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, f.doc_id, "
+            f"round(f.freq, 6) AS freq, round({score_exact}, 6) AS score "
+            f"FROM ({freq_sel}) f "
+            f"JOIN docl ON docl.doc_id = f.doc_id, cstats "
+            f"{qualify}")
+    body = " UNION ALL ".join(selects)
+    return f"WITH {TOK_CTE} {body}"
+
+
 def phrase_freqs_sql(queries: list[tuple[int, str]]) -> str:
     """(qid, doc_id, freq) without scoring."""
     selects = []

@@ -33,6 +33,84 @@ from pim_lucene_spark.manifest import IndexManifest
 from pim_lucene_spark.operators.search import RESULT_SCHEMA, search
 
 
+SLOPPY_RESULT_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("freq", T.DoubleType(), False),   # Σ 1/(1+matchLength)
+    T.StructField("norm", T.IntegerType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+_DOC_SHIFT = np.int64(1) << np.int64(32)
+_FAR = np.int64(1) << np.int64(40)
+
+
+def _sloppy_freqs(doc_idx: np.ndarray, codes: np.ndarray, pos: np.ndarray,
+                  tcodes: list[int], slop: int):
+    """Per-doc sloppy phrase frequency (non-repeating terms).
+
+    Semantics (re-expression of Lucene's ``SloppyPhraseMatcher`` for the
+    non-repeating case, which is all the reference's fallback contract
+    requires — ``PimPhraseWeight.java:117-124`` builds a plain
+    ``PhraseQuery`` with the query's slop): with adjusted positions
+    ``pp_i = p_i - i``, every position ``a`` of the first term anchors at
+    most one match whose length is the minimal span ``max(pp) - min(pp)``
+    over assignments containing ``a``; anchors with ``matchLength <= slop``
+    contribute Lucene's sloppy weight ``1/(1 + matchLength)`` to the doc's
+    phrase frequency.  The minimal span is exact: for a fixed anchor each
+    term's optimal pick is its nearest adjusted position at or below / at
+    or above the anchor (any farther pick can be moved inward without
+    growing the span), so ``2^(n-1)`` nearest-neighbor combos enumerate
+    every undominated assignment.
+
+    Returns ``(local_doc_rows, float_freqs)``.
+    """
+    n = len(tcodes)
+    m0 = codes == tcodes[0]
+    a_doc = doc_idx[m0]
+    a_pp = pos[m0]
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if a_doc.size == 0:
+        return empty
+    a_key = a_doc * _DOC_SHIFT + a_pp
+    u_offs, l_offs = [], []
+    for i in range(1, n):
+        mi = codes == tcodes[i]
+        if not mi.any():
+            return empty
+        k_doc = doc_idx[mi]
+        k_pp = pos[mi] - i
+        keys = k_doc * _DOC_SHIFT + k_pp
+        j = np.searchsorted(keys, a_key)  # first >= anchor key
+        u = np.full(a_key.size, _FAR, dtype=np.int64)
+        ok = j < keys.size
+        ok[ok] &= k_doc[j[ok]] == a_doc[ok]
+        u[ok] = k_pp[j[ok]] - a_pp[ok]
+        lo = np.full(a_key.size, _FAR, dtype=np.int64)
+        jm = j - 1
+        ok2 = jm >= 0
+        ok2[ok2] &= k_doc[jm[ok2]] == a_doc[ok2]
+        lo[ok2] = a_pp[ok2] - k_pp[jm[ok2]]
+        u_offs.append(u)
+        l_offs.append(lo)
+    up = np.stack(u_offs)      # (n-1, anchors): pp_i - a, >= 0 or FAR
+    down = np.stack(l_offs)    # (n-1, anchors): a - pp_i, >  0 or FAR
+    best = np.full(a_key.size, _FAR, dtype=np.int64)
+    for bits in range(1 << (n - 1)):
+        sel = np.array([(bits >> i) & 1 for i in range(n - 1)], dtype=bool)
+        span_up = up[sel].max(axis=0) if sel.any() else 0
+        span_dn = down[~sel].max(axis=0) if (~sel).any() else 0
+        best = np.minimum(best, span_up + span_dn)
+    hit = best <= slop
+    if not hit.any():
+        return empty
+    w = 1.0 / (1.0 + best[hit].astype(np.float64))
+    uniq, inv = np.unique(a_doc[hit], return_inverse=True)
+    freq = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(freq, inv, w)
+    return uniq, freq
+
+
 class QueryRoute(Enum):
     INDEXED = "indexed"          # partitioned postings + BM25 kernel
     BRUTE_FORCE = "brute_force"  # full-scan DataFrame path
@@ -59,12 +137,21 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                        k: int = 10, content_col: str = "content",
                        id_col: str = "doc_id", tokenizer: str = "whitespace",
                        precision: str = "float32",
-                       k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                       k1: float = 1.2, b: float = 0.75,
+                       slop: int = 0) -> DataFrame:
     """Full-scan phrase BM25 (the CPU-fallback path, Q23).
 
     One distributed pass: global stats aggregates, then a mapInPandas
     match+score kernel per input split, then a global top-k window.  Same
     overlap-counting freq and float expression tree as the indexed path.
+
+    ``slop > 0`` answers sloppy phrase queries the way the reference's
+    rewrite contract promises (never an exception — ``PimPhraseQuery.java:
+    74-88`` routes slop to a plain Lucene ``PhraseQuery``): phrase freq is
+    the sum of ``1/(1 + matchLength)`` over first-term anchors (see
+    :func:`_sloppy_freqs`), and the returned ``freq`` column is DOUBLE.
+    Queries with repeated terms under slop raise ``ValueError`` (Lucene's
+    repeating-term matcher is out of scope).
     """
     from pim_lucene_spark.functions import bm25
     from pim_lucene_spark.functions.smallfloat import int_to_byte4
@@ -72,8 +159,15 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
 
     spark = docs.sparkSession
     term_lists = {qid: tokenize_one(text, tokenizer) for qid, text in queries}
+    if slop:
+        for qid, ts in term_lists.items():
+            if len(set(ts)) != len(ts):
+                raise ValueError(
+                    f"slop > 0 with repeated query terms (qid={qid}) is not "
+                    "supported by the fallback matcher")
+    out_schema = SLOPPY_RESULT_SCHEMA if slop else RESULT_SCHEMA
     all_terms = sorted({t for ts in term_lists.values() for t in ts})
-    empty = spark.createDataFrame([], RESULT_SCHEMA)
+    empty = spark.createDataFrame([], out_schema)
     if not all_terms:
         return empty
 
@@ -93,23 +187,24 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
         if doc_count == 0:
             return empty
 
-        tok_col = F.split(F.trim(F.col("content")), r"\s+") \
-            if tokenizer == "whitespace" else None
-        if tok_col is not None:
-            df_stats = (base
-                        .select(F.explode(F.array_distinct(
-                            F.filter(tok_col, lambda x: x != ""))).alias("term"))
-                        .filter(F.col("term").isin(all_terms))
-                        .groupBy("term").count().collect())
-        else:  # code tokenizer: count via the python tokenizer
-            @F.pandas_udf(T.ArrayType(T.StringType()))
-            def toks(content: pd.Series) -> pd.Series:
-                from pim_lucene_spark.functions.tokenize import tokenize_series
-                return tokenize_series(content, tokenizer).map(
-                    lambda xs: list(set(xs)))
-            df_stats = (base.select(F.explode(toks(F.col("content"))).alias("term"))
-                        .filter(F.col("term").isin(all_terms))
-                        .groupBy("term").count().collect())
+        # doc-freq with the SAME tokenizer kernel as the indexed path (a
+        # JVM regex split diverges on non-ASCII whitespace and would break
+        # this path's differential-oracle role)
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def distinct_query_toks(content: pd.Series) -> pd.Series:
+            from pim_lucene_spark.functions.tokenize import tokenize_to_codes
+            wanted = set(all_terms)
+            doc_idx, codes, _, uniques = tokenize_to_codes(content, tokenizer)
+            out = [[] for _ in range(len(content))]
+            keep = np.isin(uniques, list(wanted))
+            for c in np.flatnonzero(keep):
+                for d in np.unique(doc_idx[codes == c]):
+                    out[d].append(uniques[c])
+            return pd.Series(out)
+
+        df_stats = (base.select(F.explode(
+                        distinct_query_toks(F.col("content"))).alias("term"))
+                    .groupBy("term").count().collect())
         doc_freq = {r["term"]: int(r["count"]) for r in df_stats}
 
         planned = []
@@ -142,32 +237,39 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                     tcodes = [lookup.get(t, -1) for t in terms]
                     if any(c < 0 for c in tcodes):
                         continue
-                    # per-doc position sets per term via sorted keys
-                    keys = None
-                    for i, c in enumerate(tcodes):
-                        m = codes == c
-                        kk = doc_idx[m] * (np.int64(1) << 32) + (pos[m] - i)
-                        keys = kk if i == 0 else keys[
-                            np.isin(keys, kk, assume_unique=False)]
+                    if slop:
+                        uniq_rows, freq = _sloppy_freqs(doc_idx, codes, pos,
+                                                        tcodes, slop)
+                        if uniq_rows.size == 0:
+                            continue
+                    else:
+                        # per-doc position sets per term via sorted keys
+                        keys = None
+                        for i, c in enumerate(tcodes):
+                            m = codes == c
+                            kk = doc_idx[m] * (np.int64(1) << 32) + (pos[m] - i)
+                            keys = kk if i == 0 else keys[
+                                np.isin(keys, kk, assume_unique=False)]
+                            if keys is None or keys.size == 0:
+                                break
                         if keys is None or keys.size == 0:
-                            break
-                    if keys is None or keys.size == 0:
-                        continue
-                    rows = (keys >> 32).astype(np.int64)
-                    uniq_rows, freq = np.unique(rows, return_counts=True)
+                            continue
+                        rows = (keys >> 32).astype(np.int64)
+                        uniq_rows, freq = np.unique(rows, return_counts=True)
                     sc = bm25.score(freq, norms[uniq_rows], weight, cache,
                                     precision)
                     out.append(pd.DataFrame({
                         "qid": np.full(uniq_rows.size, qid, np.int64),
                         "doc_id": doc_ids[uniq_rows],
-                        "freq": freq.astype(np.int64),
+                        "freq": (freq.astype(np.float64) if slop
+                                 else freq.astype(np.int64)),
                         "norm": norms[uniq_rows].astype(np.int32),
                         "score": np.asarray(sc, dtype=np.float64),
                     }))
                 if out:
                     yield pd.concat(out, ignore_index=True)
 
-        hits = base.mapInPandas(kernel, RESULT_SCHEMA)
+        hits = base.mapInPandas(kernel, out_schema)
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (hits.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k).drop("rank"))
@@ -179,14 +281,24 @@ def search_with_fallback(spark: SparkSession, index: IndexManifest | str | None,
                          docs: DataFrame | None, queries: list[tuple[int, str]],
                          k: int = 10, slop: int = 0,
                          precision: str = "float32", **kw) -> DataFrame:
-    """Route to the indexed kernel or the brute-force scan (Q1 + Q23)."""
+    """Route to the indexed kernel or the brute-force scan (Q1 + Q23).
+
+    ``slop != 0`` always answers via the scan — the reference's contract
+    (``PimPhraseQuery.java:74-88`` rewrites slop to a plain Lucene
+    ``PhraseQuery``; it never refuses).  When no docs frame is supplied the
+    scan reads the index's own docs table.
+    """
     route = route_query(index, slop)
     if route is QueryRoute.INDEXED:
         return search(spark, index, queries, k=k, precision=precision)
     if docs is None:
-        raise ValueError("brute-force route requires the docs DataFrame")
-    if slop != 0:
-        raise NotImplementedError(
-            "slop > 0 is out of scope (reference delegates it to plain "
-            "Lucene PhraseQuery, PimPhraseQuery.java:77-82)")
-    return brute_force_search(docs, queries, k=k, precision=precision, **kw)
+        if index is None:
+            raise ValueError("brute-force route requires the docs DataFrame "
+                             "or an index whose docs table it can scan")
+        manifest = IndexManifest.load(index) if isinstance(index, str) else index
+        docs = spark.read.parquet(manifest.docs_path)
+        kw.setdefault("tokenizer", manifest.tokenizer)
+        kw.setdefault("k1", manifest.k1)
+        kw.setdefault("b", manifest.b)
+    return brute_force_search(docs, queries, k=k, precision=precision,
+                              slop=slop, **kw)

@@ -57,7 +57,76 @@ def test_fallback_equals_indexed(spark, tmp_index_dir):
     pd.testing.assert_frame_equal(via_index, via_scan)
 
 
-def test_slop_not_supported(spark):
-    with pytest.raises(NotImplementedError):
-        search_with_fallback(spark, None, spark.createDataFrame(FIXTURE_DOCS),
-                             [(0, "red orange")], k=10, slop=1)
+SLOP_DOCS = pd.DataFrame({
+    "doc_id": range(4),
+    "content": [
+        "alpha beta gamma",          # "alpha gamma" slop1: len-1 match
+        "alpha gamma beta",          # exact "alpha gamma"
+        "gamma beta alpha",          # reversed: pp span 3 at slop.. see test
+        "alpha beta beta gamma",     # "alpha gamma" needs slop 2
+    ],
+})
+
+
+def test_sloppy_freqs_hand_fixtures(spark):
+    """Pinned sloppy weights: freq = Σ 1/(1+matchLength) per anchor."""
+    res = brute_force_search(spark.createDataFrame(SLOP_DOCS),
+                             [(0, "alpha gamma")], k=10, slop=1,
+                             precision="float64").toPandas()
+    freqs = dict(zip(res.doc_id, res.freq))
+    # doc0: alpha@0, gamma@2 → pp span 1 → 1/2 ; doc1 exact → 1
+    # doc2: alpha@2, gamma@0 → pp gamma=-1, span 3 → no match at slop 1
+    # doc3: span 2 → no match at slop 1
+    assert freqs == {0: 0.5, 1: 1.0}
+
+    res2 = brute_force_search(spark.createDataFrame(SLOP_DOCS),
+                              [(0, "alpha gamma")], k=10, slop=3,
+                              precision="float64").toPandas()
+    freqs2 = dict(zip(res2.doc_id, res2.freq))
+    assert freqs2 == {0: 0.5, 1: 1.0, 2: 0.25, 3: pytest.approx(1 / 3)}
+
+
+def test_slop_zero_equals_exact_path(spark):
+    docs = spark.createDataFrame(FIXTURE_DOCS)
+    nonrep = [(q, t) for q, t in QUERIES
+              if len(set(t.split())) == len(t.split())]
+    exact = brute_force_search(docs, nonrep, k=10).toPandas()
+    sloppy = brute_force_search(docs, nonrep, k=10, slop=0).toPandas()
+    exact = exact.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    sloppy = sloppy.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, sloppy)
+
+
+def test_slop_routes_to_scan_never_raises(spark, tmp_index_dir):
+    """Reference contract: slop != 0 is answered (PimPhraseQuery.java:74-88
+    rewrites to a plain PhraseQuery), via the scan over the index's docs."""
+    cfg = IndexConfig(num_partitions=2, num_segments=1, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(SLOP_DOCS), tmp_index_dir,
+                    cfg, content_col="content", id_col="doc_id")
+    res = search_with_fallback(spark, m, None, [(0, "alpha gamma")],
+                               k=10, slop=1).toPandas()
+    assert dict(zip(res.doc_id, res.freq)) == {0: 0.5, 1: 1.0}
+
+
+def test_slop_with_repeated_terms_rejected(spark):
+    with pytest.raises(ValueError, match="repeated"):
+        brute_force_search(spark.createDataFrame(SLOP_DOCS),
+                           [(0, "alpha alpha")], k=10, slop=1)
+
+
+def test_sloppy_matches_duckdb_oracle(spark):
+    """Spark sloppy kernel == the DuckDB oracle SQL on the same frame."""
+    duckdb = pytest.importorskip("duckdb")
+    from pim_lucene_spark.oracle import sloppy_phrase_bm25_sql
+    queries = [(0, "alpha gamma"), (1, "beta gamma"), (2, "gamma beta alpha")]
+    res = (brute_force_search(spark.createDataFrame(SLOP_DOCS), queries,
+                              k=10, slop=1, precision="float64").toPandas()
+           .assign(freq=lambda d: d.freq.round(6),
+                   score=lambda d: d.score.round(6))
+           [["qid", "doc_id", "freq", "score"]]
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", SLOP_DOCS.rename(columns={"content": "text"}))
+    odf = (con.execute(sloppy_phrase_bm25_sql(queries, slop=1, k=10))
+           .fetchdf().sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(res, odf.astype(res.dtypes.to_dict()))
