@@ -44,6 +44,9 @@ FREQ_QUERIES = [(200, "batch batch"), (201, "merge"), (202, "the fast key")]
 NOMATCH_QUERIES = [(300, "merge zzzznotfound")]
 # sloppy phrases (slop=1: weights are binary-exact, hash-safe vs DuckDB)
 SLOP_QUERIES = [(400, "the key"), (401, "join order"), (402, "table merge")]
+# standard-analyzer queries: mixed case + punctuation, analyzed at query
+# time exactly like the indexed corpus (StandardAnalyzer contract)
+STD_QUERIES = [(500, "The Fast!"), (501, "MERGE"), (502, "Table SCAN...")]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 _CFG = IndexConfig(num_partitions=8, num_segments=4, build_chunks=2)
@@ -109,6 +112,31 @@ def _get_merged_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
 def _q_merged_phrase(spark, sf_dir):
     m = _get_merged_index(spark, sf_dir)
     res = search(spark, m, PHRASE_QUERIES, k=10, precision="float64")
+    return res.select("qid", "doc_id", "freq",
+                      F.round("score", 6).alias("score"))
+
+
+def _get_std_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
+    """Index an UPPERCASED view of documents with the `standard` analyzer —
+    case-folding must happen in the analyzer (IndexRAMDPU.java:90 uses
+    StandardAnalyzer), so mixed-case queries still match."""
+    key = hashlib.md5((sf_dir + "|std").encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "pim_index_cache", key)
+    manifest_file = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_file):
+        m = IndexManifest.load(index_dir)
+        if len(m.completed_chunks) == m.build_chunks and m.version >= 3:
+            return m
+    cfg = IndexConfig(num_partitions=8, num_segments=4, build_chunks=1,
+                      tokenizer="standard")
+    docs = _docs(spark, sf_dir).withColumn("content", F.upper("content"))
+    return build_index(spark, docs, index_dir, cfg,
+                       content_col="content", id_col="doc_id", source=sf_dir)
+
+
+def _q_std_bm25(spark, sf_dir):
+    m = _get_std_index(spark, sf_dir)
+    res = search(spark, m, STD_QUERIES, k=10, precision="float64")
     return res.select("qid", "doc_id", "freq",
                       F.round("score", 6).alias("score"))
 
@@ -229,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
+        "engine_standard_bm25": _q_std_bm25,
         "corpus_generate": _q_corpus,
         "index_sha256_invariant": _q_sha_invariant,
         "index_term_stats": _q_term_stats,
@@ -321,6 +350,13 @@ def oracle_sql() -> dict[str, str]:
                                                             k=10),
         "engine_slop_scan": oracle.sloppy_phrase_bm25_sql(SLOP_QUERIES,
                                                           slop=1, k=10),
+        # standard analyzer over the uppercased corpus view: the oracle
+        # shadows `documents` with upper(text) and tokenizes in SQL with
+        # the same normalize pipeline
+        "engine_standard_bm25":
+            oracle.phrase_bm25_sql(STD_QUERIES, k=10, tokenizer="standard")
+            .replace("WITH ", "WITH documents AS (SELECT doc_id, "
+                     "upper(text) AS text FROM main.documents), ", 1),
         "index_sha256_invariant": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    sha256(text) AS sha256,

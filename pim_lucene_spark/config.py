@@ -52,7 +52,7 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     build_chunks: int = 4
-    tokenizer: str = "whitespace"  # "whitespace" | "code"
+    tokenizer: str = "whitespace"  # "whitespace" | "standard" | "code"
     max_postings_per_stripe: int = 1 << 17
 
     def __post_init__(self) -> None:

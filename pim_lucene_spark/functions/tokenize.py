@@ -5,11 +5,21 @@
 (``TestPimIndexSearcher.java:863-869``, ``TestPimPhraseQuery.java:98-109``).
 Positions are 0-based token ordinals.
 
-``code``: a code-aware variant for the large-scale benchmark path —
-identifiers/numbers plus single punctuation tokens, mirroring what a
-source-code corpus needs (the reference benchmark uses Lucene's
-``StandardAnalyzer`` on Wikipedia, ``IndexRAMDPU.java:90``; fixtures pin
-whitespace semantics, so ``code`` is opt-in).
+``standard``: a ``StandardAnalyzer`` equivalent (the reference benchmark
+indexes Wikipedia with it, ``IndexRAMDPU.java:90``): lowercase + UAX#29
+word-break approximation — tokens are runs of Unicode letters/digits/_
+(ExtendNumLet), with a single medial ``'``/``.`` kept between letters
+(MidNumLet, WB6/7: ``don't`` → ``don't``) and a single medial ``.``/``,``
+kept between digits (MidNum, WB11/12: ``3.14``/``1,024`` stay whole).
+Mixed-category medials split (``a.1`` → ``a``, ``1``), double medials
+split (``a..b`` → ``a``, ``b``) — both per UAX#29.  Known deviations from
+StandardTokenizer: no maxTokenLength cap, and a handful of rare word-break
+classes (Katakana runs, Hebrew quote forms) fall back to the letter rules.
+The kernel is Arrow-native (regex passes on Arrow buffers, placeholder
+bytes protect medials through the split) and replicable in ANSI SQL.
+
+``code``: a code-aware variant for source corpora — identifiers/numbers
+plus single punctuation tokens.
 """
 
 from __future__ import annotations
@@ -23,20 +33,67 @@ import pyarrow.compute as pc
 
 _CODE_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\d+|[^\sA-Za-z_0-9]")
 
+# standard tokenizer: medial protections (placeholder bytes survive the
+# "strip non-token chars" pass and are restored in the tiny vocabulary).
+# Each (pattern, placeholder) runs twice so alternating chains like a.b.c
+# protect fully (non-overlapping matches cover odd links, pass 2 the rest).
+_STD_MEDIALS = [
+    (r"(\p{L})'(\p{L})", "\x01"),    # letters: apostrophe (MidNumLet)
+    (r"(\p{L})\.(\p{L})", "\x02"),   # letters: dot        (MidNumLet)
+    (r"(\p{N})\.(\p{N})", "\x02"),   # digits:  dot        (MidNum)
+    (r"(\p{N}),(\p{N})", "\x03"),    # digits:  comma      (MidNum)
+]
+_STD_RESTORE = {"\x01": "'", "\x02": ".", "\x03": ","}
+_STD_STRIP_RE = r"[^\p{L}\p{N}_\x01\x02\x03]+"
+
+
+def _standard_split(arr) -> pa.ListArray:
+    """Arrow-native standard tokenization: lower → protect medials →
+    strip non-token chars to spaces → whitespace split.  Tokens may
+    contain placeholder bytes; map through :data:`_STD_RESTORE` (done on
+    the dictionary only, never per token)."""
+    x = pc.utf8_lower(arr)
+    # raw placeholder bytes in the input would collide with protected
+    # medials after restore — strip them first (control chars, never text)
+    x = pc.replace_substring_regex(x, pattern=r"[\x01-\x03]+",
+                                   replacement=" ")
+    for _ in range(2):
+        for pat, sub in _STD_MEDIALS:
+            x = pc.replace_substring_regex(x, pattern=pat,
+                                           replacement=rf"\1{sub}\2")
+    x = pc.replace_substring_regex(x, pattern=_STD_STRIP_RE, replacement=" ")
+    return pc.utf8_split_whitespace(x)
+
+
+def _std_restore(tok: str) -> str:
+    for ph, ch in _STD_RESTORE.items():
+        tok = tok.replace(ph, ch)
+    return tok
+
 
 def tokenize_series(texts: pd.Series, tokenizer: str = "whitespace") -> pd.Series:
     """Series[str] → Series[list[str]]."""
     if tokenizer == "whitespace":
         return texts.fillna("").str.split()
+    if tokenizer == "standard":
+        lists = _standard_split(_as_arrow_strings(texts))
+        vals = [[_std_restore(t) for t in row if t]
+                for row in lists.to_pylist()]
+        return pd.Series(vals, index=texts.index)
     if tokenizer == "code":
         return texts.fillna("").str.findall(_CODE_TOKEN_RE)
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 
 def tokenize_one(text: str, tokenizer: str = "whitespace") -> list[str]:
-    """Single-string tokenize with identical semantics (driver-side queries)."""
+    """Single-string tokenize with identical semantics (driver-side queries).
+    The ``standard`` path runs the same Arrow kernel as the build — exact
+    analyzer parity between indexed terms and query terms."""
     if tokenizer == "whitespace":
         return (text or "").split()
+    if tokenizer == "standard":
+        lists = _standard_split(pa.array([text or ""], type=pa.string()))
+        return [_std_restore(t) for t in lists[0].as_py() if t]
     if tokenizer == "code":
         return _CODE_TOKEN_RE.findall(text or "")
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
@@ -60,9 +117,10 @@ def tokenize_to_codes(texts: pd.Series, tokenizer: str = "whitespace"):
       (== UTF-8 byte order, ``BytesRef.compareTo`` semantics)
     """
     n = len(texts)
-    if tokenizer == "whitespace":
+    if tokenizer in ("whitespace", "standard"):
         arr = _as_arrow_strings(texts)
-        lists = pc.utf8_split_whitespace(arr)
+        lists = (pc.utf8_split_whitespace(arr) if tokenizer == "whitespace"
+                 else _standard_split(arr))
         raw_lens = np.asarray(pc.list_value_length(lists)).astype(np.int64)
         flat = pc.list_flatten(lists)
         enc = pc.dictionary_encode(flat)
@@ -107,6 +165,10 @@ def tokenize_to_codes(texts: pd.Series, tokenizer: str = "whitespace"):
         uniques = uniques[1:]
     codes = rank[idx] if idx.size else idx
     positions = _ordinals_within(doc_idx, n)
+    if tokenizer == "standard" and uniques.size:
+        # restore protected medials in the (tiny) vocabulary only — the
+        # token stream itself never materializes Python strings
+        uniques = np.array([_std_restore(t) for t in uniques], dtype=object)
     return doc_idx, codes, positions, uniques
 
 
@@ -137,9 +199,10 @@ def token_counts(texts, tokenizer: str = "whitespace") -> np.ndarray:
     Accepts a pandas Series or an Arrow (Chunked)Array — the latter avoids
     any per-doc Python string objects entirely (mapInArrow path).
     """
-    if tokenizer == "whitespace":
+    if tokenizer in ("whitespace", "standard"):
         arr = _as_arrow_strings(texts)
-        lists = pc.utf8_split_whitespace(arr)
+        lists = (pc.utf8_split_whitespace(arr) if tokenizer == "whitespace"
+                 else _standard_split(arr))
         raw = np.asarray(pc.list_value_length(lists)).astype(np.int64)
         flat = pc.list_flatten(lists)
         is_empty = np.asarray(pc.equal(flat, ""))

@@ -16,12 +16,7 @@ from __future__ import annotations
 
 from pim_lucene_spark.functions.tokenize import tokenize_one
 
-TOK_CTE = r"""
-tok AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tks
-  FROM documents
-),
+_TOK_CTE_TAIL = r"""
 docl AS (SELECT doc_id, CAST(len(tks) AS BIGINT) AS dl FROM tok),
 cstats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
@@ -32,6 +27,51 @@ positions AS (
          CAST(generate_subscripts(tks, 1) AS BIGINT) - 1 AS pos
   FROM tok
 )"""
+
+TOK_CTE = r"""
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tks
+  FROM documents
+),""" + _TOK_CTE_TAIL
+
+
+def _std_tok_expr(col: str) -> str:
+    """The `standard` tokenizer's normalize pipeline in DuckDB SQL — the
+    same regex passes as ``functions.tokenize._standard_split`` (RE2 both
+    sides): lower → strip raw placeholder bytes → protect medial chars
+    (2 passes per rule) → strip non-token chars to spaces."""
+    x = f"lower({col})"
+    x = f"regexp_replace({x}, '[\\x01-\\x03]+', ' ', 'g')"
+    for _ in range(2):
+        for pat, ph in ((r"(\p{L})''(\p{L})", 1),
+                        (r"(\p{L})\.(\p{L})", 2),
+                        (r"(\p{N})\.(\p{N})", 2),
+                        (r"(\p{N}),(\p{N})", 3)):
+            x = (f"regexp_replace({x}, '{pat}', "
+                 f"'\\1' || chr({ph}) || '\\2', 'g')")
+    return (f"regexp_replace({x}, "
+            f"'[^\\p{{L}}\\p{{N}}_\\x01-\\x03]+', ' ', 'g')")
+
+
+STD_TOK_CTE = (r"""
+tok AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(trim(""" + _std_tok_expr("text")
+               + r"""), '\s+'), x -> x <> ''),
+           t -> replace(replace(replace(t, chr(1), chr(39)),
+                                chr(2), '.'), chr(3), ',')) AS tks
+  FROM documents
+),""" + _TOK_CTE_TAIL)
+
+
+def _tok_cte(tokenizer: str) -> str:
+    if tokenizer == "whitespace":
+        return TOK_CTE
+    if tokenizer == "standard":
+        return STD_TOK_CTE
+    raise ValueError(f"no oracle CTE for tokenizer {tokenizer!r}")
 
 
 def _norm_byte_sql(dl: str) -> str:
@@ -88,11 +128,12 @@ def _phrase_freq_select(terms: list[str]) -> str:
             f"WHERE p0.term = '{_q(terms[0])}' GROUP BY p0.doc_id")
 
 
-def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10) -> str:
+def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10,
+                    tokenizer: str = "whitespace") -> str:
     """Full BM25 top-k SQL for a query batch → (qid, doc_id, freq, score)."""
     selects = []
     for qid, text in queries:
-        terms = tokenize_one(text)
+        terms = tokenize_one(text, tokenizer)
         if not terms:
             continue
         weight = "(" + " + ".join(_idf_sql(t) for t in terms) + ")"
@@ -110,7 +151,7 @@ def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10) -> str:
             f"JOIN docl ON docl.doc_id = f.doc_id, cstats "
             f"{qualify}")
     body = " UNION ALL ".join(selects)
-    return f"WITH {TOK_CTE} {body}"
+    return f"WITH {_tok_cte(tokenizer)} {body}"
 
 
 def _sloppy_freq_select(terms: list[str], slop: int) -> str:
@@ -142,7 +183,8 @@ def _sloppy_freq_select(terms: list[str], slop: int) -> str:
 
 
 def sloppy_phrase_bm25_sql(queries: list[tuple[int, str]], slop: int,
-                           k: int | None = 10) -> str:
+                           k: int | None = 10,
+                           tokenizer: str = "whitespace") -> str:
     """BM25 top-k SQL for sloppy phrases → (qid, doc_id, freq, score).
 
     ``freq`` is DOUBLE (sum of sloppy weights).  Use slop values whose
@@ -152,7 +194,7 @@ def sloppy_phrase_bm25_sql(queries: list[tuple[int, str]], slop: int,
     """
     selects = []
     for qid, text in queries:
-        terms = tokenize_one(text)
+        terms = tokenize_one(text, tokenizer)
         if not terms:
             continue
         weight = "(" + " + ".join(_idf_sql(t) for t in terms) + ")"
@@ -170,7 +212,7 @@ def sloppy_phrase_bm25_sql(queries: list[tuple[int, str]], slop: int,
             f"JOIN docl ON docl.doc_id = f.doc_id, cstats "
             f"{qualify}")
     body = " UNION ALL ".join(selects)
-    return f"WITH {TOK_CTE} {body}"
+    return f"WITH {_tok_cte(tokenizer)} {body}"
 
 
 def phrase_freqs_sql(queries: list[tuple[int, str]]) -> str:
