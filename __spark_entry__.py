@@ -47,6 +47,10 @@ SLOP_QUERIES = [(400, "the key"), (401, "join order"), (402, "table merge")]
 # standard-analyzer queries: mixed case + punctuation, analyzed at query
 # time exactly like the indexed corpus (StandardAnalyzer contract)
 STD_QUERIES = [(500, "The Fast!"), (501, "MERGE"), (502, "Table SCAN...")]
+# multi-field: `body` = full text, `head` = first five tokens; a term must
+# only match within its queried field's posting space + that field's stats
+MF_BODY_QUERIES = [(600, "the fast"), (601, "merge")]
+MF_HEAD_QUERIES = [(610, "key agg"), (611, "window")]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 _CFG = IndexConfig(num_partitions=8, num_segments=4, build_chunks=2)
@@ -139,6 +143,41 @@ def _q_std_bm25(spark, sf_dir):
     res = search(spark, m, STD_QUERIES, k=10, precision="float64")
     return res.select("qid", "doc_id", "freq",
                       F.round("score", 6).alias("score"))
+
+
+def _get_mf_index(spark: SparkSession, sf_dir: str):
+    """Two-field index (field table of PimIndexWriter.java:162-199)."""
+    from pim_lucene_spark import MultiFieldIndex
+    key = hashlib.md5((sf_dir + "|mf").encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "pim_index_cache", key)
+    if os.path.exists(os.path.join(index_dir, MultiFieldIndex.MANIFEST)):
+        idx = MultiFieldIndex.open(spark, index_dir)
+        if all(m.version >= 3 for m in idx.manifests.values()):
+            return idx
+    toks = F.filter(F.split(F.trim(F.col("content")), r"\s+"),
+                    lambda x: x != "")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("content").alias("body"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("head"))
+    cfg = IndexConfig(num_partitions=8, num_segments=4, build_chunks=1)
+    return MultiFieldIndex.build(spark, docs, index_dir,
+                                 fields={"body": "body", "head": "head"},
+                                 cfg=cfg, id_col="doc_id")
+
+
+def _q_multifield(spark, sf_dir):
+    idx = _get_mf_index(spark, sf_dir)
+    b = idx.search(MF_BODY_QUERIES, k=10, field="body", precision="float64")
+    h = idx.search(MF_HEAD_QUERIES, k=10, field="head", precision="float64")
+    return (b.unionByName(h)
+            .select("qid", "doc_id", "freq",
+                    F.round("score", 6).alias("score")))
+
+
+_MF_HEAD_CTE = (
+    "documents AS (SELECT doc_id, array_to_string((list_filter("
+    r"regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))[1:5], ' ') "
+    "AS text FROM main.documents)")
 
 
 def _q_slop_scan(spark, sf_dir):
@@ -258,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
         "engine_standard_bm25": _q_std_bm25,
+        "engine_multifield_bm25": _q_multifield,
         "corpus_generate": _q_corpus,
         "index_sha256_invariant": _q_sha_invariant,
         "index_term_stats": _q_term_stats,
@@ -357,6 +397,15 @@ def oracle_sql() -> dict[str, str]:
             oracle.phrase_bm25_sql(STD_QUERIES, k=10, tokenizer="standard")
             .replace("WITH ", "WITH documents AS (SELECT doc_id, "
                      "upper(text) AS text FROM main.documents), ", 1),
+        # each field scores against its own posting space and stats: body
+        # over the raw text, head over the first-five-tokens view
+        "engine_multifield_bm25":
+            "SELECT * FROM ("
+            + oracle.phrase_bm25_sql(MF_BODY_QUERIES, k=10)
+            + ") UNION ALL SELECT * FROM ("
+            + oracle.phrase_bm25_sql(MF_HEAD_QUERIES, k=10)
+              .replace("WITH ", f"WITH {_MF_HEAD_CTE}, ", 1)
+            + ")",
         "index_sha256_invariant": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    sha256(text) AS sha256,

@@ -16,8 +16,9 @@ Layout
 """
 
 from pim_lucene_spark.config import IndexConfig
-from pim_lucene_spark.index import FullTextIndex
+from pim_lucene_spark.index import FullTextIndex, MultiFieldIndex
 from pim_lucene_spark.manifest import IndexManifest
 
-__all__ = ["FullTextIndex", "IndexConfig", "IndexManifest"]
-__version__ = "0.2.0"
+__all__ = ["FullTextIndex", "IndexConfig", "IndexManifest",
+           "MultiFieldIndex"]
+__version__ = "0.3.0"

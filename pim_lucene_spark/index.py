@@ -15,6 +15,9 @@ engine's one-object equivalent:
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pim_lucene_spark.config import IndexConfig
@@ -96,3 +99,126 @@ class FullTextIndex:
         return verify_content_invariant(self.spark, self.manifest, source_df,
                                         content_col=content_col,
                                         id_col=id_col)
+
+
+class MultiFieldIndex:
+    """Multi-field index: per-field postings, norms and collection stats.
+
+    The reference indexes every field of a document into the same DPU with
+    a per-DPU *field table* routing term lookups to the right field's
+    postings (``PimIndexWriter.java:162-199,976-995``), and searches name
+    the field (``PimIndexSearcher.searchTerm(field, term)``,
+    ``TestPimIndexSearcher.java:77-164``).  The Spark-first re-expression
+    makes each field a self-contained sub-index under
+    ``index_dir/field=<name>/``:
+
+    - a field is an independent posting space in Lucene too (own term
+      dictionary, own norms, own avgdl — ``BM25Similarity`` computes norms
+      per field), so nothing is shared but the doc ids;
+    - the directory layout is the field table: a search touches only its
+      field's files (partition pruning by path, no ``field`` predicate in
+      any scan), and per-field stats come for free from each manifest.
+
+    Doc ids are assigned once and shared by every field, so cross-field
+    result joins line up.
+
+        idx = MultiFieldIndex.build(spark, df, "/path/idx",
+                                    fields={"title": "title_col",
+                                            "body": "body_col"})
+        hits = idx.search([(0, "apache lucene")], field="title")
+    """
+
+    MANIFEST = "multifield.json"
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 fields: list[str], default_field: str,
+                 manifests: dict[str, IndexManifest]):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.fields = fields
+        self.default_field = default_field
+        self.manifests = manifests
+
+    @classmethod
+    def build(cls, spark: SparkSession, docs: DataFrame, index_dir: str,
+              fields: dict[str, str], cfg: IndexConfig = IndexConfig(), *,
+              id_col: str | None = None, order_cols: list[str] | None = None,
+              source: str = "") -> "MultiFieldIndex":
+        """``fields`` maps field name → source column of ``docs``."""
+        if not fields:
+            raise ValueError("need at least one field")
+        from pyspark.sql import functions as F
+
+        from pim_lucene_spark.operators.index_build import (
+            assign_doc_ids,
+            build_index,
+        )
+        os.makedirs(index_dir, exist_ok=True)
+        if id_col is None:
+            # assign ids once and materialize, so every field's sub-index
+            # shares the identical id space
+            cols = order_cols or [next(iter(fields.values()))]
+            src_path = os.path.join(index_dir, "docs_src")
+            assign_doc_ids(docs, cols).write.mode("overwrite") \
+                .parquet(src_path)
+            docs = spark.read.parquet(src_path)
+            id_col = "doc_id"
+        manifests = {}
+        for name, col in fields.items():
+            sub = os.path.join(index_dir, f"field={name}")
+            manifests[name] = build_index(
+                spark, docs.select(F.col(id_col), F.col(col)), sub, cfg,
+                content_col=col, id_col=id_col, source=source)
+        default = next(iter(fields))
+        meta = {"fields": list(fields), "default_field": default,
+                "version": 1}
+        with open(os.path.join(index_dir, cls.MANIFEST), "w") as f:
+            json.dump(meta, f, indent=2)
+        return cls(spark, index_dir, list(fields), default, manifests)
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "MultiFieldIndex":
+        with open(os.path.join(index_dir, cls.MANIFEST)) as f:
+            meta = json.load(f)
+        manifests = {
+            name: IndexManifest.load(os.path.join(index_dir, f"field={name}"))
+            for name in meta["fields"]
+        }
+        return cls(spark, index_dir, meta["fields"], meta["default_field"],
+                   manifests)
+
+    def _field(self, field: str | None) -> IndexManifest:
+        name = field or self.default_field
+        if name not in self.manifests:
+            raise KeyError(f"unknown field {name!r}; have {self.fields}")
+        return self.manifests[name]
+
+    def search(self, queries: list[tuple[int, str]], k: int = 10,
+               field: str | None = None,
+               precision: str = "float32") -> DataFrame:
+        """Batched phrase/term BM25 top-k within one field's posting space
+        (BM25 stats — df, avgdl, norms — are the field's own)."""
+        from pim_lucene_spark.operators.search import search
+        return search(self.spark, self._field(field), queries, k=k,
+                      precision=precision)
+
+    def search_term(self, term: str, field: str | None = None,
+                    k: int = 10 ** 9,
+                    precision: str = "float32") -> DataFrame:
+        return self.search([(0, term)], k=k, field=field,
+                           precision=precision).drop("qid")
+
+    def search_phrase(self, text: str, field: str | None = None,
+                      k: int = 10,
+                      precision: str = "float32") -> DataFrame:
+        return self.search([(0, text)], k=k, field=field,
+                           precision=precision).drop("qid")
+
+    def field_stats(self) -> dict[str, dict]:
+        """Per-field collection stats (each field has its own avgdl)."""
+        return {
+            name: {"doc_count": m.doc_count,
+                   "sum_ttf": m.sum_total_term_freq,
+                   "avgdl": m.avgdl}
+            for name, m in self.manifests.items()
+        }

@@ -1,0 +1,91 @@
+"""Multi-field indexing (Q6 field lookup): per-field postings/norms/stats.
+
+Golden fixtures transliterated from the reference's multi-field searcher
+test (``TestPimIndexSearcher.java:86-164`` ``testTermBasic``: fields
+``id``/``field1``/``field2`` with per-field expected (doc, freq) matches)
+plus per-field stats isolation and a phrase-in-one-field check mirroring
+``testTermMoreText``'s ``title:[Apache Lucene]``.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from pim_lucene_spark import IndexConfig, MultiFieldIndex
+
+# TestPimIndexSearcher.testTermBasic corpus (TestPimIndexSearcher.java:86-99)
+BASIC = pd.DataFrame({
+    "doc_id": [0, 1, 2],
+    "id": ["AAA", "AAB", "AAC"],
+    "field1": ["red black yellow", "yellow green blue", "black blue pink"],
+    "field2": ["red orange white orange red", "green red", "white brown"],
+})
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mfidx"))
+    return MultiFieldIndex.build(
+        spark, spark.createDataFrame(BASIC), d,
+        fields={"id": "id", "field1": "field1", "field2": "field2"},
+        cfg=IndexConfig(num_partitions=2, num_segments=2, build_chunks=1),
+        id_col="doc_id")
+
+
+def _matches(idx, field, term):
+    df = idx.search_term(term, field=field).toPandas()
+    return sorted(zip(df.doc_id.astype(int), df.freq.astype(int)))
+
+
+def test_term_basic_golden(mf_index):
+    """Expected (doc, freq) sets of TestPimIndexSearcher.java:101-160."""
+    assert _matches(mf_index, "field1", "yellow") == [(0, 1), (1, 1)]
+    assert _matches(mf_index, "field1", "green") == [(1, 1)]
+    assert _matches(mf_index, "field2", "green") == [(1, 1)]
+    assert _matches(mf_index, "field2", "orange") == [(0, 2)]
+    assert _matches(mf_index, "field2", "yellow") == []      # wrong field
+    assert _matches(mf_index, "id", "AAC") == [(2, 1)]
+
+
+def test_phrase_in_one_field(mf_index):
+    """Phrase queries stay within their field (testTermMoreText's
+    title:[Apache Lucene] analogue)."""
+    df = mf_index.search_phrase("orange white orange",
+                                field="field2").toPandas()
+    assert sorted(zip(df.doc_id.astype(int), df.freq.astype(int))) == [(0, 1)]
+    assert mf_index.search_phrase("orange white orange",
+                                  field="field1").count() == 0
+
+
+def test_per_field_stats_isolated(mf_index):
+    stats = mf_index.field_stats()
+    exp = {f: int(BASIC[f].str.split().str.len().sum())
+           for f in ("id", "field1", "field2")}
+    for f, e in exp.items():
+        assert stats[f]["sum_ttf"] == e
+        assert stats[f]["doc_count"] == 3
+        assert stats[f]["avgdl"] == pytest.approx(e / 3)
+
+
+def test_unknown_field_raises(mf_index):
+    with pytest.raises(KeyError, match="unknown field"):
+        mf_index.search([(0, "red")], field="nope")
+
+
+def test_open_roundtrip_and_shared_ids(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mfidx2"))
+    built = MultiFieldIndex.build(
+        spark, spark.createDataFrame(BASIC), d,
+        fields={"field1": "field1", "field2": "field2"},
+        cfg=IndexConfig(num_partitions=2, num_segments=1, build_chunks=1),
+        id_col="doc_id")
+    reopened = MultiFieldIndex.open(spark, d)
+    assert reopened.fields == built.fields
+    assert reopened.default_field == "field1"
+    # same doc-id space: a cross-field join on "red" lines up
+    f1 = set(reopened.search_term("red", field="field1")
+             .toPandas().doc_id)
+    f2 = set(reopened.search_term("red", field="field2")
+             .toPandas().doc_id)
+    assert f1 == {0} and f2 == {0, 1}
