@@ -52,6 +52,7 @@ STD_QUERIES = [(500, "The Fast!"), (501, "MERGE"), (502, "Table SCAN...")]
 MF_BODY_QUERIES = [(600, "the fast"), (601, "merge")]
 MF_HEAD_QUERIES = [(610, "key agg"), (611, "window")]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+EMB_DIM = 64  # testdata embeddings.parquet dim (constant across sf)
 
 _CFG = IndexConfig(num_partitions=8, num_segments=4, build_chunks=2)
 
@@ -194,6 +195,23 @@ def _q_fallback_scan(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_multimodal_features(spark, sf_dir):
+    """Byte-class counts recovered exactly from the float32 features
+    (count = round(f * n_bytes)) so the DuckDB comparison is integral —
+    proves the Arrow decode plumbing without float32-rounding flakiness."""
+    feats = multimodal.extract_features(
+        multimodal.as_media(_docs(spark, sf_dir)),
+        decoder=multimodal.fake_decoder)
+
+    def cnt(bin_idx: int, name: str):
+        return F.round(F.element_at("feature", bin_idx + 1).cast("double")
+                       * F.col("n_bytes")).cast("long").alias(name)
+
+    return feats.select("media_id", "n_bytes",
+                        cnt(2, "c2"), cnt(3, "c3"), cnt(6, "c6"),
+                        cnt(7, "c7"))
+
+
 def _q_corpus(spark, sf_dir):
     c = generate_corpus(spark, 300, seed=42, num_partitions=8)
     return c.select("doc_id", "repo", "lang",
@@ -308,15 +326,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh":
-            lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d), num_hashes=32,
-                                                 bands=16, threshold=0.01),
+            lambda s, d: dedup.minhash_lsh_pairs(
+                _docs(s, d), num_hashes=32, bands=16, threshold=0.01,
+                hash_fn="portable")
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
         "dedup_simhash":
-            lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3),
+            lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3,
+                                             num_bits=60, hash_fn="portable")
+            .select("doc_a", "doc_b", F.col("hamming").cast("long")
+                    .alias("hamming")),
         # --- similarity -----------------------------------------------------
         "ann_cosine_topk": _q_ann,
         "ann_lsh_topk":
             lambda s, d: similarity.lsh_bucketed_topk(
-                _emb(s, d), ANN_QUERY_IDS, k=10, num_planes=8)
+                _emb(s, d), ANN_QUERY_IDS, k=10, num_planes=8, dim=EMB_DIM)
             .select("qid", "vec_id", F.round("cosine", 6).alias("cosine")),
         # --- text analysis ---------------------------------------------------
         "text_quality": _q_text_quality,
@@ -327,13 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta":
             lambda s, d: multimodal.media_metadata(
                 multimodal.as_media(_docs(s, d))),
-        "multimodal_features":
-            lambda s, d: multimodal.extract_features(
-                multimodal.as_media(_docs(s, d)),
-                decoder=multimodal.fake_decoder)
-            .select("media_id", "n_bytes",
-                    F.round(F.element_at("feature", 1).cast("double"), 6)
-                    .alias("f0")),
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -357,6 +374,113 @@ _TOKS_ONLY_CTE = r"""
 tok AS (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\s+'),
                                          x -> x <> '') AS tks FROM documents)
 """
+
+def _simhash_sql(max_hamming: int = 3, num_bits: int = 60) -> str:
+    """SimHash pairs oracle: same portable hash, bit votes, 15-bit banding
+    and popcount verify as dedup.simhash_pairs(hash_fn='portable')."""
+    h = dedup.portable_hash60_sql("t")
+    sim = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {j}) & 1)) "
+        f"> n THEN {1 << j} ELSE 0 END)"
+        for j in range(num_bits))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, sim, {i} AS band, "
+        f"(sim >> {15 * i}) & 32767 AS key FROM sims"
+        for i in range(4))
+    return f"""
+        WITH {_TOKS_ONLY_CTE},
+        th AS (SELECT doc_id,
+                      list_transform(tks, t -> {h}) AS hs,
+                      len(tks) AS n FROM tok WHERE len(tks) > 0),
+        sims AS (SELECT doc_id, CAST({sim} AS BIGINT) AS sim FROM th),
+        bkt AS ({bands}),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        x.sim AS sa, y.sim AS sb
+                 FROM bkt x JOIN bkt y
+                   ON x.band = y.band AND x.key = y.key
+                  AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
+def _minhash_sql(num_hashes: int = 32, bands: int = 16,
+                 threshold: float = 0.01, seed: int = 42) -> str:
+    """MinHash-LSH pairs oracle: per-doc min over salted portable hashes of
+    the distinct 3-gram set, band buckets = concatenated signature slices,
+    exact Jaccard verify — dedup.minhash_lsh_pairs(hash_fn='portable')."""
+    r = num_hashes // bands
+    mins = ", ".join(
+        "list_min(list_transform(gs, g -> "
+        + dedup.portable_hash60_sql("g", salt=seed + k) + "))"
+        for k in range(num_hashes))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        + " || ',' || ".join(f"CAST(sig[{i * r + j + 1}] AS VARCHAR)"
+                             for j in range(r))
+        + " AS bucket FROM sigs"
+        for i in range(bands))
+    return f"""
+        WITH {_GRAMS_CTE},
+        sigs AS (SELECT doc_id, [{mins}] AS sig FROM gsets),
+        bkt AS ({band_rows}),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bkt x JOIN bkt y
+                   ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+          SELECT doc_a, doc_b,
+                 CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ga.gs, gb.gs))) AS j
+          FROM cand
+          JOIN gsets ga ON ga.doc_id = cand.doc_a
+          JOIN gsets gb ON gb.doc_id = cand.doc_b)
+        WHERE j >= {threshold}"""
+
+
+def _ann_lsh_sql(k: int = 10, num_planes: int = 8, seed: int = 42) -> str:
+    """ANN LSH oracle: the seeded hyperplanes are generated here with the
+    SAME numpy RNG as similarity._hyperplanes and inlined as SQL literals;
+    bucket = sign-bit integer, exact cosine rerank within the bucket."""
+    from pim_lucene_spark.operators.similarity import _hyperplanes, table_seed
+    planes = _hyperplanes(EMB_DIM, num_planes, table_seed(seed, 0))
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in planes[j])
+        + f"]) > 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(num_planes))
+    ids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+        WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+        bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket
+                     FROM base),
+        q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+              FROM bucketed WHERE vec_id IN ({ids}))
+        SELECT qid, vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT q.qid, b.vec_id,
+                 list_dot_product(qv, v) /
+                 (sqrt(list_dot_product(qv, qv)) *
+                  sqrt(list_dot_product(v, v))) AS cosine
+          FROM q JOIN bucketed b
+            ON b.bucket = q.qbucket AND b.vec_id <> q.qid)
+        QUALIFY row_number() OVER
+          (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= {k}"""
+
+
+_MM_FEATURES_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) - length(regexp_replace(text,
+                '[\\x20-\\x2f]', '', 'g')) AS BIGINT) AS c2,
+           CAST(length(text) - length(regexp_replace(text,
+                '[\\x30-\\x3f]', '', 'g')) AS BIGINT) AS c3,
+           CAST(length(text) - length(regexp_replace(text,
+                '[\\x60-\\x6f]', '', 'g')) AS BIGINT) AS c6,
+           CAST(length(text) - length(regexp_replace(text,
+                '[\\x70-\\x7f]', '', 'g')) AS BIGINT) AS c7
+    FROM documents"""
+
 
 _MARKER_SQL = {lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
                for lang, words in textstats.LANG_MARKERS.items()}
@@ -503,7 +627,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    upper(hex(encode(substr(text, 1, 8)))) AS header_hex
             FROM documents""",
-        # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk /
-        # multimodal_features / corpus_generate: deterministic but
-        # hash/plane-seeded — not ANSI-SQL-expressible → rows-only checks.
+        "dedup_simhash": _simhash_sql(max_hamming=3),
+        "dedup_minhash_lsh": _minhash_sql(num_hashes=32, bands=16,
+                                          threshold=0.01),
+        "ann_lsh_topk": _ann_lsh_sql(k=10, num_planes=8),
+        "multimodal_features": _MM_FEATURES_SQL,
+        # corpus_generate: python-RNG-seeded generator — rows-only check.
     }

@@ -18,10 +18,8 @@ reproducible across runs and cluster sizes.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # fixed 64-bit mixing constants for the k MinHash permutations
 _MERSENNE = (1 << 61) - 1
@@ -37,6 +35,26 @@ def _hash_params(num_hashes: int, seed: int = 42):
 def tokens_col(text_col: str = "content"):
     """Whitespace tokens as array<string> (split + drop empties)."""
     return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+
+
+def portable_hash60(col, salt: int | None = None):
+    """60-bit deterministic string hash computable identically in Spark SQL
+    AND DuckDB: ``int(md5(salt ',' s)[:15], 16)``.
+
+    Spark: ``conv(substr(md5(s), 1, 15), 16, 10)`` — DuckDB:
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``.  Weaker avalanche
+    than xxhash64 per-bit, but md5 bits are uniform; use it when a query
+    needs an exact cross-engine oracle.  15 hex chars keep the value inside
+    a signed int64 on both engines.
+    """
+    s = col if salt is None else F.concat(F.lit(f"{salt},"), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str, salt: int | None = None) -> str:
+    """The DuckDB side of :func:`portable_hash60`."""
+    s = expr if salt is None else f"'{salt},' || {expr}"
+    return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
 
 
 def ngrams_col(tokens, n: int):
@@ -91,19 +109,30 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .filter(F.col("jaccard") >= threshold))
 
 
+def _gram_hash(k: int, seed: int, hash_fn: str):
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(seed + k), F.col("gram"))
+    if hash_fn == "portable":
+        return portable_hash60(F.col("gram"), salt=seed + k)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "content",
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures over token n-grams.
 
-    The k "permutations" are xxhash64 with k distinct salts (JVM-side,
-    wrap-safe under ANSI mode); the whole signature build is one explode +
-    one groupBy (map-side combinable min aggregates).
+    The k "permutations" are salted hashes (JVM-side, wrap-safe under ANSI
+    mode); the whole signature build is one explode + one groupBy
+    (map-side combinable min aggregates).  ``hash_fn='portable'`` uses the
+    md5-based 60-bit hash reproducible in ANSI SQL (DuckDB oracles);
+    ``'xxhash64'`` (default) is the faster production path.
     """
     sh = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                      F.explode(F.array_distinct(
                          ngrams_col(tokens_col(text_col), n))).alias("gram"))
-    mins = [F.min(F.xxhash64(F.lit(seed + k), F.col("gram"))).alias(f"m{k}")
+    mins = [F.min(_gram_hash(k, seed, hash_fn)).alias(f"m{k}")
             for k in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"m{k}" for k in range(num_hashes)])
@@ -113,24 +142,28 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                       n: int = 3, threshold: float = 0.5,
                       id_col: str = "doc_id", text_col: str = "content",
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
 
     Scale path: docs sharing any band bucket become candidates (shuffle on
-    (band, bucket-hash)); candidates are re-verified with exact n-gram
-    Jaccard so the threshold is exact, LSH only affects recall.
+    (band, bucket-key)); candidates are re-verified with exact n-gram
+    Jaccard so the threshold is exact, LSH only affects recall.  The band
+    bucket key is the concatenated signature slice itself (no second hash
+    — exactly as collision-safe, and byte-for-byte reproducible in SQL).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, seed)
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, seed,
+                             hash_fn)
     bucketed = sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.xxhash64(F.concat_ws(
+                     F.concat_ws(
                          ",", *[F.element_at("sig", i * rows_per_band + j + 1)
                                 .cast("string")
-                                for j in range(rows_per_band)])).alias("bucket"))
+                                for j in range(rows_per_band)]).alias("bucket"))
             for i in range(bands)])).alias("bb"))
     bkt = bucketed.select("doc_id", "bb.band", "bb.bucket")
     cand = (bkt.alias("x").join(bkt.alias("y"),
@@ -155,49 +188,68 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
             .filter(F.col("jaccard") >= threshold))
 
 
-_SIMHASH_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.LongType(), False),
-    T.StructField("simhash", T.LongType(), False),
-])
-
-
 def simhash(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "content") -> DataFrame:
-    """64-bit SimHash per doc (token-hash bit voting), Arrow-vectorized."""
-    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                       F.explode(tokens_col(text_col)).alias("tok"))
-    hashed = base.withColumn("h", F.xxhash64("tok"))
-    per_doc = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+            text_col: str = "content", num_bits: int = 64,
+            hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash per doc — computed entirely map-side with ZERO shuffle.
 
-    def kernel(it):
-        for pdf in it:
-            out_id = pdf["doc_id"].to_numpy(np.int64)
-            sims = np.zeros(len(pdf), dtype=np.uint64)
-            for i, hs in enumerate(pdf["hs"]):
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-                votes = bits.sum(axis=0) * 2 - len(h)
-                sims[i] = np.sum((votes > 0).astype(np.uint64)
-                                 << np.arange(64, dtype=np.uint64))
-            yield pd.DataFrame({"doc_id": out_id,
-                                "simhash": sims.view(np.int64)})
+    SimHash is a per-doc function of the doc's own tokens, so it never
+    needs a groupBy: tokens → per-token hash → bit-vote fold, all as
+    Catalyst higher-order functions on the tokens array (one pass per doc,
+    JVM-side, no Python, no exchange).  At 100 TB this runs as a pure map
+    stage fused into whatever scan precedes it.
 
-    return per_doc.mapInPandas(kernel, _SIMHASH_SCHEMA)
+    ``hash_fn='portable'`` (md5-based 60-bit, see :func:`portable_hash60`)
+    is bit-reproducible in ANSI SQL; ``'xxhash64'`` (default, 64-bit) is
+    the fast path.
+    """
+    if hash_fn == "portable":
+        num_bits = min(num_bits, 60)
+        hashed = lambda t: portable_hash60(t)  # noqa: E731
+    elif hash_fn == "xxhash64":
+        hashed = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    toks = tokens_col(text_col)
+    hashes = F.transform(toks, hashed)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        lambda acc, h: F.zip_with(
+            acc, F.sequence(F.lit(0), F.lit(num_bits - 1)),
+            lambda a, j: a + F.bit_get(h, j).cast("long")))
+    n = F.size(toks)
+    # bit j's signed-int64 value (bit 63 is the sign bit; disjoint bits
+    # still sum to the correct two's-complement word)
+    pow2 = F.array(*[
+        F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        for j in range(num_bits)])
+    sim = F.aggregate(
+        F.zip_with(votes, pow2,
+                   lambda v, p: F.when(v * 2 > n, p)
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       sim.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "content",
+                  num_bits: int = 64,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Banding: with 4 16-bit bands, any pair within hamming 3 shares at
-    least one exact band (pigeonhole) — candidates via band equi-join,
-    then exact popcount verify.
+    Banding: with 4 bands of num_bits/4 bits, any pair within hamming 3
+    shares at least one exact band (pigeonhole) — candidates via band
+    equi-join, then exact popcount verify.
     """
-    sh = simhash(docs, id_col, text_col)
+    band_bits = num_bits // 4 if hash_fn != "portable" else 15
+    sh = simhash(docs, id_col, text_col, num_bits, hash_fn)
+    mask = (1 << band_bits) - 1
     bands = sh.select("doc_id", "simhash", F.explode(F.array(*[
         F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned("simhash", 16 * i)
-                  .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+                 F.shiftrightunsigned("simhash", band_bits * i)
+                  .bitwiseAND(F.lit(mask)).alias("key"))
         for i in range(4)])).alias("bb")).select("doc_id", "simhash",
                                                  "bb.band", "bb.key")
     cand = (bands.alias("x").join(bands.alias("y"),

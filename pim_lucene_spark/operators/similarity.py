@@ -69,31 +69,57 @@ def lsh_bucket_udf(dim: int, num_planes: int = 16, seed: int = 42):
     return bucket
 
 
+def table_seed(seed: int, table: int) -> int:
+    """Per-table hyperplane seed (table 0 == the single-table seed)."""
+    return seed + 7919 * table
+
+
 def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                       num_planes: int = 12, seed: int = 42,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
-    """Approximate cosine top-k: exact rerank within the query's LSH bucket.
+                      vec_col: str = "embedding",
+                      dim: int | None = None,
+                      num_tables: int = 1) -> DataFrame:
+    """Approximate cosine top-k: exact rerank within the query's LSH
+    bucket(s).
 
-    Deterministic (seeded hyperplanes); recall depends on num_planes.  At
-    100 TB the bucket column is precomputed at ingest and the join is an
-    equi-join on bucket — no all-pairs pass.
+    Deterministic (seeded hyperplanes).  ``num_tables`` independent
+    hash tables trade storage/compute for recall the standard way: a
+    neighbor is a candidate if it collides with the query in ANY table
+    (miss probability decays exponentially in the table count, the fix
+    for single-table sign-LSH's poor recall at scale).  At 100 TB the
+    (table, bucket) columns are precomputed at ingest and the join is an
+    equi-join — no all-pairs pass, candidates deduped before rerank.
+
+    Pass ``dim`` explicitly (schema metadata or catalog); when omitted, a
+    one-row lookup infers it (avoid in hot paths — extra Spark job).
     """
-    first = emb.select(F.col(vec_col)).first()
-    dim = len(first[0])
-    bucket = lsh_bucket_udf(dim, num_planes, seed)
-    base = (emb.select(F.col(id_col).cast("long").alias("vec_id"),
-                       F.transform(F.col(vec_col),
-                                   lambda x: x.cast("double")).alias("v"))
-            .withColumn("bucket", bucket(F.col("v"))))
-    queries = (base.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
+    if dim is None:
+        dim = len(emb.select(F.col(vec_col)).first()[0])
+    base = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("v"))
+    buckets = [lsh_bucket_udf(dim, num_planes, table_seed(seed, t))
+               for t in range(num_tables)]
+    tabbed = base.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tab"), buckets[t](F.col("v"))
+                     .alias("bucket"))
+            for t in range(num_tables)])).alias("tb")
+    ).select("vec_id", "v", "tb.tab", "tb.bucket")
+    queries = (tabbed.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
                .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                       F.col("tab").alias("qtab"),
                        F.col("bucket").alias("qbucket")))
-    joined = base.join(F.broadcast(queries),
-                       (F.col("bucket") == F.col("qbucket"))
-                       & (F.col("vec_id") != F.col("qid")))
+    cand = (tabbed.join(F.broadcast(queries),
+                        (F.col("tab") == F.col("qtab"))
+                        & (F.col("bucket") == F.col("qbucket"))
+                        & (F.col("vec_id") != F.col("qid")))
+            .select("qid", "qv", "vec_id", "v")
+            .dropDuplicates(["qid", "vec_id"]))
     cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
-    scored = joined.select("qid", "vec_id", cos.alias("cosine"))
+    scored = cand.select("qid", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k).drop("rank"))

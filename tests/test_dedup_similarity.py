@@ -1,0 +1,131 @@
+"""Dedup + similarity scale-path checks: zero-shuffle simhash (plan +
+numpy parity), portable-hash oracle equivalence, multi-table LSH recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pim_lucene_spark.operators import dedup, similarity
+
+
+def _corpus(n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    vocab = ["spark", "table", "merge", "scan", "row", "fast", "data",
+             "join", "key", "value"]
+    base = [" ".join(rng.choice(vocab, size=int(rng.integers(8, 30))))
+            for _ in range(n)]
+    # plant near-dups: copy with one token changed
+    for i in range(0, n, 10):
+        toks = base[i].split()
+        toks[len(toks) // 2] = "mutated"
+        base[(i + 1) % n] = " ".join(toks)
+    return pd.DataFrame({"doc_id": range(n), "content": base})
+
+
+def test_simhash_is_shuffle_free(spark):
+    """SimHash is per-doc computable — its plan must contain no Exchange."""
+    sh = dedup.simhash(spark.createDataFrame(_corpus()))
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "collect_list" not in plan.lower()
+
+
+def test_simhash_matches_numpy_reference(spark):
+    """The Catalyst fold == the straightforward numpy bit-vote, for both
+    hash functions."""
+    corpus = _corpus(25)
+    for hash_fn, nbits in (("xxhash64", 64), ("portable", 60)):
+        got = (dedup.simhash(spark.createDataFrame(corpus), hash_fn=hash_fn,
+                             num_bits=nbits)
+               .toPandas().set_index("doc_id").simhash.to_dict())
+        # reference: hash each token the same way, vote bits in numpy
+        import hashlib
+        from pyspark.sql import functions as F
+        for _, row in corpus.iterrows():
+            toks = row.content.split()
+            if hash_fn == "portable":
+                hs = np.array([int(hashlib.md5(t.encode()).hexdigest()[:15],
+                                   16) for t in toks], dtype=np.uint64)
+            else:
+                vals = (spark.createDataFrame([(t,) for t in toks], ["s"])
+                        .select(F.xxhash64("s")).collect())
+                hs = np.array([r[0] for r in vals],
+                              dtype=np.int64).view(np.uint64)
+            bits = (hs[:, None] >> np.arange(nbits, dtype=np.uint64)) & 1
+            votes = bits.sum(axis=0)
+            exp = int(((votes * 2 > len(toks)).astype(np.uint64)
+                       << np.arange(nbits, dtype=np.uint64)).sum())
+            if exp >= 1 << 63:  # engine stores the signed int64 word
+                exp -= 1 << 64
+            assert got[row.doc_id] == exp, (hash_fn, row.doc_id)
+            if hash_fn == "xxhash64":
+                break  # xxhash64 path needs a Spark job per doc — spot-check
+
+
+def test_minhash_portable_equals_definition(spark):
+    """Portable minhash signature == min over salted md5-60 of the distinct
+    gram set, computed independently in pandas."""
+    import hashlib
+    corpus = _corpus(10)
+    sig = (dedup.minhash_signatures(spark.createDataFrame(corpus),
+                                    num_hashes=8, n=3, hash_fn="portable")
+           .toPandas().set_index("doc_id").sig.to_dict())
+
+    def grams(text, n=3):
+        t = text.split()
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    for _, row in corpus.iterrows():
+        gs = grams(row.content)
+        if not gs:
+            assert row.doc_id not in sig
+            continue
+        exp = [min(int(hashlib.md5(f"{42 + k},{g}".encode())
+                       .hexdigest()[:15], 16) for g in gs)
+               for k in range(8)]
+        assert list(sig[row.doc_id]) == exp
+
+
+def _embeddings(n=300, dim=16, seed=11, clusters=30):
+    """Cluster-structured vectors (the case ANN indexes exist for): true
+    neighbors share a cluster and have high cosine, unlike isotropic
+    gaussian noise where all angles concentrate near 90°."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((clusters, dim))
+    m = (centers[np.arange(n) % clusters]
+         + 0.25 * rng.standard_normal((n, dim))).astype(np.float32)
+    return pd.DataFrame({"vec_id": range(n),
+                         "embedding": [list(map(float, r)) for r in m]})
+
+
+def test_multi_table_lsh_recall(spark):
+    """Multi-table sign-LSH recall@10 >= 0.9 vs exact brute force (the
+    single-table recall ceiling is what made round-1's variant weak)."""
+    emb = spark.createDataFrame(_embeddings())
+    qids = [0, 1, 2, 3, 4]
+    exact = (similarity.cosine_topk_bruteforce(emb, qids, k=10)
+             .toPandas().groupby("qid").vec_id.apply(set).to_dict())
+    approx = (similarity.lsh_bucketed_topk(emb, qids, k=10, num_planes=8,
+                                           dim=16, num_tables=8)
+              .toPandas().groupby("qid").vec_id.apply(set).to_dict())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in qids)
+    recall = hits / (10 * len(qids))
+    assert recall >= 0.9, recall
+
+    # single table must not beat the multi-table union (sanity of unioning)
+    one = (similarity.lsh_bucketed_topk(emb, qids, k=10, num_planes=8,
+                                        dim=16, num_tables=1)
+           .toPandas().groupby("qid").vec_id.apply(set).to_dict())
+    hits1 = sum(len(exact[q] & one.get(q, set())) for q in qids)
+    assert hits1 <= hits
+
+
+def test_lsh_no_driver_action_when_dim_given(spark):
+    """Passing dim must not trigger a Spark job before the final action."""
+    emb = spark.createDataFrame(_embeddings(50, 8))
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = similarity.lsh_bucketed_topk(emb, [0], k=5, num_planes=4, dim=8)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)  # plan built lazily, no job ran
+    assert df.count() >= 0  # materializes fine
