@@ -9,27 +9,18 @@ Spark-first:
 - ``minhash_lsh_pairs``  : MinHash signatures + banded LSH bucketing —
   the scale path: shuffles only O(docs × bands) bucket keys, never the
   O(n²) pair space; candidates verified with exact Jaccard.
-- ``simhash_pairs``      : 64-bit SimHash + banded hamming candidates.
+- ``simhash_pairs``      : SimHash + banded hamming candidates; the
+  signature itself is a ZERO-shuffle Catalyst fold per doc.
 
-All hashing is deterministic (xxhash64 with fixed salts) so results are
-reproducible across runs and cluster sizes.
+All hashing is deterministic (salted xxhash64, or the md5-based
+``portable_hash60`` when a query needs a cross-engine SQL oracle), so
+results are reproducible across runs and cluster sizes.
 """
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-# fixed 64-bit mixing constants for the k MinHash permutations
-_MERSENNE = (1 << 61) - 1
-
-
-def _hash_params(num_hashes: int, seed: int = 42):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
-    return a, b
 
 
 def tokens_col(text_col: str = "content"):

@@ -13,9 +13,10 @@ Spark-native mapping:
 - *fallback path*: a brute-force DataFrame scan that tokenizes ``content``
   on the fly and position-matches in a pandas UDF — the same numbers as the
   index path, usable when no index exists for the snapshot, when slop > 0
-  is requested (not supported by the indexed kernel, same as the
-  reference), or as a differential-testing oracle (the role of the CPU
-  path in ``TestPimIndexSearcher.checkPhraseQuery``).
+  is requested (answered here with Lucene's sloppy-weight semantics, the
+  exact contract of the reference's rewrite-to-PhraseQuery), or as a
+  differential-testing oracle (the role of the CPU path in
+  ``TestPimIndexSearcher.checkPhraseQuery``).
 """
 
 from __future__ import annotations

@@ -6,7 +6,10 @@ the declarative parts stay inside Catalyst's optimizations:
   a pruned ``ReadSchema`` (no blob columns for the stats lookup);
 - term-stats aggregate: partial (map-side) aggregation + WholeStageCodegen
   spans around the exchange;
-- norms/postings cogroup: one hash exchange per side keyed on ``pid``.
+- search plan (norms_access='direct'): exactly ONE exchange (postings on
+  ``pid``) — the norms side reads per-pid Parquet inside the kernel and
+  never appears in the plan;
+- zero-shuffle simhash: no Exchange at all.
 
 Usage: PYTHONPATH=. python scripts/explain_plans.py [index_dir]
 (builds a throwaway index over sf0.001 documents if no dir given).
@@ -68,11 +71,18 @@ def main() -> None:
      .explain("formatted"))
 
     print("=" * 72)
-    print("4. search cogroup — both sides exchange once on pid")
+    print("4. search (direct norms) — ONE exchange total, no norms scan")
     print("=" * 72)
     from pim_lucene_spark.operators.search import search
     search(spark, manifest, [(0, "the fast"), (1, "merge")],
            k=10).explain("formatted")
+
+    print("=" * 72)
+    print("5. simhash — pure map stage, zero Exchange")
+    print("=" * 72)
+    from pim_lucene_spark.operators.dedup import simhash
+    docs = spark.read.parquet(manifest.docs_path)
+    simhash(docs).explain("formatted")
 
 
 if __name__ == "__main__":
