@@ -54,6 +54,11 @@ class IndexConfig:
     build_chunks: int = 4
     tokenizer: str = "whitespace"  # "whitespace" | "standard" | "code"
     max_postings_per_stripe: int = 1 << 17
+    # per-partition compressed-index size guard (the reference enforces
+    # MAX_DPU_INDEX_SIZE = 48 MiB per DPU, DpuSystemExecutor.java:40).
+    # 0 disables; when set, build_index warns with the offending partitions
+    # and the num_partitions that would bring them under the bound.
+    max_partition_bytes: int = 0
 
     def __post_init__(self) -> None:
         if self.num_partitions < 1:

@@ -572,5 +572,20 @@ def build_index(
             } for r in metrics_rows
         },
     }
+    if cfg.max_partition_bytes:
+        # size guard (reference: MAX_DPU_INDEX_SIZE per DPU,
+        # DpuSystemExecutor.java:40) — advisory here: a Spark partition is
+        # not RAM-bound, but an oversized one is a task-skew smell
+        over = {int(r["pid"]): int(r["bytes"]) for r in metrics_rows
+                if int(r["bytes"]) > cfg.max_partition_bytes}
+        if over:
+            import warnings
+            worst = max(over.values())
+            suggested = P * -(-worst // cfg.max_partition_bytes)
+            warnings.warn(
+                f"{len(over)} index partition(s) exceed "
+                f"max_partition_bytes={cfg.max_partition_bytes} "
+                f"(worst {worst} bytes); consider num_partitions>="
+                f"{suggested}", RuntimeWarning, stacklevel=2)
     manifest.save()
     return manifest

@@ -216,7 +216,7 @@ def _phrase_match_counts(postings_by_term: list, cand_idx_by_term: list[np.ndarr
 
 def _single_term_topk(rows, norms: np.ndarray, weight: float,
                       cache: np.ndarray, precision: str, k: int,
-                      num_segments: int):
+                      num_segments: int, ext_bound: float = -np.inf):
     """Single-term scoring with block-max segment skipping.
 
     Segments are visited in descending admissible upper-bound order
@@ -234,7 +234,7 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         counts_tot += np.asarray(r.seg_doc_counts, dtype=np.int64)
         max_tf = np.maximum(max_tf, np.asarray(r.seg_max_tf, dtype=np.int64))
     total = int(counts_tot.sum())
-    if k >= total:  # no pruning possible — decode everything
+    if k >= total and ext_bound == -np.inf:  # no pruning possible
         lp = _LazyPostings(rows)
         nb = norms[lp.rel_docs]
         sc = bm25.score(lp.freqs, nb, weight, cache, precision)
@@ -253,7 +253,10 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
     n_coll, kth, i = 0, -np.inf, 0
     batch_target = max(4 * k, 256)
     while i < order.size:
-        if n_coll >= k and ub_sorted[i] < kth:
+        # ext_bound is an achieved global k-th-best lower bound (the
+        # host-side bound broadcast of topdocs_sync.c:469-544): admissible
+        # to apply before k local docs are collected
+        if ub_sorted[i] < ext_bound or (n_coll >= k and ub_sorted[i] < kth):
             DECODE_STATS["segments_skipped"] += int(order.size - i)
             break
         j, exp = i, 0
@@ -273,6 +276,9 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
             allsc = np.concatenate([p[3] for p in parts])
             kth = float(np.partition(allsc, -k)[-k])
         i = j
+    if not parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z.astype(np.uint8), np.empty(0, dtype=np.float64)
     cand = np.concatenate([p[0] for p in parts])
     freqs = np.concatenate([p[1] for p in parts])
     nb = np.concatenate([p[2] for p in parts])
@@ -310,16 +316,18 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame,
             decoded[term] = tp
         return tp
 
+    bounds = payload.get("bounds") or {}
     for qid, terms, weight in payload["queries"]:
         if any(t not in by_term for t in terms):
             continue  # this partition lacks a term → no hits here
         uniq = list(dict.fromkeys(terms))
         multi = len(terms) > 1
+        ext = float(bounds.get(qid, -np.inf))
 
         if not multi:
             cand, freqs, norm_bytes, scores = _single_term_topk(
                 by_term[terms[0]], norms, weight, cache, precision, k,
-                num_segments)
+                num_segments, ext_bound=ext)
             if cand.size == 0:
                 continue
         else:
@@ -369,8 +377,10 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame,
             for start in range(0, order.size, chunk):
                 sel = order[start:start + chunk]
                 # strict <: an unevaluated candidate with exact == kth
-                # could still win the doc_id-asc tie-break
-                if n_scored >= k and float(ub[sel[0]]) < kth_best:
+                # could still win the doc_id-asc tie-break.  ext is the
+                # broadcast global bound — admissible immediately.
+                cut = float(ub[sel[0]])
+                if cut < ext or (n_scored >= k and cut < kth_best):
                     break  # no remaining candidate can beat the k-th
                 sub_counts = _phrase_match_counts(
                     [tps[j] for j in term_order],
@@ -507,7 +517,8 @@ def search(spark: SparkSession, index: IndexManifest | str,
            queries: list[tuple[int, str]], k: int = 10,
            precision: str = "float32",
            final_merge: str = "window",
-           norms_access: str = "direct") -> DataFrame:
+           norms_access: str = "direct",
+           bound_probe: bool = False) -> DataFrame:
     """Batched top-k phrase/term search → DataFrame(qid, doc_id, freq, norm, score).
 
     ``precision='float32'`` reproduces Lucene's float expression tree
@@ -526,6 +537,17 @@ def search(spark: SparkSession, index: IndexManifest | str,
     filesystem / object store, exactly like the postings scan itself);
     ``'cogroup'`` shuffles norms through a Spark cogroup instead (works on
     v2 indexes and exotic deployments).
+
+    ``bound_probe``: the reference's multi-round adaptive bound broadcast
+    (``topdocs_sync.c:469-544``: the host pushes the running global k-th
+    best to every DPU between rounds) re-expressed as two passes — a probe
+    job over ONE partition yields an achieved k-th-best score per query
+    (round-robin doc routing makes any partition a uniform sample), which
+    is broadcast into the full job where every kernel starts its WAND /
+    block-max cut at that bound instead of -inf.  Strictly less decode
+    work for small k on large corpora; admissible because k docs already
+    achieve the bound, so anything strictly below it cannot enter the
+    global top-k.  Results are identical (differential-tested).
     """
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
     planned, needed_terms = plan_queries(spark, manifest, queries, k, precision)
@@ -549,6 +571,18 @@ def search(spark: SparkSession, index: IndexManifest | str,
     postings = (spark.read.parquet(*[manifest.chunk_path(c) for c in
                                      range(manifest.build_chunks)])
                 .filter(F.col("term").isin(list(needed_terms))))
+
+    if bound_probe and use_direct and manifest.num_partitions > 1:
+        probe = (postings.filter(F.col("pid") == 0).groupBy("pid")
+                 .applyInPandas(_match_kernel(payload), RESULT_SCHEMA)
+                 .toPandas())
+        bounds = {}
+        for qid, grp in probe.groupby("qid"):
+            sc = grp["score"].to_numpy()
+            if sc.size >= k:  # bound valid only when k docs achieve it
+                bounds[int(qid)] = float(np.sort(sc)[-k])
+        if bounds:
+            payload = dict(payload, bounds=bounds)
 
     if use_direct:
         per_part = (postings.groupBy("pid")

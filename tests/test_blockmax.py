@@ -141,6 +141,81 @@ def test_lazy_position_decode_phrase(spark, bm_index):
     assert 0 < stats["pos_bytes"] < 0.3 * total_pos
 
 
+@pytest.mark.parametrize("k", [1, 5, 20])
+def test_bound_probe_identical_results(spark, bm_index, k):
+    """Two-phase bound broadcast (topdocs_sync.c analogue) must return
+    exactly the plain single-pass results for terms, phrases and misses."""
+    m, _ = bm_index
+    queries = [(0, "the"), (1, "the fast"), (2, "fast fast"),
+               (3, "merge zzznothere"), (4, "alpha zebra")]
+    plain = (search(spark, m, queries, k=k).toPandas()
+             .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    probed = (search(spark, m, queries, k=k, bound_probe=True).toPandas()
+              .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, probed)
+
+
+def test_bound_probe_prunes_more(spark, bm_index):
+    """With the broadcast bound, partitions other than the probe's skip
+    segments they would otherwise score (driver-side kernel evidence)."""
+    m, _ = bm_index
+    from pim_lucene_spark.functions import bm25
+    from pim_lucene_spark.operators.search import plan_queries
+    planned, needed = plan_queries(spark, m, [(0, "the")], 1, "float32")
+    avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
+                                  "float32")
+    payload = {
+        "queries": planned, "k": 1, "precision": "float32",
+        "cache": bm25.score_cache(avgdl, m.k1, m.b, "float32"),
+        "num_partitions": m.num_partitions,
+        "num_segments": m.num_segments, "norms_path": m.norms_path,
+    }
+    postings = (spark.read.parquet(m.chunk_path(0))
+                .filter("term = 'the'").toPandas())
+    import pyarrow.parquet as pq
+
+    def run(payload, pids):
+        for pid, grp in postings.groupby("pid"):
+            if pid not in pids:
+                continue
+            blob = pq.read_table(os.path.join(m.norms_path, f"pid={pid}"),
+                                 columns=["norms"]).column("norms")[0].as_py()
+            S._match_core(payload, int(pid), grp, np.frombuffer(blob, np.uint8))
+
+    # probe partition 0 to fetch its best score as the global bound
+    S.reset_decode_stats()
+    probe_out = []
+    for pid, grp in postings.groupby("pid"):
+        if pid == 0:
+            blob = pq.read_table(os.path.join(m.norms_path, "pid=0"),
+                                 columns=["norms"]).column("norms")[0].as_py()
+            probe_out.append(S._match_core(payload, 0, grp,
+                                           np.frombuffer(blob, np.uint8)))
+    bound = float(pd.concat(probe_out).score.max())
+    S.reset_decode_stats()
+    run(payload, pids={1})
+    plain = S.reset_decode_stats()
+    run(dict(payload, bounds={0: bound}), pids={1})
+    bounded = S.reset_decode_stats()
+    assert bounded["segments_scored"] <= plain["segments_scored"]
+    assert bounded["doc_bytes"] < plain["doc_bytes"]
+
+
+def test_partition_size_guard_warns(spark, tmp_index_dir):
+    import warnings
+
+    from pim_lucene_spark.config import IndexConfig
+    corpus = _mk_corpus(200)
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1,
+                      max_partition_bytes=64)  # absurdly small → must warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        build_index(spark, spark.createDataFrame(corpus), tmp_index_dir,
+                    cfg, content_col="content", id_col="doc_id")
+    msgs = [str(x.message) for x in w if x.category is RuntimeWarning]
+    assert any("max_partition_bytes" in msg for msg in msgs)
+
+
 def test_kernel_matches_distributed_search(spark, bm_index):
     """Driver-side kernel == the distributed search job (both norm modes)."""
     m, _ = bm_index
