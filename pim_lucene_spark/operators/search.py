@@ -471,6 +471,21 @@ def _match_kernel(payload: dict):
 # LRU-bounded so dead indexes don't leak for the process lifetime.
 _TERM_STATS_CACHE: OrderedDict[tuple, dict[str, int]] = OrderedDict()
 _TERM_STATS_CACHE_MAX = 64
+# index generations whose FULL stats table is cached (small indexes only:
+# one job warms every term and later misses are true df=0 negatives)
+_TERM_STATS_FULL: set[tuple] = set()
+_FULL_STATS_MAX_BYTES = 8 << 20  # gate: never bulk-load a big stats table
+
+
+def _stats_table_bytes(path: str) -> int | None:
+    """Cheap driver-side size probe of the stats Parquet dir (local/shared
+    FS only — returns None where listing fails, falling back to the
+    filtered per-term read)."""
+    try:
+        return sum(os.path.getsize(os.path.join(path, f))
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    except OSError:
+        return None
 
 
 def _stats_cache_key(m: IndexManifest) -> tuple:
@@ -491,15 +506,31 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
     cache = _TERM_STATS_CACHE.setdefault(key, {})
     _TERM_STATS_CACHE.move_to_end(key)
     while len(_TERM_STATS_CACHE) > _TERM_STATS_CACHE_MAX:
-        _TERM_STATS_CACHE.popitem(last=False)
+        old_key, _ = _TERM_STATS_CACHE.popitem(last=False)
+        _TERM_STATS_FULL.discard(old_key)
     missing = [t for t in all_terms if t not in cache]
+    if missing and key in _TERM_STATS_FULL:
+        for t in missing:  # full table cached → misses are df=0
+            cache[t] = 0
+        missing = []
     if missing:
-        stats = (spark.read.parquet(manifest.stats_path)
-                 .filter(F.col("term").isin(missing))
-                 .collect())
-        found = {r["term"]: int(r["doc_freq"]) for r in stats}
-        for t in missing:
-            cache[t] = found.get(t, 0)
+        size = _stats_table_bytes(manifest.stats_path)
+        if size is not None and size <= _FULL_STATS_MAX_BYTES:
+            # small index: warm EVERY term in one job so later queries in
+            # this process never pay a stats-lookup job again
+            rows = (spark.read.parquet(manifest.stats_path)
+                    .select("term", "doc_freq").collect())
+            cache.update({r["term"]: int(r["doc_freq"]) for r in rows})
+            _TERM_STATS_FULL.add(key)
+            for t in missing:
+                cache.setdefault(t, 0)
+        else:
+            stats = (spark.read.parquet(manifest.stats_path)
+                     .filter(F.col("term").isin(missing))
+                     .collect())
+            found = {r["term"]: int(r["doc_freq"]) for r in stats}
+            for t in missing:
+                cache[t] = found.get(t, 0)
     doc_freq = {t: cache[t] for t in all_terms if cache[t] > 0}
     planned = []
     for qid, terms in term_lists.items():
