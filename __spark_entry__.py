@@ -341,6 +341,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: similarity.lsh_bucketed_topk(
                 _emb(s, d), ANN_QUERY_IDS, k=10, num_planes=8, dim=EMB_DIM)
             .select("qid", "vec_id", F.round("cosine", 6).alias("cosine")),
+        "dedup_embedding_cosine":
+            lambda s, d: similarity.embedding_neardup_pairs(
+                _emb(s, d), threshold=0.3, num_planes=8, num_tables=4,
+                dim=EMB_DIM)
+            .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")),
         # --- text analysis ---------------------------------------------------
         "text_quality": _q_text_quality,
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
@@ -466,6 +471,40 @@ def _ann_lsh_sql(k: int = 10, num_planes: int = 8, seed: int = 42) -> str:
             ON b.bucket = q.qbucket AND b.vec_id <> q.qid)
         QUALIFY row_number() OVER
           (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= {k}"""
+
+
+def _emb_neardup_sql(threshold: float = 0.3, num_planes: int = 8,
+                     num_tables: int = 4, seed: int = 42) -> str:
+    """Embedding near-dup pairs oracle: per-table sign-LSH buckets with the
+    same seeded hyperplanes inlined as literals, exact cosine verify."""
+    from pim_lucene_spark.operators.similarity import _hyperplanes, table_seed
+    tables = []
+    for t in range(num_tables):
+        planes = _hyperplanes(EMB_DIM, num_planes, table_seed(seed, t))
+        bucket = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in planes[j])
+            + f"]) > 0.0 THEN {1 << j} ELSE 0 END)"
+            for j in range(num_planes))
+        tables.append(f"SELECT vec_id, v, {t} AS tab, "
+                      f"CAST({bucket} AS BIGINT) AS bucket FROM base")
+    return f"""
+        WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+        tabbed AS ({' UNION ALL '.join(tables)}),
+        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                 FROM tabbed x JOIN tabbed y
+                   ON x.tab = y.tab AND x.bucket = y.bucket
+                  AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM (
+          SELECT vec_a, vec_b,
+                 list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))) AS cosine
+          FROM cand JOIN base a ON a.vec_id = cand.vec_a
+                    JOIN base b ON b.vec_id = cand.vec_b)
+        WHERE cosine >= {threshold}"""
 
 
 _MM_FEATURES_SQL = """
@@ -631,6 +670,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(num_hashes=32, bands=16,
                                           threshold=0.01),
         "ann_lsh_topk": _ann_lsh_sql(k=10, num_planes=8),
+        "dedup_embedding_cosine": _emb_neardup_sql(threshold=0.3,
+                                                   num_planes=8,
+                                                   num_tables=4),
         "multimodal_features": _MM_FEATURES_SQL,
         # corpus_generate: python-RNG-seeded generator — rows-only check.
     }

@@ -74,6 +74,49 @@ def table_seed(seed: int, table: int) -> int:
     return seed + 7919 * table
 
 
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.3,
+                            num_planes: int = 8, num_tables: int = 4,
+                            seed: int = 42, dim: int | None = None,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-by-embedding mode):
+    (vec_a, vec_b, cosine) with vec_a < vec_b and cosine >= threshold.
+
+    Scale path: multi-table sign-LSH bucketing — candidates are pairs that
+    collide in ANY table's bucket (equi-join on (table, bucket), never the
+    O(n²) pair space), then exact cosine verify, so ``threshold`` is exact
+    and LSH only affects recall (tunable via num_tables × num_planes).
+    Deterministic: seeded hyperplanes, reproducible in SQL with the planes
+    inlined as literals.
+    """
+    if dim is None:
+        dim = len(emb.select(F.col(vec_col)).first()[0])
+    base = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("v"))
+    buckets = [lsh_bucket_udf(dim, num_planes, table_seed(seed, t))
+               for t in range(num_tables)]
+    tabbed = base.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tab"),
+                     buckets[t](F.col("v")).alias("bucket"))
+            for t in range(num_tables)])).alias("tb")
+    ).select("vec_id", "v", "tb.tab", "tb.bucket")
+    cand = (tabbed.alias("x").join(
+                tabbed.alias("y"),
+                (F.col("x.tab") == F.col("y.tab"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")))
+            .select(F.col("x.vec_id").alias("vec_a"),
+                    F.col("y.vec_id").alias("vec_b"),
+                    F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
+            .dropDuplicates(["vec_a", "vec_b"]))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (cand.select("vec_a", "vec_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                       num_planes: int = 12, seed: int = 42,
                       id_col: str = "vec_id",

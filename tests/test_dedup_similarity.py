@@ -120,6 +120,28 @@ def test_multi_table_lsh_recall(spark):
     assert hits1 <= hits
 
 
+def test_embedding_neardup_pairs(spark):
+    """Embedding-cosine near-dup: every returned pair really clears the
+    threshold; recall vs the exact pair set is high on clustered data."""
+    emb = spark.createDataFrame(_embeddings(200, 16, clusters=20))
+    got = (similarity.embedding_neardup_pairs(emb, threshold=0.8,
+                                              num_planes=6, num_tables=8,
+                                              dim=16)
+           .toPandas())
+    assert (got.cosine >= 0.8).all()
+    assert (got.vec_a < got.vec_b).all()
+    # exact ground truth in numpy
+    m = np.stack(_embeddings(200, 16, clusters=20).embedding.map(np.asarray))
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = n @ n.T
+    ia, ib = np.triu_indices(200, 1)
+    truth = {(a, b) for a, b in zip(ia, ib) if cos[a, b] >= 0.8}
+    found = set(zip(got.vec_a, got.vec_b))
+    assert found <= truth or all(
+        cos[a, b] >= 0.8 - 1e-9 for a, b in found)  # no false positives
+    assert len(found) / max(len(truth), 1) >= 0.8, (len(found), len(truth))
+
+
 def test_lsh_no_driver_action_when_dim_given(spark):
     """Passing dim must not trigger a Spark job before the final action."""
     emb = spark.createDataFrame(_embeddings(50, 8))
