@@ -227,10 +227,7 @@ def decode_positions_slice(pos_bytes: bytes, freqs: np.ndarray) -> np.ndarray:
     starts = offs[:-1][freqs > 0]
     if starts.size == 0:
         return np.empty(0, dtype=np.int64)
-    c = np.cumsum(gaps)
-    base = np.where(starts > 0, c[starts - 1], 0)
-    reps = np.diff(np.concatenate([starts, [gaps.size]]))
-    return c - np.repeat(base, reps)
+    return segmented_cumsum(gaps, starts)
 
 
 def decode_columnar(

@@ -150,7 +150,7 @@ class MultiFieldIndex:
         from pyspark.sql import functions as F
 
         from pim_lucene_spark.operators.index_build import (
-            assign_doc_ids,
+            _assign_doc_ids,
             build_index,
         )
         os.makedirs(index_dir, exist_ok=True)
@@ -159,8 +159,9 @@ class MultiFieldIndex:
             # shares the identical id space
             cols = order_cols or [next(iter(fields.values()))]
             src_path = os.path.join(index_dir, "docs_src")
-            assign_doc_ids(docs, cols).write.mode("overwrite") \
-                .parquet(src_path)
+            with_ids, persisted = _assign_doc_ids(docs, cols)
+            with_ids.write.mode("overwrite").parquet(src_path)
+            persisted.unpersist()
             docs = spark.read.parquet(src_path)
             id_col = "doc_id"
         manifests = {}

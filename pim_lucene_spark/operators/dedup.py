@@ -220,8 +220,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
                    lambda v, p: F.when(v * 2 > n, p)
                                  .otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                       sim.alias("simhash"))
+    # docs with no tokens have no signature (the previous mapInPandas
+    # implementation dropped them via explode; the SQL oracle filters
+    # len(tks) > 0) — emitting sim=0 would report every empty doc as a
+    # hamming-0 near-duplicate of every other
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                        n.alias("_n"), sim.alias("simhash"))
+            .filter(F.col("_n") > 0).drop("_n"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,

@@ -445,7 +445,14 @@ def _match_kernel(payload: dict):
                 return _empty_result()
             part_dir = os.path.join(norms_path, f"pid={pid}")
             if not os.path.isdir(part_dir):
-                return _empty_result()
+                # a pid with postings always has docs, hence norms — a
+                # missing dir is a misconfiguration (unmounted index path,
+                # object-store URI): fail loudly, never return empty hits
+                raise FileNotFoundError(
+                    f"norms partition {part_dir} not visible from this "
+                    "executor; direct norms access needs a POSIX-visible "
+                    "shared mount — use search(norms_access='cogroup') "
+                    "for object stores or non-shared layouts")
             import pyarrow.parquet as pq
             blob = pq.read_table(part_dir, columns=["norms"]) \
                 .column("norms")[0].as_py()
@@ -482,10 +489,13 @@ def _stats_table_bytes(path: str) -> int | None:
     FS only — returns None where listing fails, falling back to the
     filtered per-term read)."""
     try:
-        return sum(os.path.getsize(os.path.join(path, f))
-                   for f in os.listdir(path) if f.endswith(".parquet"))
+        sizes = [os.path.getsize(os.path.join(path, f))
+                 for f in os.listdir(path) if f.endswith(".parquet")]
     except OSError:
         return None
+    # zero parquet files == unknown layout, NOT an empty table — never let
+    # a non-standard layout pass the "small table" gate
+    return sum(sizes) if sizes else None
 
 
 def _stats_cache_key(m: IndexManifest) -> tuple:
@@ -564,10 +574,10 @@ def search(spark: SparkSession, index: IndexManifest | str,
 
     ``norms_access``: ``'direct'`` (default) has each partition task read
     its norms blob straight from the index's ``norms/pid=N/`` Parquet files
-    (requires executors to see the index path — true for any shared
-    filesystem / object store, exactly like the postings scan itself);
-    ``'cogroup'`` shuffles norms through a Spark cogroup instead (works on
-    v2 indexes and exotic deployments).
+    — requires a POSIX-visible shared mount (local disk, NFS, Lustre,
+    FUSE-mounted object store); a task that cannot see its norms dir fails
+    loudly.  ``'cogroup'`` shuffles norms through a Spark cogroup instead
+    (raw object-store URIs, v2 indexes, exotic deployments).
 
     ``bound_probe``: the reference's multi-round adaptive bound broadcast
     (``topdocs_sync.c:469-544``: the host pushes the running global k-th

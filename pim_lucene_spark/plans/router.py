@@ -73,6 +73,9 @@ def _sloppy_freqs(doc_idx: np.ndarray, codes: np.ndarray, pos: np.ndarray,
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if a_doc.size == 0:
         return empty
+    if n == 1:  # single term: every occurrence is a matchLength-0 match
+        uniq, counts = np.unique(a_doc, return_counts=True)
+        return uniq, counts.astype(np.float64)
     a_key = a_doc * _DOC_SHIFT + a_pp
     u_offs, l_offs = [], []
     for i in range(1, n):

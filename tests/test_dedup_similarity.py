@@ -62,6 +62,18 @@ def test_simhash_matches_numpy_reference(spark):
                 break  # xxhash64 path needs a Spark job per doc — spot-check
 
 
+def test_simhash_drops_empty_docs(spark):
+    """Empty/whitespace-only docs have no signature (matching the SQL
+    oracle's len(tks) > 0 filter) — they must not surface as hamming-0
+    near-duplicates of each other."""
+    docs = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                         "content": ["", "   ", "spark table", "spark table"]})
+    sh = dedup.simhash(spark.createDataFrame(docs)).toPandas()
+    assert set(sh.doc_id) == {2, 3}
+    pairs = dedup.simhash_pairs(spark.createDataFrame(docs)).toPandas()
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == {(2, 3)}
+
+
 def test_minhash_portable_equals_definition(spark):
     """Portable minhash signature == min over salted md5-60 of the distinct
     gram set, computed independently in pandas."""

@@ -108,6 +108,20 @@ def test_slop_routes_to_scan_never_raises(spark, tmp_index_dir):
     assert dict(zip(res.doc_id, res.freq)) == {0: 0.5, 1: 1.0}
 
 
+def test_slop_single_term(spark):
+    """A single-term query under slop must behave like a term query with
+    integer-valued float freqs ('never an exception' contract)."""
+    res = brute_force_search(spark.createDataFrame(SLOP_DOCS),
+                             [(0, "beta")], k=10, slop=2,
+                             precision="float64").toPandas()
+    freqs = dict(zip(res.doc_id, res.freq))
+    assert freqs == {0: 1.0, 1: 1.0, 2: 1.0, 3: 2.0}
+    exact = brute_force_search(spark.createDataFrame(SLOP_DOCS),
+                               [(0, "beta")], k=10,
+                               precision="float64").toPandas()
+    assert dict(zip(exact.doc_id, exact.freq.astype(float))) == freqs
+
+
 def test_slop_with_repeated_terms_rejected(spark):
     with pytest.raises(ValueError, match="repeated"):
         brute_force_search(spark.createDataFrame(SLOP_DOCS),
