@@ -61,15 +61,26 @@ class FullTextIndex:
 
     # --- queries -----------------------------------------------------------
     def search(self, queries: list[tuple[int, str]], k: int = 10,
-               precision: str = "float32") -> DataFrame:
-        """Batched phrase/term BM25 top-k → (qid, doc_id, freq, norm, score)."""
+               precision: str = "float32", slop: int = 0) -> DataFrame:
+        """Batched phrase/term BM25 top-k → (qid, doc_id, freq, norm, score).
+
+        ``slop != 0`` routes to the scan over this index's docs table with
+        Lucene sloppy-weight semantics (``freq`` becomes DOUBLE) — the
+        reference's rewrite-to-PhraseQuery contract, never an exception.
+        """
+        if slop:
+            from pim_lucene_spark.plans.router import search_with_fallback
+            return search_with_fallback(self.spark, self.manifest, None,
+                                        queries, k=k, slop=slop,
+                                        precision=precision)
         from pim_lucene_spark.operators.search import search
         return search(self.spark, self.manifest, queries, k=k,
                       precision=precision)
 
     def search_phrase(self, text: str, k: int = 10,
-                      precision: str = "float32") -> DataFrame:
-        return self.search([(0, text)], k=k, precision=precision).drop("qid")
+                      precision: str = "float32", slop: int = 0) -> DataFrame:
+        return self.search([(0, text)], k=k, precision=precision,
+                           slop=slop).drop("qid")
 
     def search_term(self, term: str, k: int = 10 ** 9,
                     precision: str = "float32") -> DataFrame:
