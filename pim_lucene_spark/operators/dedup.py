@@ -130,11 +130,29 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                       .alias("sig"))
 
 
+def _cap_buckets(bkt: DataFrame, keys: list[str],
+                 max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets larger than the cap before the self-join.
+
+    At corpus scale a pathological bucket (site boilerplate, empty-ish
+    docs) turns the within-bucket join quadratic: a 1M-doc bucket is 10¹²
+    candidate pairs.  Oversized buckets are near-certain exact/boilerplate
+    duplicates — route them through :func:`exact_dedup` instead of the
+    pair join.  ``None`` disables (exact contract counts)."""
+    if max_bucket_size is None:
+        return bkt
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys)
+    return (bkt.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                       n: int = 3, threshold: float = 0.5,
                       id_col: str = "doc_id", text_col: str = "content",
                       seed: int = 42,
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
 
     Scale path: docs sharing any band bucket become candidates (shuffle on
@@ -142,6 +160,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     Jaccard so the threshold is exact, LSH only affects recall.  The band
     bucket key is the concatenated signature slice itself (no second hash
     — exactly as collision-safe, and byte-for-byte reproducible in SQL).
+    ``max_bucket_size`` skips pathological boilerplate buckets (see
+    :func:`_cap_buckets`).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -156,7 +176,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                                 .cast("string")
                                 for j in range(rows_per_band)]).alias("bucket"))
             for i in range(bands)])).alias("bb"))
-    bkt = bucketed.select("doc_id", "bb.band", "bb.bucket")
+    bkt = _cap_buckets(bucketed.select("doc_id", "bb.band", "bb.bucket"),
+                       ["band", "bucket"], max_bucket_size)
     cand = (bkt.alias("x").join(bkt.alias("y"),
                                 (F.col("x.band") == F.col("y.band"))
                                 & (F.col("x.bucket") == F.col("y.bucket"))
@@ -232,12 +253,14 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "content",
                   num_bits: int = 64,
-                  hash_fn: str = "xxhash64") -> DataFrame:
+                  hash_fn: str = "xxhash64",
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Banding: with 4 bands of num_bits/4 bits, any pair within hamming 3
     shares at least one exact band (pigeonhole) — candidates via band
-    equi-join, then exact popcount verify.
+    equi-join, then exact popcount verify.  ``max_bucket_size`` skips
+    pathological boilerplate buckets (see :func:`_cap_buckets`).
     """
     band_bits = num_bits // 4 if hash_fn != "portable" else 15
     sh = simhash(docs, id_col, text_col, num_bits, hash_fn)
@@ -248,6 +271,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   .bitwiseAND(F.lit(mask)).alias("key"))
         for i in range(4)])).alias("bb")).select("doc_id", "simhash",
                                                  "bb.band", "bb.key")
+    bands = _cap_buckets(bands, ["band", "key"], max_bucket_size)
     cand = (bands.alias("x").join(bands.alias("y"),
                                   (F.col("x.band") == F.col("y.band"))
                                   & (F.col("x.key") == F.col("y.key"))

@@ -62,6 +62,26 @@ def test_simhash_matches_numpy_reference(spark):
                 break  # xxhash64 path needs a Spark job per doc — spot-check
 
 
+def test_bucket_cap_skips_boilerplate(spark):
+    """max_bucket_size drops pathological buckets (boilerplate) from the
+    pair join while genuine near-dup pairs in small buckets survive."""
+    boiler = ["copyright footer text " * 3] * 30  # one giant bucket
+    near = ["alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta"]
+    docs = pd.DataFrame({"doc_id": range(32), "content": boiler + near})
+    sdf = spark.createDataFrame(docs)
+    capped = dedup.minhash_lsh_pairs(sdf, num_hashes=16, bands=8, n=3,
+                                     threshold=0.3, max_bucket_size=8
+                                     ).toPandas()
+    # the 30-doc boilerplate bucket (435 pairs) is skipped entirely…
+    assert not ((capped.doc_a < 30) & (capped.doc_b < 30)).any()
+    # …but the small-bucket near-dup pair survives
+    assert (30, 31) in set(zip(capped.doc_a, capped.doc_b))
+    uncapped = dedup.minhash_lsh_pairs(sdf, num_hashes=16, bands=8, n=3,
+                                       threshold=0.3).toPandas()
+    assert ((uncapped.doc_a < 30) & (uncapped.doc_b < 30)).sum() == 435
+
+
 def test_simhash_drops_empty_docs(spark):
     """Empty/whitespace-only docs have no signature (matching the SQL
     oracle's len(tks) > 0 filter) — they must not surface as hamming-0
