@@ -7,16 +7,16 @@ deterministic corpus parquet is indexed at both parallelism levels via
 ``spark-submit --py-files``; we report indexing throughput at each and the
 scaling efficiency ``(thr_4N / thr_N) / 4``.
 
-Why 2 vs 8 and not 8 vs 32: this sandbox is one VM whose *aggregate*
-memory bandwidth saturates at ~8 concurrent memory-streaming workers
-(measured: a numpy alloc+transform loop sustains the same total GB/s at 8
-and at 32 processes, so per-process throughput drops ~4x at 32 — see
-BASELINE.md "Scaling evidence").  On a real cluster each added executor
-NODE adds its own memory channels, so 8→32 *executors* does not hit this
-wall; 2→8 cores on this box is the regime where cores, not the single
-shared memory bus, are the scaled resource — the honest stand-in for
-adding executors.  The 8→32 numbers are still reported alongside for
-transparency.
+Why 1 vs 4 (default) and not 8 vs 32: this sandbox is one VM whose
+*aggregate* memory bandwidth saturates at ~8 concurrent memory-streaming
+workers (measured: a numpy alloc+transform loop sustains the same total
+GB/s at 8 and at 32 processes — see BASELINE.md "Scaling evidence" and
+scripts/host_probe.py).  On a real cluster each added executor NODE adds
+its own memory channels, so more executors never hit this wall; 1→4
+cores on this box is the regime where cores, not the single shared
+memory bus, are the scaled resource — the honest stand-in for adding
+executors.  2→8 and larger fan-outs measure the host, not the engine,
+and are reported as secondary protocols in BENCH_SCALING.json.
 
 Writes ``BENCH_SCALING.json`` and prints one JSON line.
 
@@ -42,7 +42,7 @@ import pyspark
 REPO = os.path.dirname(os.path.abspath(__file__))
 NUM_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "120000"))
 LEVELS = [int(x) for x in
-          os.environ.get("SPARK_GRAFT_LEVELS", "2,8").split(",")]
+          os.environ.get("SPARK_GRAFT_LEVELS", "1,4").split(",")]
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 SPARK_SUBMIT = shutil.which("spark-submit") or os.path.join(
     os.path.dirname(pyspark.__file__), "bin", "spark-submit")

@@ -18,7 +18,8 @@ Layout
 from pim_lucene_spark.config import IndexConfig
 from pim_lucene_spark.index import FullTextIndex, MultiFieldIndex
 from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
 
 __all__ = ["FullTextIndex", "IndexConfig", "IndexManifest",
-           "MultiFieldIndex"]
+           "MultiFieldIndex", "PhraseQuery", "TermQuery"]
 __version__ = "0.3.0"

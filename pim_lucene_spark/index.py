@@ -86,6 +86,28 @@ class FullTextIndex:
                     precision: str = "float32") -> DataFrame:
         return self.search([(0, term)], k=k, precision=precision).drop("qid")
 
+    def query(self, queries, k: int = 10,
+              precision: str = "float32") -> DataFrame:
+        """Typed-query entry point (the ``PimPhraseQuery`` surface):
+        ``queries`` is a list of ``(qid, PhraseQuery|TermQuery)``.  Boosts
+        apply Lucene ``BoostQuery`` semantics; any query with slop routes
+        the WHOLE batch through the scan path (mixed-slop batches should
+        be split by the caller — slop and exact freq types differ)."""
+        from pim_lucene_spark.plans.query import to_tuple
+        tuples = [to_tuple(qid, q) for qid, q in queries]
+        slops = {getattr(q, "slop", 0) for _, q in queries}
+        if slops - {0}:
+            if len(slops) > 1:
+                raise ValueError("mix of slop values in one batch; split "
+                                 "exact and sloppy queries")
+            from pim_lucene_spark.plans.router import search_with_fallback
+            return search_with_fallback(self.spark, self.manifest, None,
+                                        tuples, k=k, slop=slops.pop(),
+                                        precision=precision)
+        from pim_lucene_spark.operators.search import search
+        return search(self.spark, self.manifest, tuples, k=k,
+                      precision=precision)
+
     # --- introspection -----------------------------------------------------
     @property
     def doc_count(self) -> int:

@@ -503,13 +503,30 @@ def _stats_cache_key(m: IndexManifest) -> tuple:
             m.norm_quant_factor)
 
 
+def _normalize_queries(queries) -> list[tuple[int, str, float]]:
+    """Accept ``(qid, text)`` or ``(qid, text, boost)`` tuples."""
+    out = []
+    for q in queries:
+        if len(q) == 2:
+            out.append((q[0], q[1], 1.0))
+        else:
+            out.append((q[0], q[1], float(q[2])))
+    return out
+
+
 def plan_queries(spark: SparkSession, manifest: IndexManifest,
-                 queries: list[tuple[int, str]], k: int,
+                 queries: list[tuple], k: int,
                  precision: str) -> tuple[list, list[str]]:
-    """Driver-side scoring-stats build (Q2) + no-match short-circuit (Q3)."""
-    term_lists = {qid: tokenize_one(text, manifest.tokenizer)
-                  for qid, text in queries}
-    all_terms = sorted({t for ts in term_lists.values() for t in ts})
+    """Driver-side scoring-stats build (Q2) + no-match short-circuit (Q3).
+
+    ``queries`` are ``(qid, text)`` or ``(qid, text, boost)``; boost
+    scales the weight exactly as Lucene's ``BoostQuery``
+    (``weight = boost * Σidf`` in float32, ``BM25Similarity.java:236``).
+    """
+    norm_queries = _normalize_queries(queries)
+    term_lists = {qid: (tokenize_one(text, manifest.tokenizer), boost)
+                  for qid, text, boost in norm_queries}
+    all_terms = sorted({t for ts, _ in term_lists.values() for t in ts})
     if not all_terms:
         return [], []
     key = _stats_cache_key(manifest)
@@ -543,12 +560,12 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
                 cache[t] = found.get(t, 0)
     doc_freq = {t: cache[t] for t in all_terms if cache[t] > 0}
     planned = []
-    for qid, terms in term_lists.items():
+    for qid, (terms, boost) in term_lists.items():
         if not terms or any(t not in doc_freq for t in terms):
             continue  # Q3: constant-zero weight
         dfs = np.array([doc_freq[t] for t in terms], dtype=np.int64)
         weight = bm25.phrase_weight(dfs, manifest.doc_count,
-                                    boost=1.0, precision=precision)
+                                    boost=boost, precision=precision)
         planned.append((qid, tuple(terms), float(weight)))
     needed_terms = sorted({t for _, ts, _ in planned for t in ts})
     return planned, needed_terms

@@ -1,0 +1,54 @@
+"""Typed query objects — the engine's ``PimPhraseQuery`` surface.
+
+The reference's user-visible query types are Lucene's ``PimPhraseQuery``
+(field, terms, slop — ``PimPhraseQuery.java``) and plain term queries,
+optionally wrapped in ``BoostQuery``; ``PimQuery.java`` is the extension
+point for new offloaded types.  The Spark engine's equivalents:
+
+- :class:`PhraseQuery` — analyzed text, optional slop (slop routes to the
+  scan path, reference rewrite contract) and boost.
+- :class:`TermQuery` — single term with boost (a 1-term phrase).
+
+``FullTextIndex.query([...])`` consumes them; the tuple protocol
+``(qid, text)`` / ``(qid, text, boost)`` stays supported everywhere for
+scripting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PhraseQuery:
+    """Exact (slop=0) or sloppy phrase; ``boost`` scales the BM25 weight
+    exactly as Lucene's ``BoostQuery`` (weight = boost * Σidf, float32)."""
+
+    text: str
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    """Single-term query (a 1-term phrase; slop is meaningless)."""
+
+    term: str
+    boost: float = 1.0
+
+    @property
+    def text(self) -> str:
+        return self.term
+
+    @property
+    def slop(self) -> int:
+        return 0
+
+
+def to_tuple(qid: int, q) -> tuple[int, str, float]:
+    """Normalize a typed query or tuple to ``(qid, text, boost)``."""
+    if isinstance(q, (PhraseQuery, TermQuery)):
+        return (qid, q.text, float(q.boost))
+    if isinstance(q, str):
+        return (qid, q, 1.0)
+    raise TypeError(f"unsupported query object {type(q).__name__}")

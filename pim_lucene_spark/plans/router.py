@@ -161,16 +161,19 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
     from pim_lucene_spark.functions.smallfloat import int_to_byte4
     from pim_lucene_spark.functions.tokenize import token_counts, tokenize_one
 
+    from pim_lucene_spark.operators.search import _normalize_queries
+
     spark = docs.sparkSession
-    term_lists = {qid: tokenize_one(text, tokenizer) for qid, text in queries}
+    term_lists = {qid: (tokenize_one(text, tokenizer), boost)
+                  for qid, text, boost in _normalize_queries(queries)}
     if slop:
-        for qid, ts in term_lists.items():
+        for qid, (ts, _) in term_lists.items():
             if len(set(ts)) != len(ts):
                 raise ValueError(
                     f"slop > 0 with repeated query terms (qid={qid}) is not "
                     "supported by the fallback matcher")
     out_schema = SLOPPY_RESULT_SCHEMA if slop else RESULT_SCHEMA
-    all_terms = sorted({t for ts in term_lists.values() for t in ts})
+    all_terms = sorted({t for ts, _ in term_lists.values() for t in ts})
     empty = spark.createDataFrame([], out_schema)
     if not all_terms:
         return empty
@@ -212,11 +215,11 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
         doc_freq = {r["term"]: int(r["count"]) for r in df_stats}
 
         planned = []
-        for qid, terms in term_lists.items():
+        for qid, (terms, boost) in term_lists.items():
             if not terms or any(t not in doc_freq for t in terms):
                 continue  # Q3 short-circuit
             dfs = np.array([doc_freq[t] for t in terms], dtype=np.int64)
-            w = bm25.phrase_weight(dfs, doc_count, boost=1.0,
+            w = bm25.phrase_weight(dfs, doc_count, boost=boost,
                                    precision=precision)
             planned.append((qid, tuple(terms), float(w)))
         if not planned:

@@ -51,3 +51,53 @@ def test_facade_open_incomplete_raises(spark, tmp_index_dir):
     idx.manifest.save()
     with pytest.raises(ValueError, match="incomplete"):
         FullTextIndex.open(spark, tmp_index_dir)
+
+
+def test_typed_queries_and_boost(spark, tmp_index_dir):
+    """PhraseQuery/TermQuery objects + Lucene BoostQuery semantics:
+    weight = float32(boost) * float32(Σ idf), scores scale accordingly."""
+    import os
+
+    from pim_lucene_spark import FullTextIndex, IndexConfig, PhraseQuery, TermQuery
+    from pim_lucene_spark.functions import bm25
+
+    cfg = IndexConfig(num_partitions=2, num_segments=1, build_chunks=1)
+    idx = FullTextIndex.build(spark, spark.createDataFrame(FIXTURE_DOCS),
+                              os.path.join(tmp_index_dir, "tq"), cfg,
+                              id_col="doc_id")
+    base = (idx.query([(0, TermQuery("red")),
+                       (1, PhraseQuery("blah blah"))], k=10)
+            .toPandas().sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    boosted = (idx.query([(0, TermQuery("red", boost=2.5)),
+                          (1, PhraseQuery("blah blah", boost=2.5))], k=10)
+               .toPandas().sort_values(["qid", "doc_id"])
+               .reset_index(drop=True))
+    assert base.doc_id.tolist() == boosted.doc_id.tolist()
+    # exact float32 BoostQuery math: recompute the boosted score from the
+    # stored (freq, norm) with the boosted weight
+    m = idx.manifest
+    avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count)
+    cache = bm25.score_cache(avgdl, m.k1, m.b)
+    import duckdb  # noqa: F401  (env sanity: duckdb present)
+    stats = idx.term_stats().toPandas().set_index("term")
+    for qid, terms in ((0, ["red"]), (1, ["blah", "blah"])):
+        dfs = np.array([int(stats.loc[t, "doc_freq"]) for t in terms])
+        w = bm25.phrase_weight(dfs, m.doc_count, boost=2.5)
+        sub = boosted[boosted.qid == qid]
+        expect = bm25.score(sub.freq.to_numpy(), sub.norm.to_numpy(),
+                            w, cache)
+        np.testing.assert_array_equal(np.float32(sub.score.to_numpy()),
+                                      np.float32(expect))
+
+    # sloppy typed query routes to the scan (float freq), never raises
+    sloppy = idx.query([(0, PhraseQuery("red white", slop=2))], k=10)
+    assert dict(sloppy.toPandas().dtypes)["freq"] == np.dtype("float64")
+
+    # boost plumbed through the fallback path too
+    from pim_lucene_spark.plans.router import brute_force_search
+    bf = brute_force_search(spark.createDataFrame(FIXTURE_DOCS),
+                            [(0, "red", 2.5)], k=10).toPandas()
+    sub = boosted[boosted.qid == 0].reset_index(drop=True)
+    bf = bf.sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(np.float32(bf.score.to_numpy()),
+                                  np.float32(sub.score.to_numpy()))
