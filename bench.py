@@ -81,22 +81,29 @@ def main() -> None:
     # warm-up (JIT + file cache), not timed
     search(spark, manifest, [(0, "the")], k=10).count()
 
+    # per-query latency: best of REPS (this shared VM shows ~2x run noise;
+    # same convention as bench_scaling.py)
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     per_query: dict[str, float] = {}
     lat = []
     for name, text in BENCH_QUERIES.items():
-        t = time.time()
-        # driver-side top-k merge (host merge of topdocs_sync.c): lowest
-        # latency for small k
-        search(spark, manifest, [(0, text)], k=10,
-               final_merge="driver").collect()
-        dt = time.time() - t
-        per_query[name] = round(dt, 4)
-        lat.append(dt)
+        best = float("inf")
+        for _ in range(REPS):
+            t = time.time()
+            # driver-side top-k merge (host merge of topdocs_sync.c):
+            # lowest latency for small k
+            search(spark, manifest, [(0, text)], k=10,
+                   final_merge="driver").collect()
+            best = min(best, time.time() - t)
+        per_query[name] = round(best, 4)
+        lat.append(best)
 
     # batched throughput: the whole query set in one job
-    t = time.time()
-    search(spark, manifest, BATCH, k=10, final_merge="driver").collect()
-    batch_sec = time.time() - t
+    batch_sec = float("inf")
+    for _ in range(REPS):
+        t = time.time()
+        search(spark, manifest, BATCH, k=10, final_merge="driver").collect()
+        batch_sec = min(batch_sec, time.time() - t)
     per_query["q_batch20"] = round(batch_sec, 4)
 
     total = round(sum(per_query.values()), 4)
@@ -113,6 +120,7 @@ def main() -> None:
         "batch_qps": round(len(BATCH) / batch_sec, 2),
         "p95_query_sec": round(float(np.percentile(lat, 95)), 4),
         "cpus": CPUS,
+        "latency_reps": REPS,
     }
     shutil.rmtree(index_dir, ignore_errors=True)
     print(json.dumps(out))
