@@ -165,6 +165,65 @@ def test_merge_norms_blob_spans(spark, tmp_index_dir):
             blob[shift:shift + a_blob.size], a_blob)
 
 
+@pytest.mark.parametrize("seed", [11, 29])
+def test_merge_randomized_chains(spark, tmp_index_dir, seed):
+    """Random corpora, random batch splits, random chaining order — the
+    merged index must match the model over the re-based union."""
+    rng = np.random.RandomState(seed)
+    vocab = np.array(["a", "b", "ab", "zz", "q", "日本"], dtype=object)
+    n_docs = int(rng.randint(12, 40))
+    docs = [" ".join(vocab[rng.randint(0, len(vocab), rng.randint(1, 15))])
+            for _ in range(n_docs)]
+    P = int(rng.randint(1, 4))
+    cfg = IndexConfig(num_partitions=P, num_segments=int(rng.randint(1, 4)),
+                      build_chunks=1,
+                      max_postings_per_stripe=int(rng.choice([2, 1 << 17])))
+    # split into 2-4 batches with batch-local dense ids
+    n_batches = int(rng.randint(2, 5))
+    cuts = sorted(rng.choice(range(1, n_docs), n_batches - 1, replace=False))
+    bounds = [0, *cuts, n_docs]
+    frames, sources = [], []
+    for i in range(n_batches):
+        f = pd.DataFrame({
+            "doc_id": range(bounds[i + 1] - bounds[i]),
+            "content": docs[bounds[i]:bounds[i + 1]],
+        })
+        frames.append(f)
+        sources.append(build_index(
+            spark, spark.createDataFrame(f),
+            os.path.join(tmp_index_dir, f"s{i}"), cfg,
+            content_col="content", id_col="doc_id"))
+    # random chaining: either flat n-way, or fold left pairwise
+    if rng.rand() < 0.5:
+        merged = merge_indexes(spark, sources,
+                               os.path.join(tmp_index_dir, "m"))
+    else:
+        merged = sources[0]
+        for i, s in enumerate(sources[1:], 1):
+            merged = merge_indexes(spark, [merged, s],
+                                   os.path.join(tmp_index_dir, f"m{i}"))
+    # oracle corpus = the merged docs table itself (its ids embody the
+    # chain's span arithmetic; uniqueness + count assert the arithmetic)
+    docs_tbl = (spark.read.parquet(merged.docs_path)
+                .select("doc_id", "content").toPandas()
+                .sort_values("doc_id").reset_index(drop=True))
+    assert docs_tbl.doc_id.is_unique
+    assert len(docs_tbl) == n_docs
+    model = BruteForceModel(docs_tbl)
+    queries = [(i, " ".join(vocab[rng.randint(0, len(vocab),
+                                              rng.randint(1, 3))]))
+               for i in range(6)]
+    res = search(spark, merged, queries, k=15).toPandas()
+    for qid, text in queries:
+        expected = model.search_phrase(text, k=15)
+        got = res[res.qid == qid].sort_values(
+            ["score", "doc_id"], ascending=[False, True])
+        assert got.doc_id.tolist() == expected.doc_id.tolist(), (seed, text)
+        np.testing.assert_array_equal(
+            np.float32(got.score.to_numpy()),
+            np.float32(expected.score.to_numpy()), err_msg=f"{seed} {text}")
+
+
 def test_merge_three_way_with_striping(spark, tmp_index_dir):
     cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1,
                       max_postings_per_stripe=1)
