@@ -80,9 +80,9 @@ def _get_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
                        source=sf_dir)
 
 
-def _searched(spark, sf_dir, queries, k):
+def _searched(spark, sf_dir, queries, k, **kw):
     m = _get_index(spark, sf_dir)
-    res = search(spark, m, queries, k=k, precision="float64")
+    res = search(spark, m, queries, k=k, precision="float64", **kw)
     return res.select("qid", "doc_id", "freq",
                       F.round("score", 6).alias("score"))
 
@@ -311,6 +311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("qid", "doc_id", "freq"),
         "engine_no_match":
             lambda s, d: _searched(s, d, NOMATCH_QUERIES, k=10),
+        # two-phase bound broadcast (topdocs_sync.c analogue) must produce
+        # byte-identical top-k — same oracle as the single-pass entry
+        "engine_bound_probe_topk":
+            lambda s, d: _searched(s, d, PHRASE_QUERIES + TERM_QUERIES,
+                                   k=5, bound_probe=True),
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
@@ -540,6 +545,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_phrase_bm25_topk": oracle.phrase_bm25_sql(PHRASE_QUERIES, k=10),
         "engine_term_bm25_all": oracle.phrase_bm25_sql(TERM_QUERIES, k=None),
         "engine_phrase_freqs": oracle.phrase_freqs_sql(FREQ_QUERIES),
+        "engine_bound_probe_topk":
+            oracle.phrase_bm25_sql(PHRASE_QUERIES + TERM_QUERIES, k=5),
         "engine_no_match": ("SELECT CAST(0 AS BIGINT) AS qid, "
                             "CAST(0 AS BIGINT) AS doc_id, "
                             "CAST(0 AS BIGINT) AS freq, "
