@@ -90,23 +90,37 @@ class FullTextIndex:
               precision: str = "float32") -> DataFrame:
         """Typed-query entry point (the ``PimPhraseQuery`` surface):
         ``queries`` is a list of ``(qid, PhraseQuery|TermQuery)``.  Boosts
-        apply Lucene ``BoostQuery`` semantics; any query with slop routes
-        the WHOLE batch through the scan path (mixed-slop batches should
-        be split by the caller — slop and exact freq types differ)."""
-        from pim_lucene_spark.plans.query import to_tuple
-        tuples = [to_tuple(qid, q) for qid, q in queries]
-        slops = {getattr(q, "slop", 0) for _, q in queries}
-        if slops - {0}:
-            if len(slops) > 1:
-                raise ValueError("mix of slop values in one batch; split "
-                                 "exact and sloppy queries")
-            from pim_lucene_spark.plans.router import search_with_fallback
-            return search_with_fallback(self.spark, self.manifest, None,
-                                        tuples, k=k, slop=slops.pop(),
-                                        precision=precision)
+        apply Lucene ``BoostQuery`` semantics.  Queries route per their
+        slop — exact ones to the indexed kernel, sloppy ones (grouped by
+        slop value) to the scan path — and the union is returned; when any
+        sloppy query is present the ``freq`` column is DOUBLE (sloppy
+        freqs are sums of ``1/(1+matchLength)`` weights)."""
+        from pyspark.sql import functions as F
+
         from pim_lucene_spark.operators.search import search
-        return search(self.spark, self.manifest, tuples, k=k,
-                      precision=precision)
+        from pim_lucene_spark.plans.query import to_tuple
+        from pim_lucene_spark.plans.router import search_with_fallback
+
+        by_slop: dict[int, list] = {}
+        for qid, q in queries:
+            by_slop.setdefault(int(getattr(q, "slop", 0)), []).append(
+                to_tuple(qid, q))
+        parts = []
+        for slop, tuples in sorted(by_slop.items()):
+            if slop == 0:
+                parts.append(search(self.spark, self.manifest, tuples, k=k,
+                                    precision=precision))
+            else:
+                parts.append(search_with_fallback(
+                    self.spark, self.manifest, None, tuples, k=k, slop=slop,
+                    precision=precision))
+        if len(parts) == 1:
+            return parts[0]
+        out = None
+        for p in parts:  # unify: sloppy freq is DOUBLE, exact is LONG
+            p = p.withColumn("freq", F.col("freq").cast("double"))
+            out = p if out is None else out.unionByName(p)
+        return out
 
     # --- introspection -----------------------------------------------------
     @property

@@ -101,3 +101,30 @@ def test_typed_queries_and_boost(spark, tmp_index_dir):
     bf = bf.sort_values("doc_id").reset_index(drop=True)
     np.testing.assert_array_equal(np.float32(bf.score.to_numpy()),
                                   np.float32(sub.score.to_numpy()))
+
+
+def test_mixed_slop_batch_splits_and_unions(spark, tmp_index_dir):
+    import os
+
+    from pim_lucene_spark import FullTextIndex, IndexConfig, PhraseQuery
+
+    cfg = IndexConfig(num_partitions=2, num_segments=1, build_chunks=1)
+    idx = FullTextIndex.build(spark, spark.createDataFrame(FIXTURE_DOCS),
+                              os.path.join(tmp_index_dir, "mix"), cfg,
+                              id_col="doc_id")
+    res = (idx.query([(0, PhraseQuery("blah blah")),          # exact
+                      (1, PhraseQuery("red white", slop=2)),  # sloppy
+                      (2, PhraseQuery("red"))], k=10)
+           .toPandas())
+    assert dict(res.dtypes)["freq"] == np.dtype("float64")
+    assert set(res.qid) >= {0, 2}
+    # exact rows agree with the plain search path (freq upcast only)
+    exact = idx.search([(0, "blah blah"), (2, "red")], k=10).toPandas()
+    for qid in (0, 2):
+        a = (res[res.qid == qid].sort_values("doc_id")
+             .reset_index(drop=True))
+        b = (exact[exact.qid == qid].sort_values("doc_id")
+             .reset_index(drop=True))
+        assert a.doc_id.tolist() == b.doc_id.tolist()
+        np.testing.assert_array_equal(a.freq.to_numpy(),
+                                      b.freq.to_numpy().astype(float))
