@@ -175,6 +175,15 @@ def _q_multifield(spark, sf_dir):
                     F.round("score", 6).alias("score")))
 
 
+def _q_multifield_combined(spark, sf_dir):
+    """Weighted score-sum across fields (CombinedFieldQuery family)."""
+    idx = _get_mf_index(spark, sf_dir)
+    res = idx.search_combined(MF_BODY_QUERIES, k=10,
+                              field_weights={"body": 1.0, "head": 2.0},
+                              precision="float64", exhaustive=True)
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
 _MF_HEAD_CTE = (
     "documents AS (SELECT doc_id, array_to_string((list_filter("
     r"regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))[1:5], ' ') "
@@ -321,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_slop_scan": _q_slop_scan,
         "engine_standard_bm25": _q_std_bm25,
         "engine_multifield_bm25": _q_multifield,
+        "engine_multifield_combined": _q_multifield_combined,
         "corpus_generate": _q_corpus,
         "index_sha256_invariant": _q_sha_invariant,
         "index_term_stats": _q_term_stats,
@@ -567,6 +577,21 @@ def oracle_sql() -> dict[str, str]:
             oracle.phrase_bm25_sql(STD_QUERIES, k=10, tokenizer="standard")
             .replace("WITH ", "WITH documents AS (SELECT doc_id, "
                      "upper(text) AS text FROM main.documents), ", 1),
+        # weighted score-sum across fields (1.0*body + 2.0*head), every
+        # matching doc evaluated per field before combining (exhaustive)
+        "engine_multifield_combined": (
+            "SELECT qid, doc_id, round(s, 6) AS score FROM ("
+            " SELECT qid, doc_id, sum(ws) AS s FROM ("
+            "  SELECT qid, doc_id, score * 1.0 AS ws FROM ("
+            + oracle.phrase_bm25_sql(MF_BODY_QUERIES, k=None,
+                                     round_scores=False)
+            + ") UNION ALL SELECT qid, doc_id, score * 2.0 AS ws FROM ("
+            + oracle.phrase_bm25_sql(MF_BODY_QUERIES, k=None,
+                                     round_scores=False)
+              .replace("WITH ", f"WITH {_MF_HEAD_CTE}, ", 1)
+            + ")) GROUP BY qid, doc_id) "
+            "QUALIFY row_number() OVER (PARTITION BY qid "
+            "ORDER BY s DESC, doc_id ASC) <= 10"),
         # each field scores against its own posting space and stats: body
         # over the raw text, head over the first-five-tokens view
         "engine_multifield_bm25":

@@ -262,6 +262,48 @@ class MultiFieldIndex:
         return self.search([(0, text)], k=k, field=field,
                            precision=precision).drop("qid")
 
+    def search_combined(self, queries: list[tuple[int, str]], k: int = 10,
+                        field_weights: dict[str, float] | None = None,
+                        precision: str = "float32",
+                        exhaustive: bool = True) -> DataFrame:
+        """Multi-field ranked retrieval: per-field BM25 scores combined as
+        a weighted sum per (query, doc) — the score-combination family of
+        the sandbox's ``CombinedFieldQuery`` (the reference repo ships it
+        alongside the pim module), with each field scored against its OWN
+        stats as Lucene does for per-field queries.
+
+        ``exhaustive=True`` (default) evaluates every matching doc per
+        field before combining, so the top-k is exact; ``False`` combines
+        each field's top-k only — cheaper at scale, may miss docs that
+        rank via the sum without making any single field's top-k.
+
+        Returns (qid, doc_id, score) with score = Σ_f w_f · score_f.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        weights = field_weights or {f: 1.0 for f in self.fields}
+        unknown = set(weights) - set(self.fields)
+        if unknown:
+            raise KeyError(f"unknown fields {sorted(unknown)}")
+        per_field_k = 10 ** 9 if exhaustive else k
+        parts = []
+        for fname, w in weights.items():
+            res = self.search(queries, k=per_field_k, field=fname,
+                              precision=precision)
+            parts.append(res.select(
+                "qid", "doc_id",
+                (F.col("score") * F.lit(float(w))).alias("wscore")))
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        combined = (un.groupBy("qid", "doc_id")
+                    .agg(F.sum("wscore").alias("score")))
+        win = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                                F.asc("doc_id"))
+        return (combined.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k).drop("rank"))
+
     def field_stats(self) -> dict[str, dict]:
         """Per-field collection stats (each field has its own avgdl)."""
         return {

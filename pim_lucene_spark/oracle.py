@@ -129,8 +129,13 @@ def _phrase_freq_select(terms: list[str]) -> str:
 
 
 def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10,
-                    tokenizer: str = "whitespace") -> str:
-    """Full BM25 top-k SQL for a query batch → (qid, doc_id, freq, score)."""
+                    tokenizer: str = "whitespace",
+                    round_scores: bool = True) -> str:
+    """Full BM25 top-k SQL for a query batch → (qid, doc_id, freq, score).
+
+    ``round_scores=False`` emits raw doubles — required when the caller
+    combines scores across queries/fields before its own final rounding.
+    """
     selects = []
     for qid, text in queries:
         terms = tokenize_one(text, tokenizer)
@@ -144,9 +149,11 @@ def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10,
         qualify = (f"QUALIFY row_number() OVER "
                    f"(ORDER BY {score_exact} DESC, f.doc_id ASC) <= {k} "
                    if k is not None else "")
+        score_out = (f"round({score_exact}, 6)" if round_scores
+                     else score_exact)
         selects.append(
             f"SELECT CAST({qid} AS BIGINT) AS qid, f.doc_id, f.freq, "
-            f"round({score_exact}, 6) AS score "
+            f"{score_out} AS score "
             f"FROM ({freq_sel}) f "
             f"JOIN docl ON docl.doc_id = f.doc_id, cstats "
             f"{qualify}")

@@ -68,6 +68,30 @@ def test_per_field_stats_isolated(mf_index):
         assert stats[f]["avgdl"] == pytest.approx(e / 3)
 
 
+def test_search_combined_weighted_sum(mf_index):
+    """Combined score == Σ_f w_f · per-field score, exact-ranked."""
+    import numpy as np
+    queries = [(0, "red"), (1, "green")]
+    w = {"field1": 1.0, "field2": 3.0}
+    got = (mf_index.search_combined(queries, k=10, field_weights=w,
+                                    precision="float64").toPandas()
+           .set_index(["qid", "doc_id"]).score)
+    # manual combination from per-field searches
+    manual = {}
+    for f, wt in w.items():
+        r = mf_index.search(queries, k=10 ** 9, field=f,
+                            precision="float64").toPandas()
+        for _, row in r.iterrows():
+            key = (row.qid, row.doc_id)
+            manual[key] = manual.get(key, 0.0) + wt * row.score
+    assert set(got.index) == set(manual)
+    for key, v in manual.items():
+        assert got[key] == pytest.approx(v, abs=0)
+    # "red" in both fields of doc 0 → combined beats either field alone
+    f1 = mf_index.search_term("red", field="field1").toPandas()
+    assert got[(0, 0)] > float(f1[f1.doc_id == 0].score.iloc[0])
+
+
 def test_unknown_field_raises(mf_index):
     with pytest.raises(KeyError, match="unknown field"):
         mf_index.search([(0, "red")], field="nope")
