@@ -365,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
+        "text_repetition":
+            lambda s, d: textstats.repetition_stats(_docs(s, d)),
         "doc_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         # --- multimodal plumbing ---------------------------------------------
         "multimodal_meta":
@@ -683,6 +685,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                         '{textstats.TOKEN_REGEX}')) AS BIGINT) AS re_tokens
             FROM tok""",
+        "text_repetition": f"""
+            WITH {_TOKS_ONLY_CTE},
+            positions AS (SELECT doc_id, unnest(tks) AS term FROM tok),
+            tf AS (SELECT doc_id, term, count(*) AS cnt FROM positions
+                   GROUP BY doc_id, term),
+            tops AS (SELECT doc_id, max(cnt) AS top_cnt,
+                            sum(cnt) AS n_tok,
+                            count(*) AS n_distinct
+                     FROM tf GROUP BY doc_id),
+            lines AS (SELECT doc_id,
+                        list_filter(regexp_split_to_array(text, '\\n'),
+                                    x -> trim(x) <> '') AS ls
+                      FROM documents)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   round(CASE WHEN coalesce(t.n_tok, 0) > 0
+                         THEN CAST(t.n_distinct AS DOUBLE) / t.n_tok
+                         ELSE 1.0 END, 6) AS distinct_ratio,
+                   round(CASE WHEN coalesce(t.n_tok, 0) > 0
+                         THEN CAST(t.top_cnt AS DOUBLE) / t.n_tok
+                         ELSE 0.0 END, 6) AS top_token_share,
+                   round(CASE WHEN len(l.ls) > 0
+                         THEN 1.0 - CAST(len(list_distinct(l.ls)) AS DOUBLE)
+                              / len(l.ls)
+                         ELSE 0.0 END, 6) AS dup_line_ratio
+            FROM documents d
+            LEFT JOIN tops t ON t.doc_id = d.doc_id
+            LEFT JOIN lines l ON l.doc_id = d.doc_id""",
         "doc_fingerprint": f"""
             WITH {_TOKS_ONLY_CTE}
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -100,3 +100,50 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                     % FINGERPRINT_MOD)
     return docs.select(F.col(id_col).cast("long").alias("doc_id"),
                        h.alias("fingerprint"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "content") -> DataFrame:
+    """Gopher-style repetition quality signals, all JVM built-ins:
+
+    - ``distinct_ratio``: distinct tokens / tokens (low ⇒ loops/boilerplate)
+    - ``top_token_share``: max single-token frequency / tokens (the
+      "fraction of characters in the most common n-gram" family, n=1)
+    - ``dup_line_ratio``: 1 - distinct lines / lines (duplicate-line
+      fraction; machine-generated pages repeat whole lines)
+
+    Rules of this family gate pre-training corpora (the Gopher/C4 quality
+    filters); each value is per-doc computable — a pure map stage.
+    """
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double")
+        / n_tok.cast("double")).otherwise(F.lit(1.0))
+    # max token frequency: sort then fold run lengths — O(n log n) per doc
+    # (a distinct×tokens nested scan would go quadratic on long docs)
+    def _run(acc, t):
+        run = (F.when(t == acc.prev, acc.run + F.lit(1).cast("long"))
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(t.alias("prev"), run.alias("run"),
+                        F.greatest(acc.best, run).alias("best"))
+
+    acc0 = F.struct(F.lit("\x00").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+    top_cnt = F.aggregate(F.array_sort(toks), acc0, _run,
+                          lambda acc: acc.best)
+    top_share = F.when(n_tok > 0, top_cnt.cast("double")
+                       / n_tok.cast("double")).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_line_ratio = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double")
+        / n_lines.cast("double")).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_share, 6).alias("top_token_share"),
+        F.round(dup_line_ratio, 6).alias("dup_line_ratio"))

@@ -183,3 +183,17 @@ def test_lsh_no_driver_action_when_dim_given(spark):
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before)  # plan built lazily, no job ran
     assert df.count() >= 0  # materializes fine
+
+
+def test_repetition_stats_hand_fixture(spark):
+    from pim_lucene_spark.operators.textstats import repetition_stats
+    hand = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                         "content": ["a a a b", "x\ny\nx\nx", "", "q w e"]})
+    r = (repetition_stats(spark.createDataFrame(hand)).toPandas()
+         .set_index("doc_id"))
+    assert r.loc[0].top_token_share == 0.75      # 'a' 3 of 4
+    assert r.loc[0].distinct_ratio == 0.5        # {a,b} of 4
+    assert r.loc[1].dup_line_ratio == pytest.approx(0.5)  # x,y,x,x → 2/4 dup
+    assert r.loc[2].distinct_ratio == 1.0 and r.loc[2].top_token_share == 0.0
+    assert r.loc[3].distinct_ratio == 1.0
+    assert r.loc[3].top_token_share == pytest.approx(1 / 3, abs=1e-6)
