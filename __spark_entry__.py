@@ -42,8 +42,13 @@ PHRASE_QUERIES = [
 TERM_QUERIES = [(100, "merge"), (101, "vector"), (102, "spark")]
 FREQ_QUERIES = [(200, "batch batch"), (201, "merge"), (202, "the fast key")]
 NOMATCH_QUERIES = [(300, "merge zzzznotfound")]
-# sloppy phrases (slop=1: weights are binary-exact, hash-safe vs DuckDB)
+# sloppy phrases — freq is the greedy-pq traversal's weight sum; the
+# engine and the oracle's recursive-CTE state machine accumulate in the
+# same emission order, so any slop value is hash-safe in float64
 SLOP_QUERIES = [(400, "the key"), (401, "join order"), (402, "table merge")]
+# repeated query terms under slop (Lucene repeating-terms matcher)
+SLOP_REPEATED_QUERIES = [(450, "batch batch"), (451, "window spark window"),
+                         (452, "merge table merge")]
 # standard-analyzer queries: mixed case + punctuation, analyzed at query
 # time exactly like the indexed corpus (StandardAnalyzer contract)
 STD_QUERIES = [(500, "The Fast!"), (501, "MERGE"), (502, "Table SCAN...")]
@@ -197,6 +202,16 @@ def _q_slop_scan(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_slop_repeated(spark, sf_dir):
+    """Sloppy phrases with repeated query terms — the reference answers
+    these via Lucene's repeating-terms matcher (TestPimPhraseQuery.java:
+    487-529 pins the semantics); slop=2 exercises non-binary weights."""
+    res = brute_force_search(_docs(spark, sf_dir), SLOP_REPEATED_QUERIES,
+                             k=10, precision="float64", slop=2)
+    return res.select("qid", "doc_id", F.round("freq", 6).alias("freq"),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_fallback_scan(spark, sf_dir):
     res = brute_force_search(_docs(spark, sf_dir), PHRASE_QUERIES, k=10,
                              precision="float64")
@@ -328,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
+        "engine_slop_repeated": _q_slop_repeated,
         "engine_standard_bm25": _q_std_bm25,
         "engine_multifield_bm25": _q_multifield,
         "engine_multifield_combined": _q_multifield_combined,
@@ -572,6 +588,8 @@ def oracle_sql() -> dict[str, str]:
                                                             k=10),
         "engine_slop_scan": oracle.sloppy_phrase_bm25_sql(SLOP_QUERIES,
                                                           slop=1, k=10),
+        "engine_slop_repeated": oracle.sloppy_phrase_bm25_sql(
+            SLOP_REPEATED_QUERIES, slop=2, k=10),
         # standard analyzer over the uppercased corpus view: the oracle
         # shadows `documents` with upper(text) and tokenizes in SQL with
         # the same normalize pipeline

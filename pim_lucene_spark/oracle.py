@@ -161,32 +161,127 @@ def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10,
     return f"WITH {_tok_cte(tokenizer)} {body}"
 
 
-def _sloppy_freq_select(terms: list[str], slop: int) -> str:
-    """Per-doc sloppy phrase frequency: Σ 1/(1+bestlen) over first-term
-    anchors, bestlen = minimal adjusted-position span ≤ slop (the same
-    semantics as ``plans.router._sloppy_freqs``; the join window
-    ``|pp_i - a| <= slop`` is lossless because any assignment with span
-    ≤ slop keeps every term within slop of the anchor)."""
+def _argmin_sql(cp: str, offs: str, n: int) -> str:
+    """1-based ord of the pq-min cursor: min by (position, offset, ord) —
+    offset and ord are both ``o-1`` here, so the composite key
+    ``(pos + bias) * (n+1) + o`` reproduces PhraseQueue.java:27-40."""
+    key = f"list_transform({offs}, o -> ({cp}[o] + 1048576) * {n + 1} + o)"
+    return f"list_position({key}, list_min({key}))"
+
+
+def _nxt_sql(cp: str, offs: str, cur: str) -> str:
+    """min position among the cursors still in the queue (pq.top after pop)."""
+    return (f"list_min(list_transform(list_filter({offs}, o -> o <> {cur}),"
+            f" o -> {cp}[o]))")
+
+
+def _sloppy_rec_ctes(qid: int, terms: list[str], slop: int) -> tuple[str, str]:
+    """Recursive-CTE state machine computing Lucene SloppyPhraseMatcher's
+    per-doc sloppy freq (``SloppyPhraseMatcher.java:174-206``) for one
+    query.  One CTE iteration = one cursor advance; state carries the
+    0-based occurrence index per phrase offset (``ii``), the popped cursor
+    (``cur``), the largest adjusted position ever seen (``end_``), the
+    current match length (``ml``), the runner-up position (``nxt``) and the
+    accumulated freq.  Repeat groups: the j-th same-term offset starts at
+    occurrence j (init, :435-467); a collision (two same-term cursors on
+    one occurrence, i.e. equal ``ii``) advances the larger-offset member —
+    the 'lesser by (position, offset)' of the pair (:286-331).
+
+    Returns ``(cte_text, freq_cte_name)``.
+    """
+    name = f"q{qid}"
     if len(terms) == 1:
-        return (f"SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq "
-                f"FROM positions WHERE term = '{_q(terms[0])}' "
-                f"GROUP BY doc_id")
-    joins, pps = [], ["CAST(p0.pos AS BIGINT)"]
-    for i in range(1, len(terms)):
-        pp = f"(p{i}.pos - {i})"
-        joins.append(
-            f"JOIN positions p{i} ON p{i}.doc_id = p0.doc_id "
-            f"AND p{i}.term = '{_q(terms[i])}' "
-            f"AND abs({pp} - p0.pos) <= {slop}")
-        pps.append(pp)
-    span = f"(greatest({', '.join(pps)}) - least({', '.join(pps)}))"
-    anchors = (f"SELECT p0.doc_id, p0.pos AS a, min({span}) AS bestlen "
-               f"FROM positions p0 {' '.join(joins)} "
-               f"WHERE p0.term = '{_q(terms[0])}' "
-               f"GROUP BY p0.doc_id, p0.pos "
-               f"HAVING min({span}) <= {slop}")
-    return (f"SELECT doc_id, sum(1.0 / (1.0 + bestlen)) AS freq "
-            f"FROM ({anchors}) GROUP BY doc_id")
+        cte = (f"{name}_freq AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS "
+               f"freq FROM positions WHERE term = '{_q(terms[0])}' "
+               f"GROUP BY doc_id)")
+        return cte, f"{name}_freq"
+    n = len(terms)
+    offs = "[" + ",".join(str(o) for o in range(1, n + 1)) + "]"
+    seen: dict[str, int] = {}
+    rptind = []
+    for t in terms:
+        rptind.append(seen.get(t, 0))
+        seen[t] = seen.get(t, 0) + 1
+    rpt_lit = "[" + ",".join(f"CAST({r} AS BIGINT)" for r in rptind) + "]"
+    groups = [[o + 1 for o, t2 in enumerate(terms) if t2 == t]
+              for t, c in seen.items() if c > 1]
+    distinct = ", ".join(f"'{_q(t)}'" for t in dict.fromkeys(terms))
+    pls = ", ".join(
+        f"coalesce(list_sort(list(pos) FILTER (WHERE term = '{_q(t)}')), [])"
+        for t in terms)
+    presence = " AND ".join(f"len(pls[{o + 1}]) > {rptind[o]}"
+                            for o in range(n))
+
+    def collide(ii: str) -> str:
+        """First colliding pair's larger-offset member, else 0."""
+        cases = []
+        for g in groups:
+            for x in range(len(g)):
+                for y in range(x + 1, len(g)):
+                    cases.append(f"WHEN {ii}[{g[x]}] = {ii}[{g[y]}] "
+                                 f"THEN {g[y]}")
+        if not cases:
+            return "0"
+        return "(CASE " + " ".join(cases) + " ELSE 0 END)"
+
+    cp = f"list_transform({offs}, o -> pls[o][ii[o] + 1] - (o - 1))"
+    seed = f"""
+{name}_s0 AS (
+  SELECT doc_id, pls, {rpt_lit} AS ii
+  FROM (SELECT doc_id, [{pls}] AS pls
+        FROM positions WHERE term IN ({distinct}) GROUP BY doc_id)
+  WHERE {presence}),
+{name}_s1 AS (SELECT doc_id, pls, ii, {cp} AS cp FROM {name}_s0),
+{name}_s2 AS (SELECT doc_id, pls, ii, cp, list_max(cp) AS end_,
+                     {_argmin_sql('cp', offs, n)} AS cur FROM {name}_s1),
+{name}_seed AS (
+  SELECT doc_id, pls, ii, end_, cur,
+         end_ - cp[cur] AS ml, {_nxt_sql('cp', offs, 'cur')} AS nxt,
+         CAST(0.0 AS DOUBLE) AS freq, FALSE AS done
+  FROM {name}_s2)"""
+
+    w_ml = f"CASE WHEN ml <= {slop} THEN 1.0 / (1.0 + ml) ELSE 0.0 END"
+    ncp = f"list_transform({offs}, o -> pls[o][nii[o] + 1] - (o - 1))"
+    step_inner = f"""
+    SELECT doc_id, pls, ii, end_, cur, ml, nxt, freq,
+           CASE WHEN {collide('ii')} > 0 THEN {collide('ii')}
+                ELSE cur END AS adv
+    FROM {name}_rec WHERE NOT done"""
+    step_mid = f"""
+    SELECT *, list_transform({offs},
+                o -> ii[o] + CASE WHEN o = adv THEN 1 ELSE 0 END) AS nii
+    FROM ({step_inner})"""
+    step_mid2 = f"""
+    SELECT *, nii[adv] >= len(pls[adv]) AS exh,
+           CASE WHEN nii[adv] >= len(pls[adv]) THEN NULL
+                ELSE {ncp} END AS ncp
+    FROM ({step_mid})"""
+    step_mid3 = f"""
+    SELECT *, CASE WHEN exh THEN end_ ELSE greatest(end_, ncp[adv]) END
+                AS nend,
+           NOT exh AND {collide('nii')} > 0 AS coll,
+           NOT exh AND {collide('nii')} = 0 AND ncp[cur] > nxt AS pop
+    FROM ({step_mid2})"""
+    pop_cur = _argmin_sql("ncp", offs, n)
+    step = f"""
+    SELECT doc_id, pls, nii AS ii, nend AS end_,
+           CASE WHEN pop THEN {pop_cur} ELSE cur END AS cur,
+           CASE WHEN exh OR coll THEN ml
+                WHEN pop THEN nend - ncp[{pop_cur}]
+                ELSE least(ml, nend - ncp[cur]) END AS ml,
+           CASE WHEN pop THEN {_nxt_sql('ncp', offs, pop_cur)}
+                ELSE nxt END AS nxt,
+           CASE WHEN exh OR pop THEN freq + ({w_ml}) ELSE freq END AS freq,
+           exh AS done
+    FROM ({step_mid3})"""
+    rec = f"""
+{name}_rec AS (
+  SELECT * FROM {name}_seed
+  UNION ALL
+  {step}),
+{name}_freq AS (SELECT doc_id, freq FROM {name}_rec
+                WHERE done AND freq > 0.0)"""
+    return seed + "," + rec, f"{name}_freq"
 
 
 def sloppy_phrase_bm25_sql(queries: list[tuple[int, str]], slop: int,
@@ -194,18 +289,19 @@ def sloppy_phrase_bm25_sql(queries: list[tuple[int, str]], slop: int,
                            tokenizer: str = "whitespace") -> str:
     """BM25 top-k SQL for sloppy phrases → (qid, doc_id, freq, score).
 
-    ``freq`` is DOUBLE (sum of sloppy weights).  Use slop values whose
-    weights ``1/(1+L)`` are binary-exact (slop <= 1) when comparing
-    hash-for-hash against the engine — larger slops can differ in the last
-    ulp from summation order.
+    ``freq`` is DOUBLE — the sum of Lucene sloppy weights in the greedy
+    traversal's emission order, computed by a recursive-CTE re-expression
+    of ``SloppyPhraseMatcher`` (repeated query terms included), so the
+    float64 accumulation sequence matches the engine's bit-for-bit.
     """
-    selects = []
+    ctes, selects = [], []
     for qid, text in queries:
         terms = tokenize_one(text, tokenizer)
         if not terms:
             continue
+        cte, freq_name = _sloppy_rec_ctes(qid, terms, slop)
+        ctes.append(cte)
         weight = "(" + " + ".join(_idf_sql(t) for t in terms) + ")"
-        freq_sel = _sloppy_freq_select(terms, slop)
         cache = _cache_sql(_quantized_dl("docl.dl"))
         score_exact = (f"({weight} - {weight} / "
                        f"(1.0 + CAST(f.freq AS DOUBLE) * {cache}))")
@@ -215,11 +311,12 @@ def sloppy_phrase_bm25_sql(queries: list[tuple[int, str]], slop: int,
         selects.append(
             f"SELECT CAST({qid} AS BIGINT) AS qid, f.doc_id, "
             f"round(f.freq, 6) AS freq, round({score_exact}, 6) AS score "
-            f"FROM ({freq_sel}) f "
+            f"FROM {freq_name} f "
             f"JOIN docl ON docl.doc_id = f.doc_id, cstats "
             f"{qualify}")
     body = " UNION ALL ".join(selects)
-    return f"WITH {_tok_cte(tokenizer)} {body}"
+    return (f"WITH RECURSIVE {_tok_cte(tokenizer)}, "
+            + ", ".join(ctes) + f" {body}")
 
 
 def phrase_freqs_sql(queries: list[tuple[int, str]]) -> str:

@@ -42,77 +42,7 @@ SLOPPY_RESULT_SCHEMA = T.StructType([
     T.StructField("score", T.DoubleType(), False),
 ])
 
-_DOC_SHIFT = np.int64(1) << np.int64(32)
-_FAR = np.int64(1) << np.int64(40)
-
-
-def _sloppy_freqs(doc_idx: np.ndarray, codes: np.ndarray, pos: np.ndarray,
-                  tcodes: list[int], slop: int):
-    """Per-doc sloppy phrase frequency (non-repeating terms).
-
-    Semantics (re-expression of Lucene's ``SloppyPhraseMatcher`` for the
-    non-repeating case, which is all the reference's fallback contract
-    requires — ``PimPhraseWeight.java:117-124`` builds a plain
-    ``PhraseQuery`` with the query's slop): with adjusted positions
-    ``pp_i = p_i - i``, every position ``a`` of the first term anchors at
-    most one match whose length is the minimal span ``max(pp) - min(pp)``
-    over assignments containing ``a``; anchors with ``matchLength <= slop``
-    contribute Lucene's sloppy weight ``1/(1 + matchLength)`` to the doc's
-    phrase frequency.  The minimal span is exact: for a fixed anchor each
-    term's optimal pick is its nearest adjusted position at or below / at
-    or above the anchor (any farther pick can be moved inward without
-    growing the span), so ``2^(n-1)`` nearest-neighbor combos enumerate
-    every undominated assignment.
-
-    Returns ``(local_doc_rows, float_freqs)``.
-    """
-    n = len(tcodes)
-    m0 = codes == tcodes[0]
-    a_doc = doc_idx[m0]
-    a_pp = pos[m0]
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-    if a_doc.size == 0:
-        return empty
-    if n == 1:  # single term: every occurrence is a matchLength-0 match
-        uniq, counts = np.unique(a_doc, return_counts=True)
-        return uniq, counts.astype(np.float64)
-    a_key = a_doc * _DOC_SHIFT + a_pp
-    u_offs, l_offs = [], []
-    for i in range(1, n):
-        mi = codes == tcodes[i]
-        if not mi.any():
-            return empty
-        k_doc = doc_idx[mi]
-        k_pp = pos[mi] - i
-        keys = k_doc * _DOC_SHIFT + k_pp
-        j = np.searchsorted(keys, a_key)  # first >= anchor key
-        u = np.full(a_key.size, _FAR, dtype=np.int64)
-        ok = j < keys.size
-        ok[ok] &= k_doc[j[ok]] == a_doc[ok]
-        u[ok] = k_pp[j[ok]] - a_pp[ok]
-        lo = np.full(a_key.size, _FAR, dtype=np.int64)
-        jm = j - 1
-        ok2 = jm >= 0
-        ok2[ok2] &= k_doc[jm[ok2]] == a_doc[ok2]
-        lo[ok2] = a_pp[ok2] - k_pp[jm[ok2]]
-        u_offs.append(u)
-        l_offs.append(lo)
-    up = np.stack(u_offs)      # (n-1, anchors): pp_i - a, >= 0 or FAR
-    down = np.stack(l_offs)    # (n-1, anchors): a - pp_i, >  0 or FAR
-    best = np.full(a_key.size, _FAR, dtype=np.int64)
-    for bits in range(1 << (n - 1)):
-        sel = np.array([(bits >> i) & 1 for i in range(n - 1)], dtype=bool)
-        span_up = up[sel].max(axis=0) if sel.any() else 0
-        span_dn = down[~sel].max(axis=0) if (~sel).any() else 0
-        best = np.minimum(best, span_up + span_dn)
-    hit = best <= slop
-    if not hit.any():
-        return empty
-    w = 1.0 / (1.0 + best[hit].astype(np.float64))
-    uniq, inv = np.unique(a_doc[hit], return_inverse=True)
-    freq = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(freq, inv, w)
-    return uniq, freq
+from pim_lucene_spark.functions.sloppy import sloppy_freqs_batch
 
 
 class QueryRoute(Enum):
@@ -152,10 +82,10 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
     ``slop > 0`` answers sloppy phrase queries the way the reference's
     rewrite contract promises (never an exception — ``PimPhraseQuery.java:
     74-88`` routes slop to a plain Lucene ``PhraseQuery``): phrase freq is
-    the sum of ``1/(1 + matchLength)`` over first-term anchors (see
-    :func:`_sloppy_freqs`), and the returned ``freq`` column is DOUBLE.
-    Queries with repeated terms under slop raise ``ValueError`` (Lucene's
-    repeating-term matcher is out of scope).
+    ``Σ 1/(1 + matchLength)`` over the matches of Lucene's greedy pq
+    traversal, including its repeating-terms handling (see
+    :mod:`pim_lucene_spark.functions.sloppy`); the returned ``freq``
+    column is DOUBLE.
     """
     from pim_lucene_spark.functions import bm25
     from pim_lucene_spark.functions.smallfloat import int_to_byte4
@@ -166,12 +96,6 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
     spark = docs.sparkSession
     term_lists = {qid: (tokenize_one(text, tokenizer), boost)
                   for qid, text, boost in _normalize_queries(queries)}
-    if slop:
-        for qid, (ts, _) in term_lists.items():
-            if len(set(ts)) != len(ts):
-                raise ValueError(
-                    f"slop > 0 with repeated query terms (qid={qid}) is not "
-                    "supported by the fallback matcher")
     out_schema = SLOPPY_RESULT_SCHEMA if slop else RESULT_SCHEMA
     all_terms = sorted({t for ts, _ in term_lists.values() for t in ts})
     empty = spark.createDataFrame([], out_schema)
@@ -245,8 +169,8 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                     if any(c < 0 for c in tcodes):
                         continue
                     if slop:
-                        uniq_rows, freq = _sloppy_freqs(doc_idx, codes, pos,
-                                                        tcodes, slop)
+                        uniq_rows, freq = sloppy_freqs_batch(
+                            doc_idx, codes, pos, tcodes, slop)
                         if uniq_rows.size == 0:
                             continue
                     else:

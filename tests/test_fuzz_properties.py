@@ -1,80 +1,106 @@
-"""Property fuzzing for the two subtle algorithmic claims of round 2:
+"""Property fuzzing for the subtle algorithmic claims:
 
-1. `_sloppy_freqs`' nearest-above/below combo enumeration computes the
-   EXACT minimal span per anchor — verified against brute-force
-   enumeration of every full assignment (O(Π positions), tiny corpora).
+1. The Lucene SloppyPhraseMatcher re-expression: the numpy batch wrapper
+   equals the per-doc matcher, and BOTH equal the structurally independent
+   DuckDB recursive-CTE state machine (`oracle._sloppy_rec_ctes`) on
+   randomized corpora with repeated query terms and repeated doc terms.
 2. The `standard` tokenizer's 2-pass medial-protection regex pipeline
    equals a direct reference implementation (single-pass scanner) on
    randomized punctuation/case/unicode soup.
 """
 
-import itertools
 import os
 
 import numpy as np
 import pytest
 
+from pim_lucene_spark.functions.sloppy import sloppy_doc_freq, \
+    sloppy_freqs_batch
 from pim_lucene_spark.functions.tokenize import tokenize_one
-from pim_lucene_spark.plans.router import _sloppy_freqs
 
 # --------------------------------------------------------------------------
-# 1. sloppy minimal-span exactness
+# 1. sloppy matcher: batch wrapper == per-doc matcher == DuckDB CTE
 # --------------------------------------------------------------------------
-
-
-def _brute_sloppy(tokens: list[str], terms: list[str], slop: int):
-    """Reference: enumerate EVERY assignment per anchor, exact min span."""
-    pos_by_term = {}
-    for i, t in enumerate(tokens):
-        pos_by_term.setdefault(t, []).append(i)
-    if any(t not in pos_by_term for t in terms):
-        return 0.0
-    anchors = pos_by_term[terms[0]]
-    total = 0.0
-    for a in anchors:
-        best = None
-        pools = [[p - i for p in pos_by_term[terms[i]]]
-                 for i in range(1, len(terms))]
-        for combo in itertools.product(*pools):
-            pps = [a, *combo]
-            span = max(pps) - min(pps)
-            best = span if best is None or span < best else best
-        if best is not None and best <= slop:
-            total += 1.0 / (1.0 + best)
-    return total
-
-
-def _kernel_sloppy(tokens: list[str], terms: list[str], slop: int):
-    vocab = sorted(set(tokens))
-    lut = {t: i for i, t in enumerate(vocab)}
-    if any(t not in lut for t in terms):
-        return 0.0
-    codes = np.array([lut[t] for t in tokens], dtype=np.int64)
-    doc_idx = np.zeros(len(tokens), dtype=np.int64)
-    pos = np.arange(len(tokens), dtype=np.int64)
-    tcodes = [lut[t] for t in terms]
-    rows, freqs = _sloppy_freqs(doc_idx, codes, pos, tcodes, slop)
-    return float(freqs[0]) if rows.size else 0.0
-
 
 N_SLOPPY = int(os.environ.get("FUZZ_CASES", "300"))
 
 
+def _per_doc_freqs(doc_tokens: list[list[str]], terms: list[str],
+                   slop: int) -> dict[int, float]:
+    out = {}
+    for did, toks in enumerate(doc_tokens):
+        pls = [np.array([i for i, x in enumerate(toks) if x == t],
+                        dtype=np.int64) for t in terms]
+        if any(len(p) == 0 for p in pls):
+            continue
+        f = sloppy_doc_freq(pls, terms, slop)
+        if f > 0.0:
+            out[did] = f
+    return out
+
+
+def _batch_freqs(doc_tokens: list[list[str]], terms: list[str],
+                 slop: int) -> dict[int, float]:
+    vocab = sorted({t for toks in doc_tokens for t in toks})
+    lut = {t: i for i, t in enumerate(vocab)}
+    if any(t not in lut for t in terms):
+        return {}
+    doc_idx, codes, pos = [], [], []
+    for did, toks in enumerate(doc_tokens):
+        for p, t in enumerate(toks):
+            doc_idx.append(did)
+            codes.append(lut[t])
+            pos.append(p)
+    rows, freqs = sloppy_freqs_batch(
+        np.array(doc_idx, dtype=np.int64), np.array(codes, dtype=np.int64),
+        np.array(pos, dtype=np.int64), [lut[t] for t in terms], slop)
+    return dict(zip(rows.tolist(), freqs.tolist()))
+
+
 @pytest.mark.parametrize("block", range(6))
-def test_sloppy_minimal_span_exact(block):
+def test_sloppy_batch_equals_per_doc(block):
     rng = np.random.RandomState(500 + block)
     vocab = ["a", "b", "c", "d"]
     per = max(N_SLOPPY // 6, 1)
     for _ in range(per):
-        n = rng.randint(2, 14)
-        tokens = [vocab[i] for i in rng.randint(0, len(vocab), n)]
-        n_terms = rng.randint(2, 4)
-        terms = list(rng.choice(vocab, size=n_terms, replace=False))
+        docs = [[vocab[i] for i in rng.randint(0, len(vocab),
+                                               rng.randint(1, 14))]
+                for _ in range(8)]
+        n_terms = rng.randint(2, 5)
+        terms = list(rng.choice(vocab, size=n_terms, replace=True))
         slop = int(rng.randint(0, 6))
-        exp = _brute_sloppy(tokens, terms, slop)
-        got = _kernel_sloppy(tokens, terms, slop)
-        assert got == pytest.approx(exp), \
-            f"tokens={tokens} terms={terms} slop={slop}"
+        assert _batch_freqs(docs, terms, slop) == \
+            _per_doc_freqs(docs, terms, slop), f"{docs} {terms} {slop}"
+
+
+@pytest.mark.parametrize("block", range(3))
+def test_sloppy_matcher_vs_duckdb_state_machine(block):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    from pim_lucene_spark.oracle import sloppy_phrase_bm25_sql
+    rng = np.random.RandomState(700 + block)
+    vocab = ["a", "b", "c", "d", "e"]
+    for _ in range(12):
+        docs = [" ".join(vocab[i] for i in rng.randint(0, len(vocab),
+                                                       rng.randint(1, 15)))
+                for _ in range(12)]
+        queries = [(qi, " ".join(rng.choice(vocab,
+                                            size=rng.randint(2, 5))))
+                   for qi in range(5)]
+        slop = int(rng.randint(0, 5))
+        pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        odf = con.execute(sloppy_phrase_bm25_sql(queries, slop=slop,
+                                                 k=None)).fetchdf()
+        got = {(int(r.qid), int(r.doc_id)): round(float(r.freq), 6)
+               for r in odf.itertuples()}
+        exp = {}
+        for qid, q in queries:
+            for did, f in _per_doc_freqs([d.split() for d in docs],
+                                         q.split(), slop).items():
+                exp[(qid, did)] = round(f, 6)
+        assert got == exp, f"{docs} {queries} slop={slop}"
 
 
 # --------------------------------------------------------------------------

@@ -122,10 +122,25 @@ def test_slop_single_term(spark):
     assert dict(zip(exact.doc_id, exact.freq.astype(float))) == freqs
 
 
-def test_slop_with_repeated_terms_rejected(spark):
-    with pytest.raises(ValueError, match="repeated"):
-        brute_force_search(spark.createDataFrame(SLOP_DOCS),
-                           [(0, "alpha alpha")], k=10, slop=1)
+def test_slop_with_repeated_terms_answers(spark):
+    """Repeated query terms under slop are answered with Lucene's
+    repeating-terms matcher (the last 'reference answers it, we refuse'
+    hole closed): 'beta beta' needs two beta occurrences per doc."""
+    res = brute_force_search(spark.createDataFrame(SLOP_DOCS),
+                             [(0, "beta beta")], k=10, slop=2,
+                             precision="float64").toPandas()
+    # only doc3 ('alpha beta beta gamma') has beta twice: adjacent -> 1.0
+    assert dict(zip(res.doc_id, res.freq)) == {3: 1.0}
+
+
+def test_slop_doc_repeats_match_lucene_not_anchor_count(spark):
+    """Greedy pq traversal emits ONE match for doc 'a a b', query 'a b'
+    (SloppyPhraseMatcher javadoc) — not one per first-term anchor."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "content": ["a a b"]}))
+    res = brute_force_search(docs, [(0, "a b")], k=10, slop=1,
+                             precision="float64").toPandas()
+    assert dict(zip(res.doc_id, res.freq)) == {0: 1.0}
 
 
 def test_sloppy_matches_duckdb_oracle(spark):
