@@ -1,0 +1,142 @@
+"""Run the reference's own benchmark: wiki_subset + requests_phrase_nl.txt.
+
+Protocol (``SearchWikiDPUMultiThread.java:120-245`` + ``IndexRAMDPU.java:
+90-121``): one document per wiki article file, StandardAnalyzer over the
+whole contents, every line of the query file as an exact phrase query
+(slop 0), ``k`` top docs, throughput = queries / wall-second.  The
+reference's CPU-vs-DPU identity check (``results_diff.py``) maps to the
+indexed-path vs brute-force-scan differential here.
+
+Writes ``BENCH_WIKI.json`` at the repo root and prints it.
+
+Env: WIKI_TGZ (default: the reference tarball), WIKI_QUERIES,
+SPARK_GRAFT_CPUS (default 8), WIKI_K (default 10), WIKI_DIFF_EVERY
+(default 20 — every Nth query also runs the scan differential).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tarfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_BASE = "/root/reference/lucene/pim-benchmarks/exact_phrase"
+WIKI_TGZ = os.environ.get("WIKI_TGZ", f"{REF_BASE}/datasets/wiki_subset.tgz")
+WIKI_QUERIES = os.environ.get("WIKI_QUERIES",
+                              f"{REF_BASE}/queries/requests_phrase_nl.txt")
+EXTRACT_DIR = "/tmp/pim_wiki"
+INDEX_DIR = "/tmp/pim_wiki_index"
+
+
+def extract_wiki(tgz: str = WIKI_TGZ, dest: str = EXTRACT_DIR) -> str:
+    """Extract the article files once; returns the article directory."""
+    name = os.path.basename(tgz).removesuffix(".tgz")
+    out = os.path.join(dest, name)
+    if not os.path.isdir(out) or not os.listdir(out):
+        os.makedirs(dest, exist_ok=True)
+        with tarfile.open(tgz) as tf:
+            tf.extractall(dest, filter="data")
+    return out
+
+
+def load_queries(path: str = WIKI_QUERIES) -> list[tuple[int, str]]:
+    with open(path, encoding="utf-8") as fh:
+        lines = [ln.strip() for ln in fh]
+    return [(i, ln) for i, ln in enumerate(lines) if ln]
+
+
+def wiki_docs(spark, article_dir: str):
+    """Canonical doc frame with dense ids ordered by article path."""
+    from pim_lucene_spark.operators.index_build import assign_doc_ids
+    from pim_lucene_spark.sources.readers import read_corpus
+    df = read_corpus(spark, article_dir, format="wholetext")
+    return assign_doc_ids(df, ["path"]).select("doc_id", "path", "content")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from pim_lucene_spark import IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.router import brute_force_search
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    k = int(os.environ.get("WIKI_K", "10"))
+    diff_every = int(os.environ.get("WIKI_DIFF_EVERY", "20"))
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", str(cpus * 2))
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    article_dir = extract_wiki()
+    queries = load_queries()
+    docs = wiki_docs(spark, article_dir).persist()
+    n_docs = docs.count()
+
+    import shutil
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    cfg = IndexConfig(num_partitions=cpus, num_segments=4, build_chunks=1,
+                      tokenizer="standard")
+    t0 = time.time()
+    manifest = build_index(spark, docs, INDEX_DIR, cfg,
+                           content_col="content", id_col="doc_id",
+                           source=article_dir)
+    build_s = time.time() - t0
+
+    # warm one tiny query (JVM/Arrow spin-up is not part of the protocol's
+    # steady-state throughput; the reference reuses a live searcher)
+    search(spark, manifest, [(10**6, "the")], k=1).collect()
+
+    t0 = time.time()
+    res = search(spark, manifest, queries, k=k)
+    rows = res.collect()
+    batch_s = time.time() - t0
+    qps = len(queries) / batch_s
+
+    # differential: every Nth query also runs the brute-force scan; ranks
+    # and float32 scores must be identical (results_diff.py analogue)
+    sample = queries[::diff_every]
+    import numpy as np
+    idx_rows = {}
+    for r in rows:
+        idx_rows.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    scan = brute_force_search(docs, sample, k=k, tokenizer="standard")
+    scan_rows = {}
+    for r in scan.collect():
+        scan_rows.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    mismatches = 0
+    for qid, _ in sample:
+        a = sorted(idx_rows.get(qid, []), key=lambda t: (-t[1], t[0]))
+        b = sorted(scan_rows.get(qid, []), key=lambda t: (-t[1], t[0]))
+        if [d for d, _ in a] != [d for d, _ in b] or any(
+                np.float32(x) != np.float32(y)
+                for (_, x), (_, y) in zip(a, b)):
+            mismatches += 1
+
+    out = {
+        "metric": "wiki_subset reference benchmark (standard analyzer)",
+        "n_docs": n_docs,
+        "n_queries": len(queries),
+        "k": k,
+        "build_sec": round(build_s, 3),
+        "batch_sec": round(batch_s, 3),
+        "qps": round(qps, 2),
+        "diff_sampled": len(sample),
+        "diff_mismatches": mismatches,
+        "cpus": cpus,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_WIKI.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+    docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()
