@@ -189,6 +189,17 @@ def _q_multifield_combined(spark, sf_dir):
     return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_multifield_bm25f(spark, sf_dir):
+    """True BM25F: pseudo-field stats, one idf, combined norms
+    (CombinedFieldQuery.java:322-470)."""
+    idx = _get_mf_index(spark, sf_dir)
+    res = idx.search_bm25f(MF_BODY_QUERIES, k=10,
+                           field_weights={"body": 1.0, "head": 2.0},
+                           precision="float64")
+    return res.select("qid", "doc_id", F.round("freq", 6).alias("freq"),
+                      F.round("score", 6).alias("score"))
+
+
 _MF_HEAD_CTE = (
     "documents AS (SELECT doc_id, array_to_string((list_filter("
     r"regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))[1:5], ' ') "
@@ -347,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_standard_bm25": _q_std_bm25,
         "engine_multifield_bm25": _q_multifield,
         "engine_multifield_combined": _q_multifield_combined,
+        "engine_multifield_bm25f": _q_multifield_bm25f,
         "corpus_generate": _q_corpus,
         "index_sha256_invariant": _q_sha_invariant,
         "index_term_stats": _q_term_stats,
@@ -612,6 +624,16 @@ def oracle_sql() -> dict[str, str]:
             + ")) GROUP BY qid, doc_id) "
             "QUALIFY row_number() OVER (PARTITION BY qid "
             "ORDER BY s DESC, doc_id ASC) <= 10"),
+        "engine_multifield_bm25f": oracle.bm25f_sql(
+            MF_BODY_QUERIES,
+            field_docs={
+                "body": "SELECT doc_id, text FROM main.documents",
+                "head": ("SELECT doc_id, array_to_string((list_filter("
+                         r"regexp_split_to_array(trim(text), '\s+'), "
+                         "x -> x <> ''))[1:5], ' ') AS text "
+                         "FROM main.documents"),
+            },
+            weights={"body": 1.0, "head": 2.0}, k=10),
         # each field scores against its own posting space and stats: body
         # over the raw text, head over the first-five-tokens view
         "engine_multifield_bm25":

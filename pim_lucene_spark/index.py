@@ -18,6 +18,8 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from pim_lucene_spark.config import IndexConfig
@@ -302,6 +304,183 @@ class MultiFieldIndex:
         win = Window.partitionBy("qid").orderBy(F.desc("score"),
                                                 F.asc("doc_id"))
         return (combined.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k).drop("rank"))
+
+    def search_bm25f(self, queries: list[tuple[int, str]], k: int = 10,
+                     field_weights: dict[str, float] | None = None,
+                     precision: str = "float32") -> DataFrame:
+        """True BM25F ranking — the sandbox ``CombinedFieldQuery`` scoring
+        (``CombinedFieldQuery.java:322-470``): the query's terms across all
+        fields score as ONE pseudo-term in ONE pseudo-field.
+
+        - pseudo term stats: ``docFreq = max`` over every (field, term)
+          pair, ``totalTermFreq = Σ ⌊w_f · ttf(t,f)⌋`` (the reference's
+          long-accumulation-of-doubles truncates per addition,
+          ``:335-341``); one idf for the whole query (``:342-348``)
+        - pseudo collection stats: ``docCount = max`` over fields,
+          ``sumTotalTermFreq = Σ ⌊w_f · sumTTF_f⌋`` (``:353-371``)
+        - per-doc freq: ``Σ w_f · tf(t, f, doc)`` over all matching pairs
+          (disjunction; ``WeightedDisiWrapper.freq``, ``:447-457``)
+        - per-doc norm: decode each field's SmallFloat norm byte, combine
+          ``round(Σ w_f · length_f)``, re-encode (``MultiNormsLeafSimScorer
+          .java:140-153``), then score BM25 once
+
+        This ranking differs from :meth:`search_combined`'s weighted
+        score-sum exactly where BM25F says it should (shared idf and
+        length normalization).  Exact and exhaustive by construction —
+        like Lucene's scorer it iterates the full disjunction; the plan is
+        one IN-pushdown postings scan per field, one freq shuffle, a
+        column-pruned norms join, and a top-k window.
+
+        Float caveat: per-doc freq and norm sums run in column order, not
+        Lucene's docid-iterator order; with field weights that are small
+        dyadic rationals (1.0, 2.0, 0.5 …) and integer tfs every partial
+        sum is exact, so order cannot matter.  Returns
+        (qid, doc_id, freq, score).
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from pim_lucene_spark.functions import bm25
+        from pim_lucene_spark.functions.smallfloat import (
+            byte4_to_int,
+            int_to_byte4,
+        )
+        from pim_lucene_spark.functions.tokenize import tokenize_one
+        from pim_lucene_spark.operators.search import (
+            _normalize_queries,
+            search,
+        )
+
+        weights = field_weights or {f: 1.0 for f in self.fields}
+        manifests = {f: self._field(f) for f in weights}
+        any_m = next(iter(manifests.values()))
+        tokenizer, k1, b = any_m.tokenizer, any_m.k1, any_m.b
+
+        def _wfloor(w: float, v: int) -> int:
+            # long += (double) w * v  — truncation per addition (:335-341)
+            return int(np.floor(np.float64(np.float32(w)) * v))
+
+        doc_count = max(m.doc_count for m in manifests.values())
+        sum_ttf = sum(_wfloor(weights[f], m.sum_total_term_freq)
+                      for f, m in manifests.items())
+        avgdl = bm25.avg_field_length(max(1, sum_ttf), doc_count, precision)
+        cache = bm25.score_cache(avgdl, k1, b, precision)
+
+        # Builder.termsSet is a set — terms dedupe within a query
+        per_q = {qid: (list(dict.fromkeys(tokenize_one(text, tokenizer))),
+                       boost)
+                 for qid, text, boost in _normalize_queries(queries)}
+        all_terms = sorted({t for ts, _ in per_q.values() for t in ts})
+        out_schema = T.StructType([
+            T.StructField("qid", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("freq", T.DoubleType()),
+            T.StructField("score", T.DoubleType()),
+        ])
+        empty = self.spark.createDataFrame([], out_schema)
+        if not all_terms:
+            return empty
+
+        # per-(field, term) stats — tiny IN-pushdown collects
+        stats: dict[tuple[str, str], tuple[int, int]] = {}
+        for f, m in manifests.items():
+            for r in (self.spark.read.parquet(m.stats_path)
+                      .filter(F.col("term").isin(all_terms))
+                      .select("term", "doc_freq", "total_tf").collect()):
+                stats[(f, r["term"])] = (int(r["doc_freq"]),
+                                         int(r["total_tf"]))
+
+        planned: dict[int, float] = {}
+        for qid, (terms, boost) in per_q.items():
+            df_max, ttf = 0, 0
+            for t in terms:
+                for f in manifests:
+                    if (f, t) in stats:
+                        d, tt = stats[(f, t)]
+                        df_max = max(df_max, d)
+                        ttf += _wfloor(weights[f], tt)
+            if df_max > 0:
+                planned[qid] = float(bm25.phrase_weight(
+                    np.array([df_max], dtype=np.int64), doc_count,
+                    boost=boost, precision=precision))
+        if not planned:
+            return empty
+
+        # weighted tf per (query, doc): one term-level sub-query batch per
+        # field, mapped back to qids before the single freq shuffle
+        sub, submap = [], {}
+        for qid in planned:
+            for t in per_q[qid][0]:
+                sid = len(sub)
+                sub.append((sid, t))
+                submap[sid] = qid
+        qmap = F.create_map(*[F.lit(x) for kv in submap.items() for x in kv])
+        parts = []
+        for f, m in manifests.items():
+            res = search(self.spark, m, sub, k=10 ** 9, precision=precision)
+            parts.append(res.select(
+                qmap[F.col("qid")].alias("qid"), "doc_id",
+                (F.col("freq").cast("double")
+                 * float(np.float32(weights[f]))).alias("wtf")))
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        freq = un.groupBy("qid", "doc_id").agg(F.sum("wtf").alias("freq"))
+
+        # combined norm byte per doc (MultiNormsLeafSimScorer.java:140-153)
+        fnames = list(manifests)
+        norms = None
+        for f in fnames:
+            part = (self.spark.read.parquet(manifests[f].docs_path)
+                    .select("doc_id", F.col("norm").alias(f"norm_{f}")))
+            norms = part if norms is None else norms.join(part, "doc_id",
+                                                          "full")
+        ws = [float(np.float32(weights[f])) for f in fnames]
+
+        @F.pandas_udf(T.IntegerType())
+        def combine_norms(s: pd.DataFrame) -> pd.Series:
+            acc = np.zeros(len(s), dtype=np.float32)
+            for w, f in zip(ws, fnames):
+                v = s[f"norm_{f}"].to_numpy(dtype=np.float64,
+                                            na_value=np.nan)
+                dec = byte4_to_int(np.nan_to_num(v).astype(np.int64))
+                acc += np.where(np.isnan(v), np.float32(0.0),
+                                (np.float32(w)
+                                 * dec.astype(np.float32))).astype(np.float32)
+            rounded = np.floor(acc + np.float32(0.5)).astype(np.int64)
+            return pd.Series(int_to_byte4(rounded).astype(np.int32))
+
+        norms = norms.select(
+            "doc_id",
+            combine_norms(F.struct(*[F.col(f"norm_{f}") for f in fnames]))
+            .alias("nb"))
+
+        wq = F.create_map(*[F.lit(x) for kv in planned.items() for x in kv])
+        joined = (freq.join(norms, "doc_id")
+                  .withColumn("w", wq[F.col("qid")]))
+
+        cache_arr = cache
+
+        @F.pandas_udf(T.DoubleType())
+        def score_udf(freq_s: pd.Series, nb_s: pd.Series,
+                      w_s: pd.Series) -> pd.Series:
+            out = np.empty(len(freq_s), dtype=np.float64)
+            fq = freq_s.to_numpy(np.float64)
+            nb = nb_s.to_numpy(np.int64)
+            w = w_s.to_numpy(np.float64)
+            for wv in np.unique(w):
+                m = w == wv
+                out[m] = bm25.score(fq[m], nb[m], float(wv), cache_arr,
+                                    precision).astype(np.float64)
+            return pd.Series(out)
+
+        scored = joined.select("qid", "doc_id", "freq",
+                               score_udf("freq", "nb", "w").alias("score"))
+        win = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                                F.asc("doc_id"))
+        return (scored.withColumn("rank", F.row_number().over(win))
                 .filter(F.col("rank") <= k).drop("rank"))
 
     def field_stats(self) -> dict[str, dict]:

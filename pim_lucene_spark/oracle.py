@@ -319,6 +319,85 @@ def sloppy_phrase_bm25_sql(queries: list[tuple[int, str]], slop: int,
             + ", ".join(ctes) + f" {body}")
 
 
+def bm25f_sql(queries: list[tuple[int, str]], field_docs: dict[str, str],
+              weights: dict[str, float], k: int | None = 10) -> str:
+    """BM25F (sandbox CombinedFieldQuery) SQL → (qid, doc_id, freq, score).
+
+    ``field_docs`` maps field name → a ``SELECT doc_id, text ...`` defining
+    that field's document view.  Reproduces ``CombinedFieldQuery.java:
+    322-470``: pseudo-term df = max over (field, term) pairs, pseudo ttf /
+    collection sumTTF = Σ⌊w·x⌋ per addition, one idf, per-doc freq =
+    Σ w_f·tf, norm = re-encode(round(Σ w_f·decoded_norm_f)).  Weights must
+    be small dyadic rationals so float32 (engine) == float64 (this SQL)
+    on every partial sum.
+    """
+    fields = list(field_docs)
+    ctes = []
+    for f in fields:
+        ctes.append(f"""
+{f}_tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+            '\\s+'), x -> x <> '') AS tks FROM ({field_docs[f]})),
+{f}_docl AS (SELECT doc_id, CAST(len(tks) AS BIGINT) AS dl FROM {f}_tok),
+{f}_pos AS (SELECT doc_id, unnest(tks) AS term FROM {f}_tok),
+{f}_stats AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+              CAST(count(*) AS BIGINT) AS ttf FROM {f}_pos GROUP BY term),
+{f}_cs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM {f}_docl)""")
+    n_docs = "greatest(" + ", ".join(
+        f"(SELECT n_docs FROM {f}_cs)" for f in fields) + ")"
+    sum_dl = " + ".join(
+        f"(SELECT CAST(floor({float(weights[f])!r} * sum_dl) AS BIGINT) "
+        f"FROM {f}_cs)" for f in fields)
+    ctes.append(f"pseudo_cs AS (SELECT {n_docs} AS n_docs, "
+                f"CAST({sum_dl} AS BIGINT) AS sum_dl)")
+
+    # combined norm byte per doc (MultiNormsLeafSimScorer.java:140-153)
+    joins = f"(SELECT doc_id, dl AS dl_{fields[0]} FROM {fields[0]}_docl) "
+    for f in fields[1:]:
+        joins += (f"FULL JOIN (SELECT doc_id, dl AS dl_{f} FROM {f}_docl) "
+                  f"USING (doc_id) ")
+    nv = " + ".join(
+        f"(CASE WHEN dl_{f} IS NULL THEN 0.0 ELSE "
+        f"{float(weights[f])!r} * {_quantized_dl(f'dl_{f}')} END)"
+        for f in fields)
+    qdl = _byte4_to_int_sql(_norm_byte_sql("CAST(floor(nv + 0.5) AS BIGINT)"))
+    ctes.append(f"normd AS (SELECT doc_id, {qdl} AS qdl FROM "
+                f"(SELECT doc_id, {nv} AS nv FROM {joins}))")
+
+    selects = []
+    for qid, text in queries:
+        terms = list(dict.fromkeys(tokenize_one(text)))
+        if not terms:
+            continue
+        in_list = ", ".join(f"'{_q(t)}'" for t in terms)
+        df = "greatest(" + ", ".join(
+            f"coalesce((SELECT df FROM {f}_stats WHERE term = '{_q(t)}'), 0)"
+            for f in fields for t in terms) + ")"
+        freq_parts = " UNION ALL ".join(
+            f"SELECT doc_id, {float(weights[f])!r} * "
+            f"CAST(count(*) AS DOUBLE) AS wtf "
+            f"FROM {f}_pos WHERE term IN ({in_list}) GROUP BY doc_id"
+            for f in fields)
+        idf_expr = (f"ln(1.0 + (CAST(n_docs AS DOUBLE) - qdf + 0.5) "
+                    f"/ (qdf + 0.5))")
+        cache = _cache_sql("f.qdl")
+        score = (f"({idf_expr} - {idf_expr} / "
+                 f"(1.0 + f.freq * {cache}))")
+        qualify = (f"QUALIFY row_number() OVER "
+                   f"(ORDER BY {score} DESC, f.doc_id ASC) <= {k} "
+                   if k is not None else "")
+        selects.append(f"""
+SELECT CAST({qid} AS BIGINT) AS qid, f.doc_id, round(f.freq, 6) AS freq,
+       round({score}, 6) AS score
+FROM (SELECT fr.doc_id, fr.freq, nd.qdl
+      FROM (SELECT doc_id, sum(wtf) AS freq FROM ({freq_parts})
+            GROUP BY doc_id) fr
+      JOIN normd nd ON nd.doc_id = fr.doc_id) f,
+     pseudo_cs, (SELECT {df} AS qdf) qs
+WHERE qdf > 0 {qualify}""")
+    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
 def phrase_freqs_sql(queries: list[tuple[int, str]]) -> str:
     """(qid, doc_id, freq) without scoring."""
     selects = []
