@@ -189,6 +189,16 @@ def _q_multifield_combined(spark, sf_dir):
     return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_multifield_combined_ta(spark, sf_dir):
+    """Bounded threshold merge — must equal the exhaustive plan exactly
+    (same oracle SQL)."""
+    idx = _get_mf_index(spark, sf_dir)
+    res = idx.search_combined(MF_BODY_QUERIES, k=10,
+                              field_weights={"body": 1.0, "head": 2.0},
+                              precision="float64", exhaustive="ta")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_multifield_bm25f(spark, sf_dir):
     """True BM25F: pseudo-field stats, one idf, combined norms
     (CombinedFieldQuery.java:322-470)."""
@@ -358,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_standard_bm25": _q_std_bm25,
         "engine_multifield_bm25": _q_multifield,
         "engine_multifield_combined": _q_multifield_combined,
+        "engine_multifield_combined_ta": _q_multifield_combined_ta,
         "engine_multifield_bm25f": _q_multifield_bm25f,
         "corpus_generate": _q_corpus,
         "index_sha256_invariant": _q_sha_invariant,
@@ -572,6 +583,19 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
+    combined_sql = (
+        "SELECT qid, doc_id, round(s, 6) AS score FROM ("
+        " SELECT qid, doc_id, sum(ws) AS s FROM ("
+        "  SELECT qid, doc_id, score * 1.0 AS ws FROM ("
+        + oracle.phrase_bm25_sql(MF_BODY_QUERIES, k=None,
+                                 round_scores=False)
+        + ") UNION ALL SELECT qid, doc_id, score * 2.0 AS ws FROM ("
+        + oracle.phrase_bm25_sql(MF_BODY_QUERIES, k=None,
+                                 round_scores=False)
+          .replace("WITH ", f"WITH {_MF_HEAD_CTE}, ", 1)
+        + ")) GROUP BY qid, doc_id) "
+        "QUALIFY row_number() OVER (PARTITION BY qid "
+        "ORDER BY s DESC, doc_id ASC) <= 10")
     hits = {lang: f"len(list_filter(tks, t -> list_contains({m}, t)))"
             for lang, m in _MARKER_SQL.items()}
     best = "greatest(" + ", ".join(f"CAST({h} AS BIGINT)"
@@ -611,19 +635,9 @@ def oracle_sql() -> dict[str, str]:
                      "upper(text) AS text FROM main.documents), ", 1),
         # weighted score-sum across fields (1.0*body + 2.0*head), every
         # matching doc evaluated per field before combining (exhaustive)
-        "engine_multifield_combined": (
-            "SELECT qid, doc_id, round(s, 6) AS score FROM ("
-            " SELECT qid, doc_id, sum(ws) AS s FROM ("
-            "  SELECT qid, doc_id, score * 1.0 AS ws FROM ("
-            + oracle.phrase_bm25_sql(MF_BODY_QUERIES, k=None,
-                                     round_scores=False)
-            + ") UNION ALL SELECT qid, doc_id, score * 2.0 AS ws FROM ("
-            + oracle.phrase_bm25_sql(MF_BODY_QUERIES, k=None,
-                                     round_scores=False)
-              .replace("WITH ", f"WITH {_MF_HEAD_CTE}, ", 1)
-            + ")) GROUP BY qid, doc_id) "
-            "QUALIFY row_number() OVER (PARTITION BY qid "
-            "ORDER BY s DESC, doc_id ASC) <= 10"),
+        "engine_multifield_combined": combined_sql,
+        # the threshold merge must reproduce the exhaustive plan exactly
+        "engine_multifield_combined_ta": combined_sql,
         "engine_multifield_bm25f": oracle.bm25f_sql(
             MF_BODY_QUERIES,
             field_docs={

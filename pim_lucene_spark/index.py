@@ -267,17 +267,31 @@ class MultiFieldIndex:
     def search_combined(self, queries: list[tuple[int, str]], k: int = 10,
                         field_weights: dict[str, float] | None = None,
                         precision: str = "float32",
-                        exhaustive: bool = True) -> DataFrame:
+                        exhaustive: bool | str = "ta",
+                        max_driver_rows: int = 2_000_000) -> DataFrame:
         """Multi-field ranked retrieval: per-field BM25 scores combined as
         a weighted sum per (query, doc) — the score-combination family of
         the sandbox's ``CombinedFieldQuery`` (the reference repo ships it
         alongside the pim module), with each field scored against its OWN
         stats as Lucene does for per-field queries.
 
-        ``exhaustive=True`` (default) evaluates every matching doc per
-        field before combining, so the top-k is exact; ``False`` combines
-        each field's top-k only — cheaper at scale, may miss docs that
-        rank via the sum without making any single field's top-k.
+        ``exhaustive``:
+
+        - ``"ta"`` (default): EXACT top-k via a threshold merge (Fagin's
+          NRA family): per-field top-m cursors with upper bound
+          ``Σ_f w_f · τ_f`` (τ_f = the m-th score of field f, 0 once the
+          field's matches are exhausted); m grows geometrically until the
+          k-th fully-resolved lower bound dominates every other doc's
+          upper bound.  The union + groupBy over every matching doc never
+          happens — per round only ``m·|fields|`` rows leave the bounded
+          per-field top-k plans.  Falls back to the exhaustive plan if a
+          round would pull more than ``max_driver_rows``.
+        - ``True``: exhaustive distributed plan — every matching doc of
+          every field flows through one union + groupBy.  Exact; the
+          shuffle is O(matching docs), so prefer ``"ta"`` at scale.
+        - ``False``: combines each field's top-k only — cheapest, may
+          miss docs that rank via the sum without making any single
+          field's top-k (rank-unsafe, documented).
 
         Returns (qid, doc_id, score) with score = Σ_f w_f · score_f.
         """
@@ -288,6 +302,9 @@ class MultiFieldIndex:
         unknown = set(weights) - set(self.fields)
         if unknown:
             raise KeyError(f"unknown fields {sorted(unknown)}")
+        if exhaustive == "ta":
+            return self._search_combined_ta(queries, k, weights, precision,
+                                            max_driver_rows)
         per_field_k = 10 ** 9 if exhaustive else k
         parts = []
         for fname, w in weights.items():
@@ -305,6 +322,87 @@ class MultiFieldIndex:
                                                 F.asc("doc_id"))
         return (combined.withColumn("rank", F.row_number().over(win))
                 .filter(F.col("rank") <= k).drop("rank"))
+
+    # telemetry for tests/plan audits: rows fetched by the last TA run
+    last_ta_rows_fetched: int = 0
+
+    def _search_combined_ta(self, queries, k, weights, precision,
+                            max_driver_rows) -> DataFrame:
+        """Exact bounded combined top-k (threshold merge; see
+        :meth:`search_combined`).  Driver memory is bounded by
+        ``m·|fields|`` rows per round, never by the corpus."""
+        from pyspark.sql import functions as F  # noqa: F401
+        from pyspark.sql import types as T
+
+        fnames = list(weights)
+        ws = {f: float(weights[f]) for f in fnames}
+        out_schema = T.StructType([
+            T.StructField("qid", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ])
+        pending = list(queries)
+        final_rows: list[tuple[int, int, float]] = []
+        m = max(4 * k, 64)
+        self.last_ta_rows_fetched = 0
+        while pending:
+            if m * len(fnames) > max_driver_rows:
+                # residual queries: hand off to the exhaustive plan
+                rest = self.search_combined(pending, k=k,
+                                            field_weights=weights,
+                                            precision=precision,
+                                            exhaustive=True)
+                done = self.spark.createDataFrame(
+                    final_rows or [], out_schema)
+                return done.unionByName(rest)
+            per_field = {}
+            for f in fnames:
+                pdf = self.search(pending, k=m, field=f,
+                                  precision=precision).toPandas()
+                per_field[f] = pdf
+                self.last_ta_rows_fetched += len(pdf)
+            still = []
+            for q in pending:
+                qid = q[0]
+                cand: dict[int, dict[str, float]] = {}
+                tau, exhausted = {}, {}
+                for f in fnames:
+                    rows = per_field[f][per_field[f].qid == qid]
+                    for d, s in zip(rows.doc_id, rows.score):
+                        cand.setdefault(int(d), {})[f] = float(s)
+                    exhausted[f] = len(rows) < m
+                    tau[f] = 0.0 if exhausted[f] else float(rows.score.min())
+                low, up, resolved = {}, {}, {}
+                for d, by_f in cand.items():
+                    lo = sum(ws[f] * by_f.get(f, 0.0) for f in fnames)
+                    hi = sum(ws[f] * by_f.get(
+                        f, 0.0 if exhausted[f] else tau[f])
+                        for f in fnames)
+                    low[d], up[d] = lo, hi
+                    resolved[d] = all(f in by_f or exhausted[f]
+                                      for f in fnames)
+                res_docs = sorted((d for d in cand if resolved[d]),
+                                  key=lambda d: (-low[d], d))
+                topk = res_docs[:k]
+                kth = low[topk[-1]] if len(topk) == k else None
+                all_exhausted = all(exhausted.values())
+                ok = True
+                if kth is None:
+                    ok = all_exhausted  # fewer than k true matches
+                else:
+                    if not all_exhausted:
+                        unseen_ub = sum(ws[f] * tau[f] for f in fnames)
+                        ok &= unseen_ub < kth
+                    ok &= all(up[d] < kth for d in cand
+                              if d not in topk and not resolved[d])
+                if ok:
+                    final_rows += [(int(qid), int(d), float(low[d]))
+                                   for d in topk]
+                else:
+                    still.append(q)
+            pending = still
+            m *= 8
+        return self.spark.createDataFrame(final_rows or [], out_schema)
 
     def search_bm25f(self, queries: list[tuple[int, str]], k: int = 10,
                      field_weights: dict[str, float] | None = None,

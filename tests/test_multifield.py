@@ -92,6 +92,55 @@ def test_search_combined_weighted_sum(mf_index):
     assert got[(0, 0)] > float(f1[f1.doc_id == 0].score.iloc[0])
 
 
+def test_combined_ta_equals_exhaustive(mf_index):
+    """The bounded threshold merge returns the exhaustive plan's exact
+    rows — same docs, same float64 scores, same ranking."""
+    queries = [(0, "red"), (1, "green"), (2, "blue black")]
+    w = {"field1": 1.0, "field2": 3.0}
+    for k in (1, 2, 10):
+        a = (mf_index.search_combined(queries, k=k, field_weights=w,
+                                      precision="float64",
+                                      exhaustive="ta").toPandas()
+             .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        b = (mf_index.search_combined(queries, k=k, field_weights=w,
+                                      precision="float64",
+                                      exhaustive=True).toPandas()
+             .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_combined_ta_bounded_fetch_on_stopword(spark, tmp_path_factory):
+    """A stopword query matches every doc; the threshold merge must fetch
+    far fewer per-field rows than the 2·N·fields the exhaustive union
+    shuffles, and still return the exhaustive plan's exact top-k."""
+    n = 400
+    # lengths grow with doc_id so BM25 scores decay strictly near the top
+    # (short docs hold distinct SmallFloat norms); a tie-heavy corpus
+    # would legitimately force the merge to exhaust instead
+    docs = pd.DataFrame({
+        "doc_id": range(n),
+        "a": ["the " + "pad " * (i + 1) for i in range(n)],
+        "b": ["the " + "qad " * (i + 3) for i in range(n)],
+    })
+    idx = MultiFieldIndex.build(
+        spark, spark.createDataFrame(docs),
+        str(tmp_path_factory.mktemp("tastop")),
+        fields={"a": "a", "b": "b"},
+        cfg=IndexConfig(num_partitions=2, num_segments=2, build_chunks=1),
+        id_col="doc_id")
+    q = [(0, "the")]
+    w = {"a": 1.0, "b": 2.0}
+    ta = (idx.search_combined(q, k=10, field_weights=w,
+                              precision="float64", exhaustive="ta")
+          .toPandas().sort_values("doc_id").reset_index(drop=True))
+    fetched = idx.last_ta_rows_fetched
+    ex = (idx.search_combined(q, k=10, field_weights=w,
+                              precision="float64", exhaustive=True)
+          .toPandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ta, ex, check_dtype=False)
+    assert fetched < n, f"TA fetched {fetched} rows; exhaustive unions {2*n}"
+
+
 def test_unknown_field_raises(mf_index):
     with pytest.raises(KeyError, match="unknown field"):
         mf_index.search([(0, "red")], field="nope")
