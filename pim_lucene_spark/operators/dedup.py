@@ -131,20 +131,48 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
 
 
 def _cap_buckets(bkt: DataFrame, keys: list[str],
-                 max_bucket_size: int | None) -> DataFrame:
-    """Drop LSH buckets larger than the cap before the self-join.
+                 max_bucket_size: int | None
+                 ) -> tuple[DataFrame, DataFrame | None]:
+    """Split LSH buckets at the cap before the self-join.
 
     At corpus scale a pathological bucket (site boilerplate, empty-ish
     docs) turns the within-bucket join quadratic: a 1M-doc bucket is 10¹²
-    candidate pairs.  Oversized buckets are near-certain exact/boilerplate
-    duplicates — route them through :func:`exact_dedup` instead of the
-    pair join.  ``None`` disables (exact contract counts)."""
+    candidate pairs.  Returns ``(kept_buckets, dropped_doc_ids)`` — the
+    members of oversized buckets are handed back so the caller can route
+    them through the linear exact-duplicate star (see
+    :func:`_exact_star_candidates`) instead of silently losing their
+    pairs.  ``None`` disables the cap (``dropped`` is None)."""
     if max_bucket_size is None:
-        return bkt
+        return bkt, None
     from pyspark.sql import Window
     w = Window.partitionBy(*keys)
-    return (bkt.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+    sized = bkt.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    kept = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    dropped = (sized.filter(F.col("_bsz") > max_bucket_size)
+               .select("doc_id").distinct())
+    return kept, dropped
+
+
+def _exact_star_candidates(docs: DataFrame, dropped: DataFrame,
+                           id_col: str, text_col: str) -> DataFrame:
+    """Candidate pairs for oversized-bucket members: exact content
+    duplicates linked in a star to each group's min doc_id.
+
+    Oversized LSH buckets are near-certain boilerplate/exact duplicates;
+    hash-grouping them is LINEAR (one shuffle on the content hash,
+    size-1 pairs per group) where the within-bucket self-join is
+    quadratic.  Near-but-not-exact duplicates inside an oversized bucket
+    are the documented recall tradeoff at the quadratic cliff.  The pairs
+    feed the caller's exact verify stage like any other candidates."""
+    from pyspark.sql import Window
+    d = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.sha2(F.col(text_col), 256).alias("_h"))
+         .join(dropped, "doc_id"))
+    w = Window.partitionBy("_h")
+    return (d.withColumn("_keep", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("_keep"))
+            .select(F.col("_keep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
@@ -152,7 +180,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                       id_col: str = "doc_id", text_col: str = "content",
                       seed: int = 42,
                       hash_fn: str = "xxhash64",
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = 10_000) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
 
     Scale path: docs sharing any band bucket become candidates (shuffle on
@@ -160,8 +188,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     Jaccard so the threshold is exact, LSH only affects recall.  The band
     bucket key is the concatenated signature slice itself (no second hash
     — exactly as collision-safe, and byte-for-byte reproducible in SQL).
-    ``max_bucket_size`` skips pathological boilerplate buckets (see
-    :func:`_cap_buckets`).
+
+    ``max_bucket_size`` (default 10⁴ — ON at scale) keeps pathological
+    boilerplate buckets out of the quadratic self-join; their members are
+    routed through the linear exact-duplicate star instead and still feed
+    the same verify stage (see :func:`_exact_star_candidates`).  ``None``
+    disables the cap entirely (small corpora / oracle runs).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -176,15 +208,19 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                                 .cast("string")
                                 for j in range(rows_per_band)]).alias("bucket"))
             for i in range(bands)])).alias("bb"))
-    bkt = _cap_buckets(bucketed.select("doc_id", "bb.band", "bb.bucket"),
-                       ["band", "bucket"], max_bucket_size)
+    bkt, dropped = _cap_buckets(
+        bucketed.select("doc_id", "bb.band", "bb.bucket"),
+        ["band", "bucket"], max_bucket_size)
     cand = (bkt.alias("x").join(bkt.alias("y"),
                                 (F.col("x.band") == F.col("y.band"))
                                 & (F.col("x.bucket") == F.col("y.bucket"))
                                 & (F.col("x.doc_id") < F.col("y.doc_id")))
             .select(F.col("x.doc_id").alias("doc_a"),
-                    F.col("y.doc_id").alias("doc_b"))
-            .distinct())
+                    F.col("y.doc_id").alias("doc_b")))
+    if dropped is not None:
+        cand = cand.unionByName(
+            _exact_star_candidates(docs, dropped, id_col, text_col))
+    cand = cand.distinct()
     g = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                     F.array_distinct(ngrams_col(tokens_col(text_col), n))
                      .alias("grams"))
@@ -254,13 +290,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "content",
                   num_bits: int = 64,
                   hash_fn: str = "xxhash64",
-                  max_bucket_size: int | None = None) -> DataFrame:
+                  max_bucket_size: int | None = 10_000) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Banding: with 4 bands of num_bits/4 bits, any pair within hamming 3
     shares at least one exact band (pigeonhole) — candidates via band
-    equi-join, then exact popcount verify.  ``max_bucket_size`` skips
-    pathological boilerplate buckets (see :func:`_cap_buckets`).
+    equi-join, then exact popcount verify.  ``max_bucket_size`` (default
+    10⁴ — ON at scale) routes pathological boilerplate buckets through
+    the linear exact-duplicate star instead of the quadratic self-join
+    (exact dups have hamming 0; see :func:`_exact_star_candidates`);
+    ``None`` disables the cap.
     """
     band_bits = num_bits // 4 if hash_fn != "portable" else 15
     sh = simhash(docs, id_col, text_col, num_bits, hash_fn)
@@ -271,16 +310,21 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   .bitwiseAND(F.lit(mask)).alias("key"))
         for i in range(4)])).alias("bb")).select("doc_id", "simhash",
                                                  "bb.band", "bb.key")
-    bands = _cap_buckets(bands, ["band", "key"], max_bucket_size)
+    bands, dropped = _cap_buckets(bands, ["band", "key"], max_bucket_size)
     cand = (bands.alias("x").join(bands.alias("y"),
                                   (F.col("x.band") == F.col("y.band"))
                                   & (F.col("x.key") == F.col("y.key"))
                                   & (F.col("x.doc_id") < F.col("y.doc_id")))
             .select(F.col("x.doc_id").alias("doc_a"),
-                    F.col("y.doc_id").alias("doc_b"),
-                    F.col("x.simhash").alias("sa"),
-                    F.col("y.simhash").alias("sb"))
-            .distinct())
+                    F.col("y.doc_id").alias("doc_b")))
+    if dropped is not None:
+        cand = cand.unionByName(
+            _exact_star_candidates(docs, dropped, id_col, text_col))
+    cand = (cand.distinct()
+            .join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("simhash").alias("sa")), "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"),
+                            F.col("simhash").alias("sb")), "doc_b"))
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))

@@ -62,9 +62,10 @@ def test_simhash_matches_numpy_reference(spark):
                 break  # xxhash64 path needs a Spark job per doc — spot-check
 
 
-def test_bucket_cap_skips_boilerplate(spark):
-    """max_bucket_size drops pathological buckets (boilerplate) from the
-    pair join while genuine near-dup pairs in small buckets survive."""
+def test_bucket_cap_routes_boilerplate_via_exact_star(spark):
+    """max_bucket_size keeps pathological buckets (boilerplate) out of
+    the quadratic pair join; their exact-dup pairs come back as the
+    linear star, and genuine near-dup pairs in small buckets survive."""
     boiler = ["copyright footer text " * 3] * 30  # one giant bucket
     near = ["alpha beta gamma delta epsilon zeta",
             "alpha beta gamma delta epsilon eta"]
@@ -73,12 +74,16 @@ def test_bucket_cap_skips_boilerplate(spark):
     capped = dedup.minhash_lsh_pairs(sdf, num_hashes=16, bands=8, n=3,
                                      threshold=0.3, max_bucket_size=8
                                      ).toPandas()
-    # the 30-doc boilerplate bucket (435 pairs) is skipped entirely…
-    assert not ((capped.doc_a < 30) & (capped.doc_b < 30)).any()
-    # …but the small-bucket near-dup pair survives
+    # the 30-doc boilerplate bucket keeps only the 29 star pairs (0 -> i)
+    in_group = capped[(capped.doc_a < 30) & (capped.doc_b < 30)]
+    assert set(zip(in_group.doc_a, in_group.doc_b)) == \
+        {(0, i) for i in range(1, 30)}
+    assert (in_group.jaccard == 1.0).all()
+    # …and the small-bucket near-dup pair survives
     assert (30, 31) in set(zip(capped.doc_a, capped.doc_b))
     uncapped = dedup.minhash_lsh_pairs(sdf, num_hashes=16, bands=8, n=3,
-                                       threshold=0.3).toPandas()
+                                       threshold=0.3,
+                                       max_bucket_size=None).toPandas()
     assert ((uncapped.doc_a < 30) & (uncapped.doc_b < 30)).sum() == 435
 
 
