@@ -258,9 +258,15 @@ def _q_multimodal_features(spark, sf_dir):
 
 
 def _q_corpus(spark, sf_dir):
+    """Generated corpus vs the splitmix64 formula oracle: metadata columns
+    plus the token count RE-DERIVED from the materialized content (the
+    oracle computes the same from the pure formula, proving the generated
+    text honors it at any parallelism)."""
     c = generate_corpus(spark, 300, seed=42, num_partitions=8)
-    return c.select("doc_id", "repo", "lang",
-                    F.length("content").alias("n_chars"))
+    toks = F.filter(F.split(F.trim(F.col("content")), r"\s+"),
+                    lambda x: x != "")
+    return c.select("doc_id", "repo", "path", "commit", "lang",
+                    F.size(toks).cast("long").alias("n_tokens"))
 
 
 # CTE that shadows `documents` with the merged-id view: first half keeps
@@ -789,5 +795,5 @@ def oracle_sql() -> dict[str, str]:
                                                    num_planes=8,
                                                    num_tables=4),
         "multimodal_features": _MM_FEATURES_SQL,
-        # corpus_generate: python-RNG-seeded generator — rows-only check.
+        "corpus_generate": oracle.corpus_sql(300, seed=42),
     }

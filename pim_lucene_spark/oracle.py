@@ -411,6 +411,56 @@ def phrase_freqs_sql(queries: list[tuple[int, str]]) -> str:
     return f"WITH {TOK_CTE} " + " UNION ALL ".join(selects)
 
 
+_M64 = "18446744073709551616"  # 2^64
+
+
+def _u64_mul(a: str, b: str) -> str:
+    return (f"CAST((CAST({a} AS UHUGEINT) * CAST({b} AS UHUGEINT)) "
+            f"% {_M64}::UHUGEINT AS UBIGINT)")
+
+
+def _u64_add(a: str, b: str) -> str:
+    return (f"CAST((CAST({a} AS UHUGEINT) + CAST({b} AS UHUGEINT)) "
+            f"% {_M64}::UHUGEINT AS UBIGINT)")
+
+
+def _splitmix64_sql(x: str) -> str:
+    """Vectorized splitmix64 finalizer in DuckDB SQL — bit-identical to
+    ``corpus._splitmix64`` (UHUGEINT intermediate emulates uint64 wrap)."""
+    z = _u64_add(x, "11400714819323198485")       # 0x9E3779B97F4A7C15
+    z = f"xor({z}, ({z}) >> 30)"
+    z = _u64_mul(z, "13787848793156543929")       # 0xBF58476D1CE4E5B9
+    z = f"xor({z}, ({z}) >> 27)"
+    z = _u64_mul(z, "10723151780598845931")       # 0x94D049BB133111EB
+    return f"xor({z}, ({z}) >> 31)"
+
+
+def corpus_sql(num_docs: int, seed: int = 42, min_tokens: int = 40,
+               max_tokens: int = 260) -> str:
+    """Oracle for the deterministic corpus generator: every metadata
+    column and the per-doc token count recomputed from the pure
+    splitmix64 formulas of ``corpus._gen_batch`` — the Spark side returns
+    the same values derived from the MATERIALIZED frame (token count by
+    re-splitting ``content``), so the comparison proves the generated
+    data honors the formula at any parallelism."""
+    from pim_lucene_spark.corpus import LANGS
+    base = _splitmix64_sql(f"xor(CAST(i AS UBIGINT), {seed}::UBIGINT)")
+    langs = "[" + ", ".join(f"'{lang}'" for lang in LANGS) + "]"
+    return f"""
+        WITH g AS (SELECT i, {base} AS base FROM range(0, {num_docs}) t(i))
+        SELECT CAST(i AS BIGINT) AS doc_id,
+               'org/repo' || CAST(i % 97 AS VARCHAR) AS repo,
+               'src/m' || CAST(i % 211 AS VARCHAR) || '/f' ||
+                 CAST(i AS VARCHAR) || '.' ||
+                 {langs}[CAST(base % 6 AS BIGINT) + 1] AS path,
+               lpad(printf('%x', CAST(base >> 24 AS BIGINT)), 10, '0')
+                 AS commit,
+               {langs}[CAST(base % 6 AS BIGINT) + 1] AS lang,
+               CAST({min_tokens} + base % {max_tokens - min_tokens + 1}
+                    AS BIGINT) AS n_tokens
+        FROM g"""
+
+
 TERM_STATS_SQL = f"""WITH {TOK_CTE}
 SELECT term,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
