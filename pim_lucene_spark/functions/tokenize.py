@@ -153,6 +153,16 @@ def tokenize_to_codes(texts: pd.Series, tokenizer: str = "whitespace"):
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
+    if tokenizer == "standard" and vocab.size:
+        # restore protected medials in the (tiny) vocabulary BEFORE
+        # computing the rank permutation — placeholder bytes (\x01='
+        # \x02=. \x03=,) sort differently from the restored characters
+        # (',' 0x2C < '.' 0x2E), and the documented contract is restored
+        # code-point order == BytesRef.compareTo.  Restoration is a
+        # bijection (raw ' . , never survive the split), so distinct raw
+        # tokens stay distinct.  The token stream itself never
+        # materializes Python strings.
+        vocab = np.array([_std_restore(t) for t in vocab], dtype=object)
     # sort vocabulary by code point; remap codes through the rank table.
     # "" (if present) sorts first — drop it from the vocab and shift ranks
     # down; no kept token maps to it.
@@ -165,10 +175,6 @@ def tokenize_to_codes(texts: pd.Series, tokenizer: str = "whitespace"):
         uniques = uniques[1:]
     codes = rank[idx] if idx.size else idx
     positions = _ordinals_within(doc_idx, n)
-    if tokenizer == "standard" and uniques.size:
-        # restore protected medials in the (tiny) vocabulary only — the
-        # token stream itself never materializes Python strings
-        uniques = np.array([_std_restore(t) for t in uniques], dtype=object)
     return doc_idx, codes, positions, uniques
 
 

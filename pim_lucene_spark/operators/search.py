@@ -216,7 +216,9 @@ def _phrase_match_counts(postings_by_term: list, cand_idx_by_term: list[np.ndarr
 
 def _single_term_topk(rows, norms: np.ndarray, weight: float,
                       cache: np.ndarray, precision: str, k: int,
-                      num_segments: int, ext_bound: float = -np.inf):
+                      num_segments: int, ext_bound: float = -np.inf,
+                      cached: "_LazyPostings | None" = None,
+                      cache_put=None):
     """Single-term scoring with block-max segment skipping.
 
     Segments are visited in descending admissible upper-bound order
@@ -227,6 +229,11 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
     ``matcher.c:121-128``, exact because float rounding is monotone so the
     bound computed by the identical expression tree at maximal inputs
     dominates every in-segment score.
+
+    ``cached``/``cache_put`` hook into the batch-wide decode cache: a hot
+    term already fully decoded by an earlier query in the batch is scored
+    straight from the cached arrays (scoring is cheap; the skip only ever
+    saved the decode), and a full decode performed here is published back.
     """
     counts_tot = np.zeros(num_segments, dtype=np.int64)
     max_tf = np.zeros(num_segments, dtype=np.int64)
@@ -234,8 +241,10 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         counts_tot += np.asarray(r.seg_doc_counts, dtype=np.int64)
         max_tf = np.maximum(max_tf, np.asarray(r.seg_max_tf, dtype=np.int64))
     total = int(counts_tot.sum())
-    if k >= total and ext_bound == -np.inf:  # no pruning possible
-        lp = _LazyPostings(rows)
+    if cached is not None or (k >= total and ext_bound == -np.inf):
+        lp = cached if cached is not None else _LazyPostings(rows)
+        if cached is None and cache_put is not None:
+            cache_put(lp)
         nb = norms[lp.rel_docs]
         sc = bm25.score(lp.freqs, nb, weight, cache, precision)
         DECODE_STATS["segments_scored"] += int((counts_tot > 0).sum())
@@ -250,6 +259,7 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
     order, ub_sorted = live[o], ub[o]
 
     parts: list[tuple] = []
+    top_buf = np.empty(0, dtype=np.float64)  # running top-k (O(batch + k))
     n_coll, kth, i = 0, -np.inf, 0
     batch_target = max(4 * k, 256)
     while i < order.size:
@@ -272,9 +282,11 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         parts.append((lp.rel_docs, lp.freqs, nb, sc))
         n_coll += lp.rel_docs.size
         DECODE_STATS["segments_scored"] += int(j - i)
+        top_buf = np.concatenate([top_buf, sc])
+        if top_buf.size > k:
+            top_buf = np.partition(top_buf, -k)[-k:]
         if n_coll >= k:
-            allsc = np.concatenate([p[3] for p in parts])
-            kth = float(np.partition(allsc, -k)[-k])
+            kth = float(top_buf.min())
         i = j
     if not parts:
         z = np.empty(0, dtype=np.int64)
@@ -325,9 +337,12 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame,
         ext = float(bounds.get(qid, -np.inf))
 
         if not multi:
+            t0 = terms[0]
             cand, freqs, norm_bytes, scores = _single_term_topk(
-                by_term[terms[0]], norms, weight, cache, precision, k,
-                num_segments, ext_bound=ext)
+                by_term[t0], norms, weight, cache, precision, k,
+                num_segments, ext_bound=ext,
+                cached=decoded.get(t0),
+                cache_put=lambda lp, _t=t0: decoded.__setitem__(_t, lp))
             if cand.size == 0:
                 continue
         else:
@@ -431,6 +446,19 @@ def _empty_result() -> pd.DataFrame:
                          "norm": [], "score": []}).astype(
         {"qid": np.int64, "doc_id": np.int64, "freq": np.int64,
          "norm": np.int32, "score": np.float64})
+
+
+def _resolve_norms_access(norms_access: str, manifest) -> str:
+    """'auto' → 'direct' only for a plain filesystem path the driver can
+    stat; scheme-qualified URIs (s3a://, hdfs://) and driver-invisible
+    dirs fall back to the always-working cogroup instead of failing at
+    query time inside an executor."""
+    if norms_access != "auto":
+        return norms_access
+    if "://" not in manifest.norms_path and \
+            os.path.isdir(manifest.norms_path):
+        return "direct"
+    return "cogroup"
 
 
 def _match_kernel(payload: dict):
@@ -575,7 +603,7 @@ def search(spark: SparkSession, index: IndexManifest | str,
            queries: list[tuple[int, str]], k: int = 10,
            precision: str = "float32",
            final_merge: str = "window",
-           norms_access: str = "direct",
+           norms_access: str = "auto",
            bound_probe: bool = False) -> DataFrame:
     """Batched top-k phrase/term search → DataFrame(qid, doc_id, freq, norm, score).
 
@@ -589,12 +617,17 @@ def search(spark: SparkSession, index: IndexManifest | str,
     the reference's host-side merge (``topdocs_sync.c:369-412``) — one
     exchange less, lower latency for small k.
 
-    ``norms_access``: ``'direct'`` (default) has each partition task read
-    its norms blob straight from the index's ``norms/pid=N/`` Parquet files
-    — requires a POSIX-visible shared mount (local disk, NFS, Lustre,
+    ``norms_access``: ``'direct'`` has each partition task read its norms
+    blob straight from the index's ``norms/pid=N/`` Parquet files —
+    requires a POSIX-visible shared mount (local disk, NFS, Lustre,
     FUSE-mounted object store); a task that cannot see its norms dir fails
     loudly.  ``'cogroup'`` shuffles norms through a Spark cogroup instead
-    (raw object-store URIs, v2 indexes, exotic deployments).
+    (raw object-store URIs, v2 indexes, exotic deployments).  ``'auto'``
+    (default) picks ``direct`` only when the norms path is a plain
+    filesystem path the driver can stat (a scheme-qualified URI like
+    ``s3a://…`` or a dir the driver can't see falls back to ``cogroup``
+    instead of failing at query time; executors that still can't see a
+    driver-visible path get the loud error as the backstop).
 
     ``bound_probe``: the reference's multi-round adaptive bound broadcast
     (``topdocs_sync.c:469-544``: the host pushes the running global k-th
@@ -615,6 +648,7 @@ def search(spark: SparkSession, index: IndexManifest | str,
 
     avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
                                   manifest.doc_count, precision)
+    norms_access = _resolve_norms_access(norms_access, manifest)
     use_direct = norms_access == "direct" and manifest.version >= 3
     payload = {
         "queries": planned,

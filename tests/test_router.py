@@ -159,3 +159,21 @@ def test_sloppy_matches_duckdb_oracle(spark):
     odf = (con.execute(sloppy_phrase_bm25_sql(queries, slop=1, k=10))
            .fetchdf().sort_values(["qid", "doc_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(res, odf.astype(res.dtypes.to_dict()))
+
+
+def test_norms_access_auto_resolution(spark, tmp_index_dir):
+    """'auto' picks direct only for driver-visible plain paths; object
+    store URIs and missing dirs fall back to cogroup (never a
+    query-time FileNotFoundError on non-shared deployments)."""
+    from types import SimpleNamespace
+    from pim_lucene_spark.operators.search import _resolve_norms_access
+    m = SimpleNamespace(norms_path="s3a://bucket/idx/norms")
+    assert _resolve_norms_access("auto", m) == "cogroup"
+    m = SimpleNamespace(norms_path="/definitely/not/mounted/norms")
+    assert _resolve_norms_access("auto", m) == "cogroup"
+    cfg = IndexConfig(num_partitions=2, num_segments=1, build_chunks=1)
+    built = build_index(spark, spark.createDataFrame(FIXTURE_DOCS),
+                        tmp_index_dir, cfg, content_col="content",
+                        id_col="doc_id")
+    assert _resolve_norms_access("auto", built) == "direct"
+    assert _resolve_norms_access("cogroup", built) == "cogroup"

@@ -116,3 +116,17 @@ def test_standard_matches_duckdb_oracle(spark, tmp_index_dir):
                                        tokenizer="standard"))
            .fetchdf().sort_values(["qid", "doc_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(res, odf.astype(res.dtypes.to_dict()))
+
+
+def test_vocab_rank_uses_restored_medials():
+    """Sorted-uniques contract (BytesRef.compareTo order) must rank by the
+    RESTORED characters: ',' (0x2C) < '.' (0x2E), though the protection
+    placeholders (\\x02=. \\x03=,) sort the other way."""
+    import pandas as pd
+    from pim_lucene_spark.functions.tokenize import tokenize_to_codes
+    doc_idx, codes, pos, uniques = tokenize_to_codes(
+        pd.Series(["1.5 1,5 a'b z"]), "standard")
+    assert list(uniques) == sorted(uniques)
+    assert list(uniques) == ["1,5", "1.5", "a'b", "z"]
+    # codes must point at the right restored terms, in doc order
+    assert [uniques[c] for c in codes] == ["1.5", "1,5", "a'b", "z"]
