@@ -69,8 +69,8 @@ def _zipf_cdf(size: int, s: float = 1.07) -> np.ndarray:
 
 
 def _gen_batch(doc_ids: np.ndarray, seed: int, vocab: np.ndarray,
-               cdf: np.ndarray, min_tokens: int, max_tokens: int
-               ) -> pd.DataFrame:
+               cdf: np.ndarray, min_tokens: int, max_tokens: int,
+               repo_bias: float = 0.0) -> pd.DataFrame:
     ids = doc_ids.astype(np.uint64)
     base = _splitmix64(ids ^ _U64(seed))
     n_tok = (min_tokens
@@ -83,7 +83,21 @@ def _gen_batch(doc_ids: np.ndarray, seed: int, vocab: np.ndarray,
     h = _splitmix64(doc_rep * _U64(0x100003) + pos)
     u = (h >> _U64(11)).astype(np.float64) / float(1 << 53)
     tok_idx = np.searchsorted(cdf, u, side="left")
-    toks = vocab[np.minimum(tok_idx, len(vocab) - 1)]
+    tok_idx = np.minimum(tok_idx, len(vocab) - 1)
+    if repo_bias > 0.0:
+        # repo-correlated vocabulary (real source trees share per-repo
+        # identifiers): a `repo_bias` fraction of tokens draw from the
+        # repo's own 173-ident slice — gives doc-id-reordering by
+        # (repo, path) something to compress, still a pure function of
+        # (seed, doc_id, position)
+        repo_rep = np.repeat((ids % _U64(97)).astype(np.int64), n_tok)
+        biased = (h % _U64(1000)).astype(np.int64) < int(repo_bias * 1000)
+        slice_idx = len(KEYWORDS) + (repo_rep * 173
+                                     + ((h >> _U64(32)) % _U64(173))
+                                     .astype(np.int64)) % (len(vocab)
+                                                           - len(KEYWORDS))
+        tok_idx = np.where(biased, slice_idx, tok_idx)
+    toks = vocab[tok_idx]
 
     bounds = np.cumsum(n_tok)
     contents = []
@@ -110,11 +124,14 @@ def _gen_batch(doc_ids: np.ndarray, seed: int, vocab: np.ndarray,
 def generate_corpus(spark: SparkSession, num_docs: int, seed: int = 42,
                     vocab_size: int = 20_000, min_tokens: int = 40,
                     max_tokens: int = 260,
-                    num_partitions: int | None = None) -> DataFrame:
+                    num_partitions: int | None = None,
+                    repo_bias: float = 0.0) -> DataFrame:
     """Deterministic ``(doc_id, repo, path, commit, lang, content)`` frame.
 
     Dense ``doc_id`` in ``[0, num_docs)``; content identical regardless of
     ``num_partitions`` (pure function of ``doc_id`` and ``seed``).
+    ``repo_bias`` > 0 draws that fraction of tokens from a per-repo
+    identifier slice (see :func:`_gen_batch`).
     """
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     vocab = _vocab(vocab_size)
@@ -124,7 +141,7 @@ def generate_corpus(spark: SparkSession, num_docs: int, seed: int = 42,
         for pdf in pdf_iter:
             if len(pdf):
                 yield _gen_batch(pdf["id"].to_numpy(np.int64), seed, vocab,
-                                 cdf, min_tokens, max_tokens)
+                                 cdf, min_tokens, max_tokens, repo_bias)
 
     return (spark.range(0, num_docs, numPartitions=n_part)
             .mapInPandas(gen, CORPUS_SCHEMA))
