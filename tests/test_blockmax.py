@@ -228,3 +228,51 @@ def test_kernel_matches_distributed_search(spark, bm_index):
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(
             local.astype(dist.dtypes.to_dict()), dist)
+
+
+def test_warm_postings_cache_hits_and_identity(spark, bm_index):
+    """The per-worker warm cache (B15 analogue): a second identical batch
+    must hit the cache (zero new decode bytes for full decodes) and
+    return byte-identical results."""
+    from pim_lucene_spark.operators.search import plan_queries
+    m, _ = bm_index
+    S.clear_postings_cache()
+    queries = [(0, "merge"), (1, "fast table")]
+    k, precision = 10000, "float32"  # k >= corpus: full decodes, cacheable
+    planned, needed = plan_queries(spark, m, queries, k, precision)
+    avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
+                                  precision)
+    payload = {
+        "queries": planned, "k": int(k), "precision": precision,
+        "cache": bm25.score_cache(avgdl, m.k1, m.b, precision),
+        "num_partitions": m.num_partitions,
+        "num_segments": m.num_segments, "norms_path": m.norms_path,
+        "cache_key": m.build_id, "postings_cache_mb": 64,
+    }
+    postings = (spark.read.parquet(m.chunk_path(0))
+                .filter(f"term in ({','.join(repr(t) for t in needed)})")
+                .toPandas())
+
+    def run():
+        outs = []
+        for pid, grp in postings.groupby("pid"):
+            import pyarrow.parquet as pq
+            blob = pq.read_table(os.path.join(m.norms_path, f"pid={pid}"),
+                                 columns=["norms"]).column("norms")[0] \
+                .as_py()
+            outs.append(S._match_core(payload, int(pid), grp,
+                                      np.frombuffer(blob, np.uint8)))
+        return (pd.concat(outs, ignore_index=True)
+                .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+
+    S.reset_decode_stats()
+    first = run()
+    cold = S.reset_decode_stats()
+    second = run()
+    warm = S.reset_decode_stats()
+    pd.testing.assert_frame_equal(first, second)
+    assert cold["doc_bytes"] > 0
+    assert warm["doc_bytes"] == 0, warm  # all full decodes served warm
+    stats = S.postings_cache_stats()
+    assert stats["hits"] >= 3 and stats["entries"] >= 3
+    S.clear_postings_cache()
