@@ -12,11 +12,17 @@ word-break approximation — tokens are runs of Unicode letters/digits/_
 (MidNumLet, WB6/7: ``don't`` → ``don't``) and a single medial ``.``/``,``
 kept between digits (MidNum, WB11/12: ``3.14``/``1,024`` stay whole).
 Mixed-category medials split (``a.1`` → ``a``, ``1``), double medials
-split (``a..b`` → ``a``, ``b``) — both per UAX#29.  Known deviations from
-StandardTokenizer: no maxTokenLength cap, and a handful of rare word-break
-classes (Katakana runs, Hebrew quote forms) fall back to the letter rules.
-The kernel is Arrow-native (regex passes on Arrow buffers, placeholder
-bytes protect medials through the split) and replicable in ANSI SQL.
+split (``a..b`` → ``a``, ``b``) — both per UAX#29.  Further
+StandardTokenizer behaviors covered: Han/Hiragana emit one token per
+character (IDEOGRAPHIC/HIRAGANA types), Katakana emits runs that do NOT
+join adjacent non-Katakana letters (WB13; ``_`` still joins, WB13a/b),
+Hebrew quote forms (WB7a: trailing ``'`` after a Hebrew letter kept;
+WB7b/c: ``"`` between Hebrew letters kept), and tokens cap at
+``STD_MAX_TOKEN_LEN`` = 255 chars (the scanner's buffer split —
+counted in code points here vs JFlex's UTF-16 units, a deviation only
+for astral-plane runs).  The kernel is Arrow-native (regex passes on
+Arrow buffers, placeholder bytes protect medials through the split) and
+replicable in ANSI SQL.
 
 ``code``: a code-aware variant for source corpora — identifiers/numbers
 plus single punctuation tokens.
@@ -37,31 +43,56 @@ _CODE_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\d+|[^\sA-Za-z_0-9]")
 # "strip non-token chars" pass and are restored in the tiny vocabulary).
 # Each (pattern, placeholder) runs twice so alternating chains like a.b.c
 # protect fully (non-overlapping matches cover odd links, pass 2 the rest).
+_HEB = r"\x{05D0}-\x{05F2}"          # Hebrew letters + ligatures
+_KATA = r"\p{Katakana}\x{30FC}"      # Katakana + prolonged sound mark
 _STD_MEDIALS = [
     (r"(\p{L})'(\p{L})", "\x01"),    # letters: apostrophe (MidNumLet)
     (r"(\p{L})\.(\p{L})", "\x02"),   # letters: dot        (MidNumLet)
     (r"(\p{N})\.(\p{N})", "\x02"),   # digits:  dot        (MidNum)
     (r"(\p{N}),(\p{N})", "\x03"),    # digits:  comma      (MidNum)
+    (rf"([{_HEB}])\"([{_HEB}])", "\x04"),  # Hebrew gershayim (WB7b/c)
 ]
-_STD_RESTORE = {"\x01": "'", "\x02": ".", "\x03": ","}
-_STD_STRIP_RE = r"[^\p{L}\p{N}_\x01\x02\x03]+"
+_STD_RESTORE = {"\x01": "'", "\x02": ".", "\x03": ",", "\x04": '"',
+                "\x05": "'"}
+_STD_STRIP_RE = r"[^\p{L}\p{N}_\x01-\x05]+"
+STD_MAX_TOKEN_LEN = 255              # StandardAnalyzer default
 
 
 def _standard_split(arr) -> pa.ListArray:
-    """Arrow-native standard tokenization: lower → protect medials →
-    strip non-token chars to spaces → whitespace split.  Tokens may
-    contain placeholder bytes; map through :data:`_STD_RESTORE` (done on
-    the dictionary only, never per token)."""
+    """Arrow-native standard tokenization: lower → isolate per-char CJK
+    classes → split Katakana/other boundaries → protect medials → strip
+    non-token chars to spaces → cap run length → whitespace split.
+    Tokens may contain placeholder bytes; map through
+    :data:`_STD_RESTORE` (done on the dictionary only, never per token).
+    """
     x = pc.utf8_lower(arr)
     # raw placeholder bytes in the input would collide with protected
     # medials after restore — strip them first (control chars, never text)
-    x = pc.replace_substring_regex(x, pattern=r"[\x01-\x03]+",
+    x = pc.replace_substring_regex(x, pattern=r"[\x01-\x05]+",
                                    replacement=" ")
+    # Han + Hiragana: one token per character (IDEOGRAPHIC / HIRAGANA)
+    x = pc.replace_substring_regex(x, pattern=r"([\p{Han}\p{Hiragana}])",
+                                   replacement=r" \1 ")
+    # Katakana runs do not join adjacent non-Katakana letters/digits
+    # (WB13); underscore (ExtendNumLet) still joins (WB13a/b)
+    for _ in range(2):
+        x = pc.replace_substring_regex(
+            x, pattern=rf"([{_KATA}])([^{_KATA}_\s])", replacement=r"\1 \2")
+        x = pc.replace_substring_regex(
+            x, pattern=rf"([^{_KATA}_\s])([{_KATA}])", replacement=r"\1 \2")
     for _ in range(2):
         for pat, sub in _STD_MEDIALS:
             x = pc.replace_substring_regex(x, pattern=pat,
                                            replacement=rf"\1{sub}\2")
+    # Hebrew geresh: a single trailing ' after a Hebrew letter is part of
+    # the token (WB7a); medial apostrophes were already protected above.
+    # Nothing ever joins AFTER a Single_Quote, so force a break behind it.
+    x = pc.replace_substring_regex(x, pattern=rf"([{_HEB}])'",
+                                   replacement="\\1\x05 ")
     x = pc.replace_substring_regex(x, pattern=_STD_STRIP_RE, replacement=" ")
+    # maxTokenLength: split over-long runs every 255 chars (buffer split)
+    x = pc.replace_substring_regex(
+        x, pattern=rf"([^\s]{{{STD_MAX_TOKEN_LEN}}})", replacement=r"\1 ")
     return pc.utf8_split_whitespace(x)
 
 

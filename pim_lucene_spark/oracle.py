@@ -39,19 +39,32 @@ tok AS (
 def _std_tok_expr(col: str) -> str:
     """The `standard` tokenizer's normalize pipeline in DuckDB SQL — the
     same regex passes as ``functions.tokenize._standard_split`` (RE2 both
-    sides): lower → strip raw placeholder bytes → protect medial chars
-    (2 passes per rule) → strip non-token chars to spaces."""
+    sides): lower → per-char Han/Hiragana → Katakana boundaries →
+    protect medial chars (2 passes per rule) → Hebrew geresh → strip
+    non-token chars to spaces → 255-char run cap."""
+    heb = r"\x{05D0}-\x{05F2}"
+    kata = r"\p{Katakana}\x{30FC}"
     x = f"lower({col})"
-    x = f"regexp_replace({x}, '[\\x01-\\x03]+', ' ', 'g')"
+    x = f"regexp_replace({x}, '[\\x01-\\x05]+', ' ', 'g')"
+    x = (f"regexp_replace({x}, '([\\p{{Han}}\\p{{Hiragana}}])', "
+         f"' \\1 ', 'g')")
+    for _ in range(2):
+        x = (f"regexp_replace({x}, '([{kata}])([^{kata}_\\s])', "
+             f"'\\1 \\2', 'g')")
+        x = (f"regexp_replace({x}, '([^{kata}_\\s])([{kata}])', "
+             f"'\\1 \\2', 'g')")
     for _ in range(2):
         for pat, ph in ((r"(\p{L})''(\p{L})", 1),
                         (r"(\p{L})\.(\p{L})", 2),
                         (r"(\p{N})\.(\p{N})", 2),
-                        (r"(\p{N}),(\p{N})", 3)):
+                        (r"(\p{N}),(\p{N})", 3),
+                        (rf"([{heb}])\"([{heb}])", 4)):
             x = (f"regexp_replace({x}, '{pat}', "
                  f"'\\1' || chr({ph}) || '\\2', 'g')")
-    return (f"regexp_replace({x}, "
-            f"'[^\\p{{L}}\\p{{N}}_\\x01-\\x03]+', ' ', 'g')")
+    x = f"regexp_replace({x}, '([{heb}])''', '\\1' || chr(5) || ' ', 'g')"
+    x = (f"regexp_replace({x}, "
+         f"'[^\\p{{L}}\\p{{N}}_\\x01-\\x05]+', ' ', 'g')")
+    return f"regexp_replace({x}, '([^\\s]{{255}})', '\\1 ', 'g')"
 
 
 STD_TOK_CTE = (r"""
@@ -60,8 +73,9 @@ tok AS (
          list_transform(
            list_filter(regexp_split_to_array(trim(""" + _std_tok_expr("text")
                + r"""), '\s+'), x -> x <> ''),
-           t -> replace(replace(replace(t, chr(1), chr(39)),
-                                chr(2), '.'), chr(3), ',')) AS tks
+           t -> replace(replace(replace(replace(replace(t,
+                        chr(1), chr(39)), chr(2), '.'), chr(3), ','),
+                        chr(4), '"'), chr(5), chr(39))) AS tks
   FROM documents
 ),""" + _TOK_CTE_TAIL)
 

@@ -111,21 +111,65 @@ def test_sloppy_matcher_vs_duckdb_state_machine(block):
 def _ref_standard(text: str) -> list[str]:
     """Reference single-pass scanner for the documented semantics:
     tokens are runs of [letter|digit|_]; a single medial '/. between
-    letters or ./, between digits joins; everything else splits."""
+    letters or ./, between digits joins (plus Hebrew gershayim/geresh
+    quote forms); Han/Hiragana are one token per char; Katakana runs do
+    not join other letters (underscore joins everything); runs cap at
+    255 chars; everything else splits."""
     text = text.lower()
     out, cur, i = [], [], 0
     n = len(text)
 
-    def is_tok(ch):
-        return ch.isalpha() or ch.isdigit() or ch == "_"
+    def is_heb(ch):
+        return "א" <= ch <= "ײ"
 
-    def cat(ch):  # letter-ish vs digit for medial rules
-        return "d" if ch.isdigit() else ("l" if ch.isalpha() else "_")
+    def is_kata(ch):
+        return ("゠" < ch <= "ヿ" and ch != "・") or \
+            ch == "ー"
+
+    def is_cjk_single(ch):
+        return ("一" <= ch <= "鿿") or ("぀" <= ch <= "ゟ")
+
+    def is_tok(ch):
+        return (ch.isalpha() or ch.isdigit() or ch == "_") \
+            and not is_cjk_single(ch)
+
+    def cat(ch):  # letter-ish vs digit for medial rules (Katakana/CJK
+        # never join via medials: the engine splits their boundaries
+        # before the medial passes run)
+        if ch.isdigit():
+            return "d"
+        if ch.isalpha() and not is_kata(ch) and not is_cjk_single(ch):
+            return "l"
+        return "_"
+
+    def flush():
+        if cur:
+            out.append("".join(cur))
+            cur.clear()
 
     while i < n:
         ch = text[i]
-        if is_tok(ch):
+        if is_cjk_single(ch):
+            flush()
+            out.append(ch)
+            i += 1
+        elif is_tok(ch):
+            # Katakana/other letter boundary splits (underscore joins)
+            if cur and cur[-1] != "_" and ch != "_" \
+                    and is_kata(cur[-1]) != is_kata(ch):
+                flush()
             cur.append(ch)
+            if len(cur) == 255:
+                flush()
+            i += 1
+        elif ch == "'" and cur and is_heb(cur[-1]) and \
+                not (i + 1 < n and cat(text[i + 1]) == "l"):
+            cur.append(ch)   # Hebrew geresh (WB7a)
+            flush()
+            i += 1
+        elif ch == '"' and cur and is_heb(cur[-1]) and i + 1 < n \
+                and is_heb(text[i + 1]):
+            cur.append(ch)   # Hebrew gershayim (WB7b/c)
             i += 1
         elif (ch in "'." or ch == ",") and cur and i + 1 < n \
                 and is_tok(text[i + 1]):
@@ -136,21 +180,17 @@ def _ref_standard(text: str) -> list[str]:
                 cur.append(ch)
                 i += 1
             else:
-                if cur:
-                    out.append("".join(cur))
-                    cur = []
+                flush()
                 i += 1
         else:
-            if cur:
-                out.append("".join(cur))
-                cur = []
+            flush()
             i += 1
-    if cur:
-        out.append("".join(cur))
+    flush()
     return out
 
 
-ALPHABET = list("ab1_ .'," ) + ["É", "ü", "日", "!", "-"]
+ALPHABET = list("ab1_ .'," ) + ["É", "ü", "日", "!", "-", "カ", "ナ",
+                                "の", "א", "מ", '"']
 
 
 @pytest.mark.parametrize("block", range(6))
