@@ -445,9 +445,9 @@ class MultiFieldIndex:
             byte4_to_int,
             int_to_byte4,
         )
-        from pim_lucene_spark.functions.tokenize import tokenize_one
         from pim_lucene_spark.operators.search import (
             _normalize_queries,
+            _tokenize_queries,
             search,
         )
 
@@ -467,9 +467,9 @@ class MultiFieldIndex:
         cache = bm25.score_cache(avgdl, k1, b, precision)
 
         # Builder.termsSet is a set — terms dedupe within a query
-        per_q = {qid: (list(dict.fromkeys(tokenize_one(text, tokenizer))),
-                       boost)
-                 for qid, text, boost in _normalize_queries(queries)}
+        per_q = {qid: (list(dict.fromkeys(ts)), boost)
+                 for qid, (ts, boost) in _tokenize_queries(
+                     _normalize_queries(queries), tokenizer).items()}
         all_terms = sorted({t for ts, _ in per_q.values() for t in ts})
         out_schema = T.StructType([
             T.StructField("qid", T.LongType()),

@@ -89,13 +89,15 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
     """
     from pim_lucene_spark.functions import bm25
     from pim_lucene_spark.functions.smallfloat import int_to_byte4
-    from pim_lucene_spark.functions.tokenize import token_counts, tokenize_one
+    from pim_lucene_spark.functions.tokenize import token_counts
 
-    from pim_lucene_spark.operators.search import _normalize_queries
+    from pim_lucene_spark.operators.search import (
+        _normalize_queries,
+        _tokenize_queries,
+    )
 
     spark = docs.sparkSession
-    term_lists = {qid: (tokenize_one(text, tokenizer), boost)
-                  for qid, text, boost in _normalize_queries(queries)}
+    term_lists = _tokenize_queries(_normalize_queries(queries), tokenizer)
     out_schema = SLOPPY_RESULT_SCHEMA if slop else RESULT_SCHEMA
     all_terms = sorted({t for ts, _ in term_lists.values() for t in ts})
     empty = spark.createDataFrame([], out_schema)

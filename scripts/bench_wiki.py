@@ -66,6 +66,9 @@ def main() -> None:
     from pim_lucene_spark.plans.router import brute_force_search
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # index layout is a DATA property: keep it fixed across parallelism
+    # levels so a two-level scaling comparison varies only the compute
+    parts = int(os.environ.get("WIKI_PARTITIONS", str(cpus)))
     k = int(os.environ.get("WIKI_K", "10"))
     diff_every = int(os.environ.get("WIKI_DIFF_EVERY", "20"))
     spark = (SparkSession.builder.master(f"local[{cpus}]")
@@ -81,7 +84,7 @@ def main() -> None:
 
     import shutil
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
-    cfg = IndexConfig(num_partitions=cpus, num_segments=4, build_chunks=1,
+    cfg = IndexConfig(num_partitions=parts, num_segments=4, build_chunks=1,
                       tokenizer="standard")
     t0 = time.time()
     manifest = build_index(spark, docs, INDEX_DIR, cfg,
@@ -130,6 +133,7 @@ def main() -> None:
         "diff_sampled": len(sample),
         "diff_mismatches": mismatches,
         "cpus": cpus,
+        "partitions": parts,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_WIKI.json"), "w") as fh:
