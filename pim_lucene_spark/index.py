@@ -93,29 +93,35 @@ class FullTextIndex:
         """Typed-query entry point (the ``PimPhraseQuery`` surface):
         ``queries`` is a list of ``(qid, PhraseQuery|TermQuery)``.  Boosts
         apply Lucene ``BoostQuery`` semantics.  Queries route per their
-        slop — exact ones to the indexed kernel, sloppy ones (grouped by
-        slop value) to the scan path — and the union is returned; when any
-        sloppy query is present the ``freq`` column is DOUBLE (sloppy
-        freqs are sums of ``1/(1+matchLength)`` weights)."""
+        slop — exact ones to the indexed kernel, ALL sloppy ones (any mix
+        of slop values) to ONE scan-path job with per-query slops — and
+        the union is returned; when any sloppy query is present the
+        ``freq`` column is DOUBLE (sloppy freqs are sums of
+        ``1/(1+matchLength)`` weights)."""
         from pyspark.sql import functions as F
 
         from pim_lucene_spark.operators.search import search
         from pim_lucene_spark.plans.query import to_tuple
-        from pim_lucene_spark.plans.router import search_with_fallback
+        from pim_lucene_spark.plans.router import brute_force_search
 
-        by_slop: dict[int, list] = {}
+        exact, sloppy, slops = [], [], {}
         for qid, q in queries:
-            by_slop.setdefault(int(getattr(q, "slop", 0)), []).append(
-                to_tuple(qid, q))
-        parts = []
-        for slop, tuples in sorted(by_slop.items()):
-            if slop == 0:
-                parts.append(search(self.spark, self.manifest, tuples, k=k,
-                                    precision=precision))
+            s = int(getattr(q, "slop", 0))
+            if s == 0:
+                exact.append(to_tuple(qid, q))
             else:
-                parts.append(search_with_fallback(
-                    self.spark, self.manifest, None, tuples, k=k, slop=slop,
-                    precision=precision))
+                sloppy.append(to_tuple(qid, q))
+                slops[qid] = s
+        parts = []
+        if exact:
+            parts.append(search(self.spark, self.manifest, exact, k=k,
+                                precision=precision))
+        if sloppy:
+            m = self.manifest
+            docs = self.spark.read.parquet(m.docs_path)
+            parts.append(brute_force_search(
+                docs, sloppy, k=k, precision=precision, slop=slops,
+                tokenizer=m.tokenizer, k1=m.k1, b=m.b))
         if len(parts) == 1:
             return parts[0]
         out = None

@@ -72,7 +72,7 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                        id_col: str = "doc_id", tokenizer: str = "whitespace",
                        precision: str = "float32",
                        k1: float = 1.2, b: float = 0.75,
-                       slop: int = 0) -> DataFrame:
+                       slop: int | dict[int, int] = 0) -> DataFrame:
     """Full-scan phrase BM25 (the CPU-fallback path, Q23).
 
     One distributed pass: global stats aggregates, then a mapInPandas
@@ -85,7 +85,9 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
     ``Σ 1/(1 + matchLength)`` over the matches of Lucene's greedy pq
     traversal, including its repeating-terms handling (see
     :mod:`pim_lucene_spark.functions.sloppy`); the returned ``freq``
-    column is DOUBLE.
+    column is DOUBLE.  ``slop`` may also be a ``{qid: slop}`` dict — a
+    mixed batch (different slops, exact included) runs in this ONE scan;
+    the result freq is DOUBLE whenever any query is sloppy.
     """
     from pim_lucene_spark.functions import bm25
     from pim_lucene_spark.functions.smallfloat import int_to_byte4
@@ -97,8 +99,12 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
     )
 
     spark = docs.sparkSession
-    term_lists = _tokenize_queries(_normalize_queries(queries), tokenizer)
-    out_schema = SLOPPY_RESULT_SCHEMA if slop else RESULT_SCHEMA
+    norm_q = _normalize_queries(queries)
+    term_lists = _tokenize_queries(norm_q, tokenizer)
+    slops = (dict(slop) if isinstance(slop, dict)
+             else {qid: int(slop) for qid, _, _ in norm_q})
+    any_slop = any(slops.get(qid, 0) for qid, _, _ in norm_q)
+    out_schema = SLOPPY_RESULT_SCHEMA if any_slop else RESULT_SCHEMA
     all_terms = sorted({t for ts, _ in term_lists.values() for t in ts})
     empty = spark.createDataFrame([], out_schema)
     if not all_terms:
@@ -147,7 +153,8 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
             dfs = np.array([doc_freq[t] for t in terms], dtype=np.int64)
             w = bm25.phrase_weight(dfs, doc_count, boost=boost,
                                    precision=precision)
-            planned.append((qid, tuple(terms), float(w)))
+            planned.append((qid, tuple(terms), float(w),
+                            int(slops.get(qid, 0))))
         if not planned:
             return empty
 
@@ -166,13 +173,13 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                     pdf["content"], tokenizer)
                 lookup = {t: i for i, t in enumerate(uniques)}
                 out = []
-                for qid, terms, weight in planned:
+                for qid, terms, weight, q_slop in planned:
                     tcodes = [lookup.get(t, -1) for t in terms]
                     if any(c < 0 for c in tcodes):
                         continue
-                    if slop:
+                    if q_slop:
                         uniq_rows, freq = sloppy_freqs_batch(
-                            doc_idx, codes, pos, tcodes, slop)
+                            doc_idx, codes, pos, tcodes, q_slop)
                         if uniq_rows.size == 0:
                             continue
                     else:
@@ -194,7 +201,7 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                     out.append(pd.DataFrame({
                         "qid": np.full(uniq_rows.size, qid, np.int64),
                         "doc_id": doc_ids[uniq_rows],
-                        "freq": (freq.astype(np.float64) if slop
+                        "freq": (freq.astype(np.float64) if any_slop
                                  else freq.astype(np.int64)),
                         "norm": norms[uniq_rows].astype(np.int32),
                         "score": np.asarray(sc, dtype=np.float64),

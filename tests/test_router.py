@@ -177,3 +177,26 @@ def test_norms_access_auto_resolution(spark, tmp_index_dir):
                         id_col="doc_id")
     assert _resolve_norms_access("auto", built) == "direct"
     assert _resolve_norms_access("cogroup", built) == "cogroup"
+
+
+def test_mixed_per_query_slops_single_scan(spark):
+    """A {qid: slop} dict answers a mixed batch in ONE scan with results
+    identical to separate per-slop runs."""
+    docs = spark.createDataFrame(SLOP_DOCS)
+    mixed = brute_force_search(
+        docs, [(0, "alpha gamma"), (1, "alpha gamma"), (2, "beta")],
+        k=10, precision="float64",
+        slop={0: 1, 1: 3, 2: 0}).toPandas()
+    sep = {}
+    for qid, s in ((0, 1), (1, 3), (2, 0)):
+        r = brute_force_search(docs, [(qid, ["alpha gamma", "alpha gamma",
+                                             "beta"][qid])],
+                               k=10, precision="float64", slop=s).toPandas()
+        for _, row in r.iterrows():
+            sep[(qid, int(row.doc_id))] = (round(float(row.freq), 9),
+                                           round(float(row.score), 9))
+    got = {(int(r.qid), int(r.doc_id)): (round(float(r.freq), 9),
+                                         round(float(r.score), 9))
+           for r in mixed.itertuples()}
+    assert got == sep
+    assert mixed.freq.dtype == np.float64  # unified DOUBLE freq
