@@ -140,3 +140,61 @@ def test_bm25f_boost_applies(spark, mf_index):
     for d in am:
         assert bm[d] == pytest.approx(
             float(np.float32(2.0) * np.float32(am[d])), rel=1e-6)
+
+
+def test_bm25f_copyfield_equivalence(spark, tmp_path_factory):
+    """TestCombinedFieldQuery.testCopyField/-WithMissingFields
+    (java:297-487): BM25F over fields (a, boost1), (b, boost2) must score
+    float32-IDENTICALLY to a plain term query on a literal copy-field
+    holding freqA*boost1 + freqB*boost2 copies of the term (field lengths
+    kept < 24 so SmallFloat decode is exact, as in the reference test)."""
+    from pim_lucene_spark import MultiFieldIndex
+    from pim_lucene_spark.operators.index_build import build_index
+    from pim_lucene_spark.operators.search import search
+    rng = np.random.RandomState(11)
+    b1, b2 = int(rng.randint(1, 5)), int(rng.randint(1, 5))
+    rows = []
+    for i in range(30):
+        freq_a = int(rng.randint(1, 6))
+        freq_b = int(rng.randint(0, 3))   # sometimes field b is missing
+        rows.append({
+            "doc_id": i,
+            "a": " ".join(["foo"] * freq_a),
+            "b": " ".join(["foo"] * freq_b),
+            "ab": " ".join(["foo"] * (freq_a * b1 + freq_b * b2)),
+        })
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    mf = MultiFieldIndex.build(spark, docs,
+                               str(tmp_path_factory.mktemp("cfq")),
+                               fields={"a": "a", "b": "b"}, cfg=cfg,
+                               id_col="doc_id")
+    m_ab = build_index(spark, docs.select("doc_id", "ab"),
+                       str(tmp_path_factory.mktemp("cfab")), cfg,
+                       content_col="ab", id_col="doc_id")
+    combined = mf.search_bm25f([(0, "foo")], k=100,
+                               field_weights={"a": float(b1),
+                                              "b": float(b2)}).toPandas()
+    copyf = search(spark, m_ab, [(0, "foo")], k=100).toPandas()
+    got = dict(zip(combined.doc_id, np.float32(combined.score.to_numpy())))
+    exp = dict(zip(copyf.doc_id, np.float32(copyf.score.to_numpy())))
+    assert got == exp, (b1, b2)
+
+
+def test_bm25f_same_score_across_fields(spark, tmp_path_factory):
+    """TestCombinedFieldQuery.testSameScore (java:129-169): one doc with
+    the term in field f, ten docs with it in field g — under equal
+    weights every doc scores the same (single pseudo-field semantics)."""
+    from pim_lucene_spark import MultiFieldIndex
+    rows = [{"doc_id": 0, "f": "a", "g": ""}]
+    rows += [{"doc_id": i, "f": "", "g": "a"} for i in range(1, 11)]
+    mf = MultiFieldIndex.build(
+        spark, spark.createDataFrame(pd.DataFrame(rows)),
+        str(tmp_path_factory.mktemp("same")),
+        fields={"f": "f", "g": "g"},
+        cfg=IndexConfig(num_partitions=2, num_segments=2, build_chunks=1),
+        id_col="doc_id")
+    res = mf.search_bm25f([(0, "a")], k=100,
+                          field_weights={"f": 1.0, "g": 1.0}).toPandas()
+    assert len(res) == 11
+    assert res.score.nunique() == 1
