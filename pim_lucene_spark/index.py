@@ -102,7 +102,7 @@ class FullTextIndex:
 
         from pim_lucene_spark.operators.search import search
         from pim_lucene_spark.plans.query import to_tuple
-        from pim_lucene_spark.plans.router import brute_force_search
+        from pim_lucene_spark.plans.router import search_with_fallback
 
         exact, sloppy, slops = [], [], {}
         for qid, q in queries:
@@ -117,11 +117,9 @@ class FullTextIndex:
             parts.append(search(self.spark, self.manifest, exact, k=k,
                                 precision=precision))
         if sloppy:
-            m = self.manifest
-            docs = self.spark.read.parquet(m.docs_path)
-            parts.append(brute_force_search(
-                docs, sloppy, k=k, precision=precision, slop=slops,
-                tokenizer=m.tokenizer, k1=m.k1, b=m.b))
+            parts.append(search_with_fallback(
+                self.spark, self.manifest, None, sloppy, k=k, slop=slops,
+                precision=precision))
         if len(parts) == 1:
             return parts[0]
         out = None
@@ -300,6 +298,11 @@ class MultiFieldIndex:
           field's top-k (rank-unsafe, documented).
 
         Returns (qid, doc_id, score) with score = Σ_f w_f · score_f.
+
+        Float caveat: the 'ta' merge sums per-field scores in field
+        order while the exhaustive plan's ``F.sum`` aggregates in shuffle
+        order — with 2 fields both reduce to one addition (bit-equal);
+        with 3+ fields the two exact paths can differ in the last ulp.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -347,6 +350,8 @@ class MultiFieldIndex:
             T.StructField("doc_id", T.LongType()),
             T.StructField("score", T.DoubleType()),
         ])
+        if k <= 0:
+            return self.spark.createDataFrame([], out_schema)
         pending = list(queries)
         final_rows: list[tuple[int, int, float]] = []
         m = max(4 * k, 64)
@@ -512,26 +517,29 @@ class MultiFieldIndex:
         if not planned:
             return empty
 
-        # weighted tf per (query, doc): one term-level sub-query batch per
-        # field, mapped back to qids before the single freq shuffle
-        sub, submap = [], {}
-        for qid in planned:
-            for t in per_q[qid][0]:
-                sid = len(sub)
-                sub.append((sid, t))
-                submap[sid] = qid
-        qmap = F.create_map(*[F.lit(x) for kv in submap.items() for x in kv])
+        # weighted tf per (query, doc): one sub-query per DISTINCT term per
+        # field (a hot term shared by N queries is decoded and scored
+        # once, not N times), fanned back out to qids via a broadcast
+        # mapping before the single freq shuffle
+        terms_unique = list(dict.fromkeys(
+            t for qid in planned for t in per_q[qid][0]))
+        tid_of = {t: i for i, t in enumerate(terms_unique)}
+        sub = [(i, t) for i, t in enumerate(terms_unique)]
+        mapping = self.spark.createDataFrame(
+            [(tid_of[t], qid) for qid in planned for t in per_q[qid][0]],
+            "tid long, qid long")
         parts = []
         for f, m in manifests.items():
             res = search(self.spark, m, sub, k=10 ** 9, precision=precision)
             parts.append(res.select(
-                qmap[F.col("qid")].alias("qid"), "doc_id",
+                F.col("qid").alias("tid"), "doc_id",
                 (F.col("freq").cast("double")
                  * float(np.float32(weights[f]))).alias("wtf")))
         un = parts[0]
         for p in parts[1:]:
             un = un.unionByName(p)
-        freq = un.groupBy("qid", "doc_id").agg(F.sum("wtf").alias("freq"))
+        freq = (un.join(F.broadcast(mapping), "tid")
+                .groupBy("qid", "doc_id").agg(F.sum("wtf").alias("freq")))
 
         # combined norm byte per doc (MultiNormsLeafSimScorer.java:140-153)
         fnames = list(manifests)

@@ -311,20 +311,26 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         for i in range(4)])).alias("bb")).select("doc_id", "simhash",
                                                  "bb.band", "bb.key")
     bands, dropped = _cap_buckets(bands, ["band", "key"], max_bucket_size)
+    # signatures ride THROUGH the self-join (recomputing simhash via a
+    # post-join re-join against `sh` would re-run the corpus tokenize+hash
+    # scan two extra times); only the (small) star-candidate set joins
+    # back for its signatures
     cand = (bands.alias("x").join(bands.alias("y"),
                                   (F.col("x.band") == F.col("y.band"))
                                   & (F.col("x.key") == F.col("y.key"))
                                   & (F.col("x.doc_id") < F.col("y.doc_id")))
             .select(F.col("x.doc_id").alias("doc_a"),
-                    F.col("y.doc_id").alias("doc_b")))
+                    F.col("y.doc_id").alias("doc_b"),
+                    F.col("x.simhash").alias("sa"),
+                    F.col("y.simhash").alias("sb"))
+            .distinct())
     if dropped is not None:
-        cand = cand.unionByName(
-            _exact_star_candidates(docs, dropped, id_col, text_col))
-    cand = (cand.distinct()
-            .join(sh.select(F.col("doc_id").alias("doc_a"),
-                            F.col("simhash").alias("sa")), "doc_a")
-            .join(sh.select(F.col("doc_id").alias("doc_b"),
-                            F.col("simhash").alias("sb")), "doc_b"))
+        star = (_exact_star_candidates(docs, dropped, id_col, text_col)
+                .join(sh.select(F.col("doc_id").alias("doc_a"),
+                                F.col("simhash").alias("sa")), "doc_a")
+                .join(sh.select(F.col("doc_id").alias("doc_b"),
+                                F.col("simhash").alias("sb")), "doc_b"))
+        cand = cand.unionByName(star).distinct()
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))

@@ -237,13 +237,22 @@ def _lp_bytes(lp: "_LazyPostings") -> int:
 
 
 def _postings_cache_get(key):
-    lp = _POSTINGS_CACHE.get(key)
-    if lp is not None:
+    entry = _POSTINGS_CACHE.get(key)
+    if entry is not None:
+        lp, recorded = entry
+        # positions may have been lazily decoded since admission — refresh
+        # the accounting so the byte counter never drifts (an eviction
+        # subtracting an inflated recomputed size would underflow it and
+        # disable the budget for the worker's lifetime)
+        size = _lp_bytes(lp)
+        if size != recorded:
+            _POSTINGS_CACHE_STATE["bytes"] += size - recorded
+            _POSTINGS_CACHE[key] = (lp, size)
         _POSTINGS_CACHE.move_to_end(key)
         _POSTINGS_CACHE_STATE["hits"] += 1
-    else:
-        _POSTINGS_CACHE_STATE["misses"] += 1
-    return lp
+        return lp
+    _POSTINGS_CACHE_STATE["misses"] += 1
+    return None
 
 
 def _postings_cache_put(key, lp: "_LazyPostings", budget_bytes: int):
@@ -252,11 +261,11 @@ def _postings_cache_put(key, lp: "_LazyPostings", budget_bytes: int):
     size = _lp_bytes(lp)
     if size > budget_bytes:
         return
-    _POSTINGS_CACHE[key] = lp
+    _POSTINGS_CACHE[key] = (lp, size)
     _POSTINGS_CACHE_STATE["bytes"] += size
     while _POSTINGS_CACHE_STATE["bytes"] > budget_bytes and _POSTINGS_CACHE:
-        _, old = _POSTINGS_CACHE.popitem(last=False)
-        _POSTINGS_CACHE_STATE["bytes"] -= _lp_bytes(old)
+        _, (_, old_size) = _POSTINGS_CACHE.popitem(last=False)
+        _POSTINGS_CACHE_STATE["bytes"] -= old_size
 
 
 def postings_cache_stats() -> dict:
@@ -755,7 +764,11 @@ def search(spark: SparkSession, index: IndexManifest | str,
         "num_partitions": manifest.num_partitions,
         "num_segments": manifest.num_segments,
         "norms_path": manifest.norms_path if use_direct else None,
-        "cache_key": manifest.build_id or manifest.index_dir,
+        # v1/v2 manifests have no build_id — mix in content-derived stats
+        # (as _stats_cache_key does) so an in-place rebuild of a legacy
+        # index cannot serve stale decoded postings from warm workers
+        "cache_key": (manifest.build_id or manifest.index_dir,
+                      manifest.doc_count, manifest.sum_total_term_freq),
         "postings_cache_mb": int(postings_cache_mb),
     }
 

@@ -219,16 +219,19 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
 
 def search_with_fallback(spark: SparkSession, index: IndexManifest | str | None,
                          docs: DataFrame | None, queries: list[tuple[int, str]],
-                         k: int = 10, slop: int = 0,
+                         k: int = 10, slop: int | dict[int, int] = 0,
                          precision: str = "float32", **kw) -> DataFrame:
     """Route to the indexed kernel or the brute-force scan (Q1 + Q23).
 
     ``slop != 0`` always answers via the scan — the reference's contract
     (``PimPhraseQuery.java:74-88`` rewrites slop to a plain Lucene
-    ``PhraseQuery``; it never refuses).  When no docs frame is supplied the
+    ``PhraseQuery``; it never refuses).  ``slop`` may be a ``{qid: slop}``
+    dict (any nonzero value routes the whole batch to the scan, which
+    applies each query's own slop).  When no docs frame is supplied the
     scan reads the index's own docs table.
     """
-    route = route_query(index, slop)
+    any_slop = (any(slop.values()) if isinstance(slop, dict) else slop) or 0
+    route = route_query(index, 1 if any_slop else 0)
     if route is QueryRoute.INDEXED:
         return search(spark, index, queries, k=k, precision=precision)
     if docs is None:
