@@ -102,6 +102,11 @@ def main() -> None:
     batch_s = time.time() - t0
     qps = len(queries) / batch_s
 
+    # the reference's default NB_TOPDOCS is 100 (Makefile:11) — record it
+    t0 = time.time()
+    search(spark, manifest, queries, k=100).count()
+    k100_s = time.time() - t0
+
     # differential: every Nth query also runs the brute-force scan; ranks
     # and float32 scores must be identical (results_diff.py analogue)
     sample = queries[::diff_every]
@@ -130,6 +135,7 @@ def main() -> None:
         "build_sec": round(build_s, 3),
         "batch_sec": round(batch_s, 3),
         "qps": round(qps, 2),
+        "qps_k100": round(len(queries) / k100_s, 2),
         "diff_sampled": len(sample),
         "diff_mismatches": mismatches,
         "cpus": cpus,
