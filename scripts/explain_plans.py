@@ -17,8 +17,15 @@ Usage: PYTHONPATH=. python scripts/explain_plans.py [index_dir]
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# python workers import the package too — propagate before the session
+os.environ["PYTHONPATH"] = (_REPO + os.pathsep
+                            + os.environ.get("PYTHONPATH", ""))
 
 
 def main() -> None:
