@@ -103,6 +103,16 @@ def main() -> None:
         per_query[name] = round(best, 4)
         lat.append(best)
 
+    # serving path: same kernel, no Spark job (the reference's
+    # resident-index query route) — report warm per-query latency
+    from pim_lucene_spark.operators.search import search_local
+    search_local(manifest, [(0, "the")], k=10)  # warm
+    t = time.time()
+    for _ in range(20):
+        for _, text in BENCH_QUERIES.items():
+            search_local(manifest, [(0, text)], k=10)
+    local_ms = (time.time() - t) / (20 * len(BENCH_QUERIES)) * 1000
+
     # batched throughput: the whole query set in one job
     batch_sec = float("inf")
     for _ in range(REPS):
@@ -127,6 +137,7 @@ def main() -> None:
         "p95_query_sec": round(float(np.percentile(lat, 95)), 4),
         "cpus": CPUS,
         "latency_reps": REPS,
+        "local_ms_per_query": round(local_ms, 2),
     }
     shutil.rmtree(index_dir, ignore_errors=True)
     print(json.dumps(out))

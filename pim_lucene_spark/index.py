@@ -88,6 +88,19 @@ class FullTextIndex:
                     precision: str = "float32") -> DataFrame:
         return self.search([(0, term)], k=k, precision=precision).drop("qid")
 
+    def search_local(self, queries: list[tuple[int, str]], k: int = 10,
+                     precision: str = "float32",
+                     postings_cache_mb: int = 256):
+        """Serving-path search: the same kernel with no Spark job — the
+        reference's resident-index query path (PimSystemManager) for
+        POSIX-visible indexes.  Identical results to :meth:`search`;
+        returns a pandas frame.  See
+        :func:`pim_lucene_spark.operators.search.search_local`."""
+        from pim_lucene_spark.operators.search import search_local
+        return search_local(self.manifest, queries, k=k,
+                            precision=precision,
+                            postings_cache_mb=postings_cache_mb)
+
     def query(self, queries, k: int = 10,
               precision: str = "float32") -> DataFrame:
         """Typed-query entry point (the ``PimPhraseQuery`` surface):

@@ -670,19 +670,36 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
     if missing:
         size = _stats_table_bytes(manifest.stats_path)
         if size is not None and size <= _FULL_STATS_MAX_BYTES:
-            # small index: warm EVERY term in one job so later queries in
-            # this process never pay a stats-lookup job again
-            rows = (spark.read.parquet(manifest.stats_path)
-                    .select("term", "doc_freq").collect())
-            cache.update({r["term"]: int(r["doc_freq"]) for r in rows})
+            # small index: warm EVERY term in one pass so later queries in
+            # this process never pay a stats lookup again
+            if spark is None:
+                import pyarrow.parquet as pq
+                tbl = pq.read_table(manifest.stats_path,
+                                    columns=["term", "doc_freq"])
+                cache.update(zip(tbl.column("term").to_pylist(),
+                                 (int(x) for x in
+                                  tbl.column("doc_freq").to_pylist())))
+            else:
+                rows = (spark.read.parquet(manifest.stats_path)
+                        .select("term", "doc_freq").collect())
+                cache.update({r["term"]: int(r["doc_freq"]) for r in rows})
             _TERM_STATS_FULL.add(key)
             for t in missing:
                 cache.setdefault(t, 0)
         else:
-            stats = (spark.read.parquet(manifest.stats_path)
-                     .filter(F.col("term").isin(missing))
-                     .collect())
-            found = {r["term"]: int(r["doc_freq"]) for r in stats}
+            if spark is None:
+                import pyarrow.parquet as pq
+                tbl = pq.read_table(manifest.stats_path,
+                                    columns=["term", "doc_freq"],
+                                    filters=[("term", "in", missing)])
+                found = dict(zip(tbl.column("term").to_pylist(),
+                                 (int(x) for x in
+                                  tbl.column("doc_freq").to_pylist())))
+            else:
+                stats = (spark.read.parquet(manifest.stats_path)
+                         .filter(F.col("term").isin(missing))
+                         .collect())
+                found = {r["term"]: int(r["doc_freq"]) for r in stats}
             for t in missing:
                 cache[t] = found.get(t, 0)
     doc_freq = {t: cache[t] for t in all_terms if cache[t] > 0}
@@ -816,3 +833,108 @@ def search_term(spark: SparkSession, index: IndexManifest | str, term: str,
                 k: int = 10**9, precision: str = "float32") -> DataFrame:
     """Single-term query (Q22) — free by-product of the phrase path."""
     return search(spark, index, [(0, term)], k=k, precision=precision)
+
+
+# serving-path residency: raw postings rows per (index, term) and norms
+# blobs per (index, pid) stay in-process, so a warm query touches no
+# files at all — the full analogue of the reference's loaded index
+_LOCAL_ROWS: OrderedDict = OrderedDict()
+_LOCAL_ROWS_STATE = {"bytes": 0}
+_LOCAL_ROWS_MAX = 512 << 20
+_LOCAL_NORMS: dict = {}
+
+
+def _local_rows(manifest, ckey, terms: list[str]) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    missing = [t for t in terms if (ckey, t) not in _LOCAL_ROWS]
+    if missing:
+        parts = [pq.read_table(manifest.chunk_path(c),
+                               filters=[("term", "in", missing)]).to_pandas()
+                 for c in range(manifest.build_chunks)]
+        pdf = pd.concat(parts, ignore_index=True)
+        for t in missing:
+            rows = pdf[pdf.term == t]
+            size = int(rows.memory_usage(deep=True).sum())
+            _LOCAL_ROWS[(ckey, t)] = (rows, size)
+            _LOCAL_ROWS_STATE["bytes"] += size
+        while _LOCAL_ROWS_STATE["bytes"] > _LOCAL_ROWS_MAX and _LOCAL_ROWS:
+            _, (_, old) = _LOCAL_ROWS.popitem(last=False)
+            _LOCAL_ROWS_STATE["bytes"] -= old
+    out = []
+    for t in terms:
+        entry = _LOCAL_ROWS.get((ckey, t))
+        if entry is not None:
+            _LOCAL_ROWS.move_to_end((ckey, t))
+            out.append(entry[0])
+    return (pd.concat(out, ignore_index=True) if out
+            else pd.DataFrame(columns=["pid", "term"]))
+
+
+def _local_norms(manifest, ckey, pid: int) -> np.ndarray:
+    key = (ckey, pid)
+    norms = _LOCAL_NORMS.get(key)
+    if norms is None:
+        import pyarrow.parquet as pq
+        blob = pq.read_table(os.path.join(manifest.norms_path,
+                                          f"pid={pid}"),
+                             columns=["norms"]).column("norms")[0].as_py()
+        norms = np.frombuffer(blob, dtype=np.uint8)
+        _LOCAL_NORMS[key] = norms
+    return norms
+
+
+def clear_local_cache() -> None:
+    _LOCAL_ROWS.clear()
+    _LOCAL_ROWS_STATE["bytes"] = 0
+    _LOCAL_NORMS.clear()
+
+
+def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
+                 k: int = 10, precision: str = "float32",
+                 postings_cache_mb: int = 256) -> pd.DataFrame:
+    """Serving-path search: the SAME kernel, no Spark job.
+
+    The reference's query path never schedules batch work — queries go to
+    an index RESIDENT in accelerator memory and results come back in
+    milliseconds (``PimSystemManager.java:401-437``).  This is that
+    serving path for a POSIX-visible index: term-stats and postings read
+    via pyarrow with ``term IN`` predicate pushdown (same row-group
+    pruning the distributed scan gets), per-pid norms blobs read directly,
+    the identical ``_match_core`` kernel run in-process per partition,
+    and a driver heap-merge — plus the warm postings cache, which in a
+    single process hits on every repeated term.  Use for interactive /
+    low-latency serving; use :func:`search` for cluster-scale batches.
+    Results are identical (differential-tested); returns a pandas frame
+    ``(qid, doc_id, freq, norm, score)``.
+    """
+    manifest = IndexManifest.load(index) if isinstance(index, str) else index
+    planned, needed_terms = plan_queries(None, manifest, queries, k,
+                                         precision)
+    if not planned:
+        return _empty_result()
+    avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
+                                  manifest.doc_count, precision)
+    payload = {
+        "queries": planned,
+        "k": int(k),
+        "precision": precision,
+        "cache": bm25.score_cache(avgdl, manifest.k1, manifest.b, precision),
+        "num_partitions": manifest.num_partitions,
+        "num_segments": manifest.num_segments,
+        "norms_path": manifest.norms_path,
+        "cache_key": (manifest.build_id or manifest.index_dir,
+                      manifest.doc_count, manifest.sum_total_term_freq),
+        "postings_cache_mb": int(postings_cache_mb),
+    }
+    ckey = payload["cache_key"]
+    postings = _local_rows(manifest, ckey, list(needed_terms))
+    outs = []
+    for pid, grp in postings.groupby("pid"):
+        outs.append(_match_core(payload, int(pid), grp,
+                                _local_norms(manifest, ckey, int(pid))))
+    if not outs:
+        return _empty_result()
+    res = pd.concat(outs, ignore_index=True)
+    return (res.sort_values(["qid", "score", "doc_id"],
+                            ascending=[True, False, True])
+            .groupby("qid", sort=True).head(k).reset_index(drop=True))
