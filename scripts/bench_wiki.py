@@ -107,6 +107,14 @@ def main() -> None:
     search(spark, manifest, queries, k=100).count()
     k100_s = time.time() - t0
 
+    # serving path (the protocol-faithful route: the reference queries an
+    # index RESIDENT in accelerator memory) — warm batch throughput
+    from pim_lucene_spark.operators.search import search_local
+    search_local(manifest, queries[:20], k=k)  # warm residency caches
+    t0 = time.time()
+    local_rows = search_local(manifest, queries, k=k)
+    local_s = time.time() - t0
+
     # differential: every Nth query also runs the brute-force scan; ranks
     # and float32 scores must be identical (results_diff.py analogue)
     sample = queries[::diff_every]
@@ -136,6 +144,7 @@ def main() -> None:
         "batch_sec": round(batch_s, 3),
         "qps": round(qps, 2),
         "qps_k100": round(len(queries) / k100_s, 2),
+        "qps_serving_path": round(len(queries) / local_s, 2),
         "diff_sampled": len(sample),
         "diff_mismatches": mismatches,
         "cpus": cpus,
