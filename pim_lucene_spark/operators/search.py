@@ -281,7 +281,7 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
                       cache: np.ndarray, precision: str, k: int,
                       num_segments: int, ext_bound: float = -np.inf,
                       cached: "_LazyPostings | None" = None,
-                      cache_put=None):
+                      cache_put=None, prefer_full_bytes: int = 0):
     """Single-term scoring with block-max segment skipping.
 
     Segments are visited in descending admissible upper-bound order
@@ -297,6 +297,11 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
     term already fully decoded by an earlier query in the batch is scored
     straight from the cached arrays (scoring is cheap; the skip only ever
     saved the decode), and a full decode performed here is published back.
+    ``prefer_full_bytes`` > 0 (set when the warm cache is enabled) trades
+    the cold block-max skip for residency on terms whose decoded arrays
+    fit the hint: decode fully ONCE and publish, so every later batch
+    scores from memory — a skip that re-decodes per call is a net loss
+    the moment a term repeats.
     """
     counts_tot = np.zeros(num_segments, dtype=np.int64)
     max_tf = np.zeros(num_segments, dtype=np.int64)
@@ -304,7 +309,12 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         counts_tot += np.asarray(r.seg_doc_counts, dtype=np.int64)
         max_tf = np.maximum(max_tf, np.asarray(r.seg_max_tf, dtype=np.int64))
     total = int(counts_tot.sum())
-    if cached is not None or (k >= total and ext_bound == -np.inf):
+    if cached is None and prefer_full_bytes and 16 * total <= \
+            prefer_full_bytes:
+        total_hint = -1  # force the full-decode (cache-publishing) path
+    else:
+        total_hint = total
+    if cached is not None or (k >= total_hint and ext_bound == -np.inf):
         lp = cached if cached is not None else _LazyPostings(rows)
         if cached is None and cache_put is not None:
             cache_put(lp)
@@ -361,8 +371,9 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
     return cand, freqs, nb, scores
 
 
-def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame,
-                norms: np.ndarray) -> pd.DataFrame:
+def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
+                norms: np.ndarray,
+                by_term: dict[str, list] | None = None) -> pd.DataFrame:
     out_qid, out_doc, out_freq, out_norm, out_score = [], [], [], [], []
     P = payload["num_partitions"]
     k = payload["k"]
@@ -370,13 +381,15 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame,
     cache = payload["cache"]
     num_segments = payload["num_segments"]
 
-    # hot terms are striped across multiple rows (skew bound,
-    # IndexConfig.max_postings_per_stripe) — reassemble in stripe order
-    by_term: dict[str, list] = {}
-    for row in postings_pdf.itertuples(index=False):
-        by_term.setdefault(row.term, []).append(row)
-    for rows in by_term.values():
-        rows.sort(key=lambda r: r.stripe)
+    if by_term is None:
+        # hot terms are striped across multiple rows (skew bound,
+        # IndexConfig.max_postings_per_stripe) — reassemble in stripe
+        # order (the serving path passes prebuilt, resident structures)
+        by_term = {}
+        for row in postings_pdf.itertuples(index=False):
+            by_term.setdefault(row.term, []).append(row)
+        for rows in by_term.values():
+            rows.sort(key=lambda r: r.stripe)
     decoded: dict[str, _LazyPostings] = {}
     ckey = payload.get("cache_key")
     cache_budget = int(payload.get("postings_cache_mb", 0)) * (1 << 20)
@@ -400,6 +413,16 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame,
         process-wide warm cache; co-presence-masked decodes are
         query-specific.  Positions stay lazy either way."""
         tp = _probe_cached(term)
+        if tp is None and seg_mask is not None and cache_budget:
+            # warm cache on: a masked decode is query-specific and
+            # re-done every batch — prefer one cacheable full decode for
+            # modest terms (same residency tradeoff as the single-term
+            # prefer_full path)
+            est = 16 * sum(int(np.asarray(r.seg_doc_counts,
+                                          dtype=np.int64).sum())
+                           for r in by_term[term])
+            if est <= cache_budget // 8:
+                seg_mask = None
         if tp is None and seg_mask is not None:
             # no full decode available: decode only the co-present
             # segments (query-specific, not published)
@@ -425,7 +448,8 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame,
                 by_term[t0], norms, weight, cache, precision, k,
                 num_segments, ext_bound=ext,
                 cached=_probe_cached(t0),
-                cache_put=lambda lp, _t=t0: _publish(_t, lp))
+                cache_put=lambda lp, _t=t0: _publish(_t, lp),
+                prefer_full_bytes=cache_budget // 8)
             if cand.size == 0:
                 continue
         else:
@@ -844,7 +868,10 @@ _LOCAL_ROWS_MAX = 512 << 20
 _LOCAL_NORMS: dict = {}
 
 
-def _local_rows(manifest, ckey, terms: list[str]) -> pd.DataFrame:
+def _local_rows(manifest, ckey, terms: list[str]) -> dict[int, dict]:
+    """Resident ``{pid: {term: [stripe-ordered rows]}}`` for the serving
+    path — built once per term from a pyarrow pushdown read, then pure
+    dict assembly per call (no pandas iteration on the hot path)."""
     import pyarrow.parquet as pq
     missing = [t for t in terms if (ckey, t) not in _LOCAL_ROWS]
     if missing:
@@ -852,22 +879,32 @@ def _local_rows(manifest, ckey, terms: list[str]) -> pd.DataFrame:
                                filters=[("term", "in", missing)]).to_pandas()
                  for c in range(manifest.build_chunks)]
         pdf = pd.concat(parts, ignore_index=True)
+        size_per = (int(pdf.memory_usage(deep=True).sum()) // max(len(pdf), 1)
+                    if len(pdf) else 0)
+        grouped: dict[str, dict[int, list]] = {t: {} for t in missing}
+        for row in pdf.itertuples(index=False):
+            grouped.setdefault(row.term, {}).setdefault(
+                int(row.pid), []).append(row)
         for t in missing:
-            rows = pdf[pdf.term == t]
-            size = int(rows.memory_usage(deep=True).sum())
-            _LOCAL_ROWS[(ckey, t)] = (rows, size)
+            by_pid = grouped.get(t, {})
+            n_rows = 0
+            for rows in by_pid.values():
+                rows.sort(key=lambda r: r.stripe)
+                n_rows += len(rows)
+            size = max(n_rows, 1) * max(size_per, 1)
+            _LOCAL_ROWS[(ckey, t)] = (by_pid, size)
             _LOCAL_ROWS_STATE["bytes"] += size
         while _LOCAL_ROWS_STATE["bytes"] > _LOCAL_ROWS_MAX and _LOCAL_ROWS:
             _, (_, old) = _LOCAL_ROWS.popitem(last=False)
             _LOCAL_ROWS_STATE["bytes"] -= old
-    out = []
+    out: dict[int, dict] = {}
     for t in terms:
         entry = _LOCAL_ROWS.get((ckey, t))
         if entry is not None:
             _LOCAL_ROWS.move_to_end((ckey, t))
-            out.append(entry[0])
-    return (pd.concat(out, ignore_index=True) if out
-            else pd.DataFrame(columns=["pid", "term"]))
+            for pid, rows in entry[0].items():
+                out.setdefault(pid, {})[t] = rows
+    return out
 
 
 def _local_norms(manifest, ckey, pid: int) -> np.ndarray:
@@ -927,11 +964,12 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
         "postings_cache_mb": int(postings_cache_mb),
     }
     ckey = payload["cache_key"]
-    postings = _local_rows(manifest, ckey, list(needed_terms))
+    by_pid = _local_rows(manifest, ckey, list(needed_terms))
     outs = []
-    for pid, grp in postings.groupby("pid"):
-        outs.append(_match_core(payload, int(pid), grp,
-                                _local_norms(manifest, ckey, int(pid))))
+    for pid in sorted(by_pid):
+        outs.append(_match_core(payload, int(pid), None,
+                                _local_norms(manifest, ckey, int(pid)),
+                                by_term=by_pid[pid]))
     if not outs:
         return _empty_result()
     res = pd.concat(outs, ignore_index=True)
