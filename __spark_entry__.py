@@ -216,6 +216,17 @@ _MF_HEAD_CTE = (
     "AS text FROM main.documents)")
 
 
+def _q_local_serving(spark, sf_dir):
+    """Serving path (no Spark job): must equal the distributed phrase
+    entry — same oracle SQL."""
+    from pim_lucene_spark.operators.search import search_local
+    m = _get_index(spark, sf_dir)
+    pdf = search_local(m, PHRASE_QUERIES, k=10, precision="float64")
+    pdf = pdf.assign(score=pdf.score.round(6))[
+        ["qid", "doc_id", "freq", "score"]]
+    return spark.createDataFrame(pdf)
+
+
 def _q_slop_scan(spark, sf_dir):
     res = brute_force_search(_docs(spark, sf_dir), SLOP_QUERIES, k=10,
                              precision="float64", slop=1)
@@ -368,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: _searched(s, d, PHRASE_QUERIES + TERM_QUERIES,
                                    k=5, bound_probe=True),
         "engine_merged_phrase_bm25": _q_merged_phrase,
+        "engine_local_serving": _q_local_serving,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
         "engine_slop_repeated": _q_slop_repeated,
@@ -628,6 +640,8 @@ def oracle_sql() -> dict[str, str]:
         # brute-force fallback path computes the identical result set
         "engine_fallback_scan_bm25": oracle.phrase_bm25_sql(PHRASE_QUERIES,
                                                             k=10),
+        # serving path (no Spark job) computes the identical result set
+        "engine_local_serving": oracle.phrase_bm25_sql(PHRASE_QUERIES, k=10),
         "engine_slop_scan": oracle.sloppy_phrase_bm25_sql(SLOP_QUERIES,
                                                           slop=1, k=10),
         "engine_slop_repeated": oracle.sloppy_phrase_bm25_sql(
