@@ -216,6 +216,26 @@ _MF_HEAD_CTE = (
     "AS text FROM main.documents)")
 
 
+# BooleanQuery specs (clause vocabulary present in the synthetic corpus)
+BOOL_SPECS = [
+    (700, {"must": ["merge", "table"]}),
+    (701, {"should": ["vector", "spark", "window"]}),
+    (702, {"must": ["merge"], "must_not": ["vector"], "boost": 2.0}),
+    (703, {"must": ["the"], "filter": ["fast"], "should": ["key"]}),
+]
+
+
+def _q_boolean(spark, sf_dir):
+    """Boolean composition over engine clauses (BooleanWeight semantics:
+    MUST intersects+sums, SHOULD adds, FILTER gates scoreless, MUST_NOT
+    excludes; boost scales every scoring clause)."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    m = _get_index(spark, sf_dir)
+    bqs = [(qid, BooleanQuery(**spec)) for qid, spec in BOOL_SPECS]
+    res = search_boolean(spark, m, bqs, k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_local_serving(spark, sf_dir):
     """Serving path (no Spark job): must equal the distributed phrase
     entry — same oracle SQL."""
@@ -380,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    k=5, bound_probe=True),
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_local_serving": _q_local_serving,
+        "engine_boolean_bm25": _q_boolean,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
         "engine_slop_repeated": _q_slop_repeated,
@@ -642,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
                                                             k=10),
         # serving path (no Spark job) computes the identical result set
         "engine_local_serving": oracle.phrase_bm25_sql(PHRASE_QUERIES, k=10),
+        "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
         "engine_slop_scan": oracle.sloppy_phrase_bm25_sql(SLOP_QUERIES,
                                                           slop=1, k=10),
         "engine_slop_repeated": oracle.sloppy_phrase_bm25_sql(

@@ -18,8 +18,9 @@ Layout
 from pim_lucene_spark.config import IndexConfig
 from pim_lucene_spark.index import FullTextIndex, MultiFieldIndex
 from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.plans.boolean import BooleanQuery
 from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
 
 __all__ = ["FullTextIndex", "IndexConfig", "IndexManifest",
-           "MultiFieldIndex", "PhraseQuery", "TermQuery"]
+           "MultiFieldIndex", "PhraseQuery", "TermQuery", "BooleanQuery"]
 __version__ = "0.3.0"

@@ -114,11 +114,16 @@ class FullTextIndex:
         from pyspark.sql import functions as F
 
         from pim_lucene_spark.operators.search import search
+        from pim_lucene_spark.plans.boolean import BooleanQuery, \
+            search_boolean
         from pim_lucene_spark.plans.query import to_tuple
         from pim_lucene_spark.plans.router import search_with_fallback
 
-        exact, sloppy, slops = [], [], {}
+        exact, sloppy, slops, boolean = [], [], {}, []
         for qid, q in queries:
+            if isinstance(q, BooleanQuery):
+                boolean.append((qid, q))
+                continue
             s = int(getattr(q, "slop", 0))
             if s == 0:
                 exact.append(to_tuple(qid, q))
@@ -126,6 +131,15 @@ class FullTextIndex:
                 sloppy.append(to_tuple(qid, q))
                 slops[qid] = s
         parts = []
+        if boolean:
+            # boolean results carry no freq/norm — surface as NULLs when
+            # unioned with term/phrase results
+            b = search_boolean(self.spark, self.manifest, boolean, k=k,
+                               precision=precision)
+            parts.append(b.select(
+                "qid", "doc_id",
+                F.lit(None).cast("double").alias("freq"),
+                F.lit(None).cast("int").alias("norm"), "score"))
         if exact:
             parts.append(search(self.spark, self.manifest, exact, k=k,
                                 precision=precision))

@@ -333,6 +333,83 @@ def sloppy_phrase_bm25_sql(queries: list[tuple[int, str]], slop: int,
             + ", ".join(ctes) + f" {body}")
 
 
+def _clause_select(terms: list[str], boost: float = 1.0) -> str:
+    """Per-clause (doc_id, score) select — the unrounded BM25 phrase/term
+    score used by boolean composition (same expression tree as
+    ``phrase_bm25_sql``)."""
+    weight = ("(" + repr(float(boost)) + " * ("
+              + " + ".join(_idf_sql(t) for t in terms) + "))")
+    cache = _cache_sql(_quantized_dl("docl.dl"))
+    score = (f"({weight} - {weight} / "
+             f"(1.0 + CAST(f.freq AS DOUBLE) * {cache}))")
+    return (f"SELECT f.doc_id, {score} AS score "
+            f"FROM ({_phrase_freq_select(terms)}) f "
+            f"JOIN docl ON docl.doc_id = f.doc_id, cstats")
+
+
+def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
+                     tokenizer: str = "whitespace") -> str:
+    """BooleanQuery oracle → (qid, doc_id, score).
+
+    ``queries``: ``(qid, {"must": [...], "should": [...], "must_not":
+    [...], "filter": [...], "boost": b})``.  Mirrors the engine's
+    composition exactly (``plans/boolean.py``): inner joins for
+    MUST/FILTER, left joins for SHOULD under a base, chained FULL joins
+    for pure-SHOULD, NOT EXISTS for MUST_NOT, and a coalesce-chain score
+    sum in clause-declaration order (deterministic — hash-safe)."""
+    ctes, selects = [], []
+    for qid, spec in queries:
+        boost = float(spec.get("boost", 1.0))
+        names: dict[str, list[str]] = {}
+        for role in ("must", "filter", "should", "must_not"):
+            names[role] = []
+            for j, text in enumerate(spec.get(role, [])):
+                terms = tokenize_one(text, tokenizer)
+                cname = f"q{qid}_{role}{j}"
+                cboost = boost if role in ("must", "should") else 1.0
+                ctes.append(f"{cname} AS ({_clause_select(terms, cboost)})")
+                names[role].append(cname)
+        score_cols, from_sql, base = [], "", None
+        for i, c in enumerate(names["must"]):
+            alias = f"m{i}"
+            score_cols.append(f"{alias}.score")
+            from_sql += (f"{c} {alias}" if base is None
+                         else f" JOIN {c} {alias} USING (doc_id)")
+            base = alias
+        for i, c in enumerate(names["filter"]):
+            alias = f"ff{i}"
+            from_sql += (f"{c} {alias}" if base is None
+                         else f" JOIN {c} {alias} USING (doc_id)")
+            base = alias
+        if base is not None:
+            for i, c in enumerate(names["should"]):
+                alias = f"s{i}"
+                score_cols.append(f"{alias}.score")
+                from_sql += f" LEFT JOIN {c} {alias} USING (doc_id)"
+        else:
+            for i, c in enumerate(names["should"]):
+                alias = f"s{i}"
+                score_cols.append(f"{alias}.score")
+                from_sql += (f"{c} {alias}" if i == 0
+                             else f" FULL JOIN {c} {alias} USING (doc_id)")
+        total = " + ".join(f"coalesce({sc}, 0.0)" for sc in score_cols) \
+            or "0.0"
+        anti = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM {c} WHERE {c}.doc_id = b.doc_id)"
+            for c in names["must_not"])
+        where = f"WHERE {anti}" if anti else ""
+        qualify = (f"QUALIFY row_number() OVER "
+                   f"(ORDER BY b.total DESC, b.doc_id ASC) <= {k}"
+                   if k is not None else "")
+        selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, b.doc_id, "
+            f"round(b.total, 6) AS score FROM "
+            f"(SELECT doc_id, {total} AS total FROM {from_sql}) b "
+            f"{where} {qualify}")
+    return (f"WITH {_tok_cte(tokenizer)}, " + ", ".join(ctes)
+            + " " + " UNION ALL ".join(selects))
+
+
 def bm25f_sql(queries: list[tuple[int, str]], field_docs: dict[str, str],
               weights: dict[str, float], k: int | None = 10) -> str:
     """BM25F (sandbox CombinedFieldQuery) SQL → (qid, doc_id, freq, score).

@@ -1,0 +1,173 @@
+"""BooleanQuery — Lucene's boolean composition over term/phrase clauses.
+
+The reference offloads only phrase/term queries to the accelerator;
+everything else (including ``BooleanQuery``) runs on the standard Lucene
+path, so a user of the reference runs boolean queries every day.  The
+Spark-first re-expression evaluates every scoring clause through the one
+batched engine search (one postings scan for the whole batch) and
+composes per query with joins:
+
+- MUST: all clauses match (inner joins); their scores add.
+- FILTER: like MUST but contributes no score (``BooleanClause.Occur``).
+- SHOULD: optional when MUST/FILTER clauses exist (left joins, scores
+  add when matching); with no MUST/FILTER, a doc must match at least one
+  SHOULD (chained full-outer joins).
+- MUST_NOT: excludes matching docs, contributes no score (anti joins).
+
+Scoring follows ``BooleanWeight``: each scoring clause's weight gets the
+boolean's boost (so boosts multiply per clause), per-doc clause scores
+accumulate in double in clause-declaration order, and ``float32`` mode
+casts the final sum back to float — the sum order is deterministic here
+(explicit join chain), which also makes the DuckDB oracle
+(:func:`pim_lucene_spark.oracle.boolean_bm25_sql`) hash-safe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BOOL_RESULT_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    """Boolean combination of term/phrase clauses.
+
+    Clause entries are query texts (analyzed like any engine query:
+    multi-token text is a phrase, single token a term) or typed
+    ``PhraseQuery``/``TermQuery`` objects.  ``boost`` scales every
+    scoring clause (Lucene ``BooleanWeight`` passes the boost down).
+    """
+
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    filter: tuple = ()
+    boost: float = 1.0
+
+    def __post_init__(self):  # allow lists at construction
+        object.__setattr__(self, "must", tuple(self.must))
+        object.__setattr__(self, "should", tuple(self.should))
+        object.__setattr__(self, "must_not", tuple(self.must_not))
+        object.__setattr__(self, "filter", tuple(self.filter))
+        if not (self.must or self.should or self.filter):
+            raise ValueError("BooleanQuery needs at least one MUST, "
+                             "SHOULD or FILTER clause")
+
+
+def _clause_text_boost(clause) -> tuple[str, float]:
+    text = getattr(clause, "text", clause)
+    boost = float(getattr(clause, "boost", 1.0))
+    if not isinstance(text, str):
+        raise TypeError(f"unsupported clause {clause!r}")
+    return text, boost
+
+
+def search_boolean(spark: SparkSession, index, queries, k: int = 10,
+                   precision: str = "float32") -> DataFrame:
+    """Batched boolean search → DataFrame(qid, doc_id, score).
+
+    ``queries`` is a list of ``(qid, BooleanQuery)``.  One engine search
+    evaluates every clause of every query (shared postings scan, shared
+    decode cache); the boolean composition is a deterministic join chain
+    per query, unioned and topped with the global (score desc, doc asc)
+    window.
+    """
+    from pim_lucene_spark.operators.search import search
+
+    sub, meta = [], []
+    for qid, bq in queries:
+        if not isinstance(bq, BooleanQuery):
+            raise TypeError("queries must be (qid, BooleanQuery) pairs")
+        roles = {}
+        for role in ("must", "filter", "should", "must_not"):
+            sids = []
+            for clause in getattr(bq, role):
+                text, cboost = _clause_text_boost(clause)
+                sid = len(sub)
+                scoring = role in ("must", "should")
+                sub.append((sid, text,
+                            cboost * float(bq.boost) if scoring else 1.0))
+                sids.append(sid)
+            roles[role] = sids
+        meta.append((qid, roles))
+
+    empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+    if not sub:
+        return empty
+    res = search(spark, index, sub, k=10 ** 9, precision=precision)
+    res = res.select(F.col("qid").alias("sid"), "doc_id", "score").persist()
+    try:
+        res.count()  # materialize once; every clause frame filters this
+        # (the final result is materialized + cached before res releases,
+        # so the clause scan never recomputes)
+
+        def clause(sid: int, name: str) -> DataFrame:
+            return (res.filter(F.col("sid") == sid)
+                    .select(F.col("doc_id"),
+                            F.col("score").alias(name)))
+
+        parts = []
+        for qid, roles in meta:
+            score_cols: list[str] = []
+            base = None
+            # MUST + FILTER: inner joins (filter adds no score column)
+            for i, sid in enumerate(roles["must"]):
+                c = clause(sid, f"m{i}")
+                score_cols.append(f"m{i}")
+                base = c if base is None else base.join(c, "doc_id")
+            for i, sid in enumerate(roles["filter"]):
+                c = clause(sid, f"f{i}").select("doc_id")
+                base = c if base is None else base.join(c, "doc_id")
+            if base is not None:
+                for i, sid in enumerate(roles["should"]):
+                    c = clause(sid, f"s{i}")
+                    score_cols.append(f"s{i}")
+                    base = base.join(c, "doc_id", "left")
+            else:
+                # pure-should: at least one clause must match
+                for i, sid in enumerate(roles["should"]):
+                    c = clause(sid, f"s{i}")
+                    score_cols.append(f"s{i}")
+                    base = c if base is None else base.join(c, "doc_id",
+                                                            "full")
+            if base is None:
+                continue
+            for sid in roles["must_not"]:
+                base = base.join(clause(sid, "x").select("doc_id"),
+                                 "doc_id", "left_anti")
+            total = None
+            for name in score_cols:
+                col = F.coalesce(F.col(name), F.lit(0.0))
+                total = col if total is None else total + col
+            if total is None:  # filter-only query: constant 0 scores
+                total = F.lit(0.0)
+            if precision == "float32":
+                # BooleanWeight sums clause floats in double, returns
+                # float — cast the deterministic double chain to float
+                total = total.cast("float").cast("double")
+            parts.append(base.select(
+                F.lit(qid).cast("long").alias("qid"),
+                F.col("doc_id"), total.alias("score")))
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        win = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                                F.asc("doc_id"))
+        out = (out.withColumn("rank", F.row_number().over(win))
+               .filter(F.col("rank") <= k).drop("rank")
+               .persist())
+        out.count()  # ≤ |queries|·k rows — materialize while res is live
+        return out
+    finally:
+        res.unpersist(blocking=False)
