@@ -40,10 +40,10 @@ import sys
 import pyspark
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-NUM_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "120000"))
+NUM_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "500000"))
 LEVELS = [int(x) for x in
           os.environ.get("SPARK_GRAFT_LEVELS", "1,4").split(",")]
-REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 SPARK_SUBMIT = shutil.which("spark-submit") or os.path.join(
     os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 WORK = "/dev/shm/pim_bench" if os.path.isdir("/dev/shm") else "/tmp/pim_bench"

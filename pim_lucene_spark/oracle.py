@@ -394,17 +394,28 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
                              else f" FULL JOIN {c} {alias} USING (doc_id)")
         total = " + ".join(f"coalesce({sc}, 0.0)" for sc in score_cols) \
             or "0.0"
-        anti = " AND ".join(
+        should_aliases = [f"s{i}" for i in range(len(names["should"]))]
+        had_base = bool(names["must"] or names["filter"])
+        msm = int(spec.get("min_should_match", 0))
+        required = msm if had_base else max(1, msm)
+        n_should = " + ".join(
+            f"(CASE WHEN {a}.score IS NOT NULL THEN 1 ELSE 0 END)"
+            for a in should_aliases) or "0"
+        conds = []
+        if should_aliases and (required > 1 or (had_base and required > 0)):
+            conds.append(f"b.n_should >= {required}")
+        conds += [
             f"NOT EXISTS (SELECT 1 FROM {c} WHERE {c}.doc_id = b.doc_id)"
-            for c in names["must_not"])
-        where = f"WHERE {anti}" if anti else ""
+            for c in names["must_not"]]
+        where = f"WHERE {' AND '.join(conds)}" if conds else ""
         qualify = (f"QUALIFY row_number() OVER "
                    f"(ORDER BY b.total DESC, b.doc_id ASC) <= {k}"
                    if k is not None else "")
         selects.append(
             f"SELECT CAST({qid} AS BIGINT) AS qid, b.doc_id, "
             f"round(b.total, 6) AS score FROM "
-            f"(SELECT doc_id, {total} AS total FROM {from_sql}) b "
+            f"(SELECT doc_id, {total} AS total, {n_should} AS n_should "
+            f"FROM {from_sql}) b "
             f"{where} {qualify}")
     return (f"WITH {_tok_cte(tokenizer)}, " + ", ".join(ctes)
             + " " + " UNION ALL ".join(selects))

@@ -52,6 +52,7 @@ class BooleanQuery:
     must_not: tuple = ()
     filter: tuple = ()
     boost: float = 1.0
+    min_should_match: int = 0   # Lucene minimumNumberShouldMatch
 
     def __post_init__(self):  # allow lists at construction
         object.__setattr__(self, "must", tuple(self.must))
@@ -61,6 +62,8 @@ class BooleanQuery:
         if not (self.must or self.should or self.filter):
             raise ValueError("BooleanQuery needs at least one MUST, "
                              "SHOULD or FILTER clause")
+        if self.min_should_match > len(self.should):
+            raise ValueError("min_should_match exceeds SHOULD clause count")
 
 
 def _clause_text_boost(clause) -> tuple[str, float]:
@@ -98,7 +101,7 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
                             cboost * float(bq.boost) if scoring else 1.0))
                 sids.append(sid)
             roles[role] = sids
-        meta.append((qid, roles))
+        meta.append((qid, roles, int(bq.min_should_match)))
 
     empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
     if not sub:
@@ -116,8 +119,9 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
                             F.col("score").alias(name)))
 
         parts = []
-        for qid, roles in meta:
+        for qid, roles, msm in meta:
             score_cols: list[str] = []
+            should_cols: list[str] = []
             base = None
             # MUST + FILTER: inner joins (filter adds no score column)
             for i, sid in enumerate(roles["must"]):
@@ -127,20 +131,31 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
             for i, sid in enumerate(roles["filter"]):
                 c = clause(sid, f"f{i}").select("doc_id")
                 base = c if base is None else base.join(c, "doc_id")
-            if base is not None:
+            had_base = base is not None
+            if had_base:
                 for i, sid in enumerate(roles["should"]):
                     c = clause(sid, f"s{i}")
                     score_cols.append(f"s{i}")
+                    should_cols.append(f"s{i}")
                     base = base.join(c, "doc_id", "left")
             else:
                 # pure-should: at least one clause must match
                 for i, sid in enumerate(roles["should"]):
                     c = clause(sid, f"s{i}")
                     score_cols.append(f"s{i}")
+                    should_cols.append(f"s{i}")
                     base = c if base is None else base.join(c, "doc_id",
                                                             "full")
             if base is None:
                 continue
+            required = msm if had_base else max(1, msm)
+            if should_cols and required > 1 or (had_base and required > 0):
+                cnt = None
+                for name in should_cols:
+                    ind = F.when(F.col(name).isNotNull(), 1).otherwise(0)
+                    cnt = ind if cnt is None else cnt + ind
+                if cnt is not None:
+                    base = base.filter(cnt >= required)
             for sid in roles["must_not"]:
                 base = base.join(clause(sid, "x").select("doc_id"),
                                  "doc_id", "left_anti")

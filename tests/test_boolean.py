@@ -155,3 +155,41 @@ def test_facade_mixed_typed_batch(spark, bidx):
 def test_empty_boolean_raises():
     with pytest.raises(ValueError, match="at least one"):
         BooleanQuery(must_not=["x"])
+
+
+def test_min_should_match(spark, bidx):
+    duckdb = pytest.importorskip("duckdb")
+    from pim_lucene_spark.oracle import boolean_bm25_sql
+    # pure-should msm=2: docs matching >= 2 of {red, apple, green}
+    specs = [
+        (0, {"should": ["red", "apple", "green"], "min_should_match": 2}),
+        (1, {"must": ["red"], "should": ["pie", "brick"],
+             "min_should_match": 1}),
+    ]
+    bqs = [(qid, BooleanQuery(**spec)) for qid, spec in specs]
+    got = (search_boolean(spark, bidx, bqs, k=10, precision="float64")
+           .toPandas())
+    by_q = {q: set(g.doc_id) for q, g in got.groupby("qid")}
+    red = set(_scores(spark, bidx, "red"))
+    app = set(_scores(spark, bidx, "apple"))
+    grn = set(_scores(spark, bidx, "green"))
+    exp0 = {d for d in red | app | grn
+            if sum(d in s for s in (red, app, grn)) >= 2}
+    assert by_q[0] == exp0
+    # msm under a must base: red docs that also match pie OR brick
+    pie, brick = set(_scores(spark, bidx, "pie")), \
+        set(_scores(spark, bidx, "brick"))
+    assert by_q[1] == red & (pie | brick)
+    # oracle mirror
+    con = duckdb.connect()
+    con.register("documents", DOCS.rename(columns={"content": "text"}))
+    odf = (con.execute(boolean_bm25_sql(specs, k=10)).fetchdf()
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    g2 = (got.assign(score=lambda d: d.score.round(6))
+          .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(g2, odf.astype(g2.dtypes.to_dict()))
+
+
+def test_min_should_match_validation():
+    with pytest.raises(ValueError, match="min_should_match"):
+        BooleanQuery(should=["a"], min_should_match=2)
