@@ -26,6 +26,9 @@ from pim_lucene_spark.operators import dedup, multimodal, similarity, textstats
 from pim_lucene_spark.operators.index_build import build_index
 from pim_lucene_spark.operators.merge import merge_indexes
 from pim_lucene_spark.operators.search import search
+from pim_lucene_spark.plans.multiterm import (FuzzyQuery, PrefixQuery,
+                                              TermRangeQuery, WildcardQuery,
+                                              search_multiterm)
 from pim_lucene_spark.plans.router import brute_force_search
 
 # ---------------------------------------------------------------------------
@@ -56,6 +59,22 @@ STD_QUERIES = [(500, "The Fast!"), (501, "MERGE"), (502, "Table SCAN...")]
 # only match within its queried field's posting space + that field's stats
 MF_BODY_QUERIES = [(600, "the fast"), (601, "merge")]
 MF_HEAD_QUERIES = [(610, "key agg"), (611, "window")]
+# multi-term queries (MultiTermQuery family) — patterns over the 31-term
+# synthetic vocabulary; scoring rewrites stay far below maxClauseCount
+MT_SCORING_SPECS = [
+    (800, PrefixQuery("s")),                      # scan slow small sort spark stream
+    (801, PrefixQuery("b", boost=2.0)),           # batch big
+    (830, TermRangeQuery("query", "sort")),       # query row scan slow small sort
+]
+MT_WILDCARD_SPECS = [
+    (810, WildcardQuery("v*r", boost=1.5)),       # vector
+    (811, WildcardQuery("s?a*")),                 # scan spark small (s_a…)
+    (812, WildcardQuery("*o*")),                  # broad: every term with an o
+]
+MT_FUZZY_SPECS = [
+    (820, FuzzyQuery("part", max_edits=2, transpositions=False, boost=1.5)),
+    (821, FuzzyQuery("merge", max_edits=2, transpositions=False)),
+]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 EMB_DIM = 64  # testdata embeddings.parquet dim (constant across sf)
 
@@ -225,6 +244,32 @@ BOOL_SPECS = [
 ]
 
 
+# DisjunctionMaxQuery specs — best-clause scoring with tie breakers
+DISMAX_SPECS = [
+    (750, {"clauses": ["merge", "table"]}),
+    (751, {"clauses": ["the fast", "window"], "tie": 0.25}),
+    (752, {"clauses": [("merge", 3.0), "vector", "key"], "tie": 0.5,
+           "boost": 2.0}),
+]
+
+
+def _q_dismax(spark, sf_dir):
+    """DisjunctionMaxQuery (DisjunctionMaxScorer: max + tie*(sum-max),
+    boost multiplied at the top per BoostQuery) over engine clauses."""
+    from pim_lucene_spark.plans.dismax import DisMaxQuery, search_dismax
+    from pim_lucene_spark.plans.query import TermQuery
+    m = _get_index(spark, sf_dir)
+    dqs = []
+    for qid, spec in DISMAX_SPECS:
+        clauses = [TermQuery(c[0], boost=c[1]) if isinstance(c, tuple)
+                   else c for c in spec["clauses"]]
+        dqs.append((qid, DisMaxQuery(clauses=clauses,
+                                     tie=spec.get("tie", 0.0),
+                                     boost=spec.get("boost", 1.0))))
+    res = search_dismax(spark, m, dqs, k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_boolean(spark, sf_dir):
     """Boolean composition over engine clauses (BooleanWeight semantics:
     MUST intersects+sums, SHOULD adds, FILTER gates scoreless, MUST_NOT
@@ -269,6 +314,36 @@ def _q_fallback_scan(spark, sf_dir):
                              precision="float64")
     return res.select("qid", "doc_id", "freq",
                       F.round("score", 6).alias("score"))
+
+
+def _q_mt_scoring(spark, sf_dir):
+    """Prefix + term-range queries, SCORING_BOOLEAN_REWRITE: per-term BM25
+    via one batched engine search, per-doc sum folded in expansion-ord
+    order (deterministic float64 association — hash-safe)."""
+    m = _get_index(spark, sf_dir)
+    res = search_multiterm(spark, m, MT_SCORING_SPECS, k=10,
+                           rewrite="scoring_boolean", precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_mt_wildcard(spark, sf_dir):
+    """Wildcard queries, CONSTANT_SCORE_REWRITE (the MultiTermQuery
+    default): fully distributed — matched terms join the postings, doc ids
+    decode in one Arrow pass, no driver-side term list."""
+    m = _get_index(spark, sf_dir)
+    return search_multiterm(spark, m, MT_WILDCARD_SPECS, k=25,
+                            rewrite="constant_score")
+
+
+def _q_mt_fuzzy(spark, sf_dir):
+    """FuzzyQuery (classic Levenshtein mode — the OSA/transpositions mode
+    is pytest-verified): per-term boost 1-ed/min(|t|,|q|) in float32
+    (FuzzyTermsEnum.java:249-256), top-maxExpansions by (boost desc,
+    term asc), scoring-boolean over the survivors."""
+    m = _get_index(spark, sf_dir)
+    res = search_multiterm(spark, m, MT_FUZZY_SPECS, k=10,
+                           rewrite="scoring_boolean", precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -401,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_local_serving": _q_local_serving,
         "engine_boolean_bm25": _q_boolean,
+        "engine_dismax_topk": _q_dismax,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
         "engine_slop_repeated": _q_slop_repeated,
@@ -409,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_multifield_combined": _q_multifield_combined,
         "engine_multifield_combined_ta": _q_multifield_combined_ta,
         "engine_multifield_bm25f": _q_multifield_bm25f,
+        "engine_multiterm_scoring": _q_mt_scoring,
+        "engine_wildcard_constant": _q_mt_wildcard,
+        "engine_fuzzy_topk": _q_mt_fuzzy,
         "corpus_generate": _q_corpus,
         "index_sha256_invariant": _q_sha_invariant,
         "index_term_stats": _q_term_stats,
@@ -664,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         # serving path (no Spark job) computes the identical result set
         "engine_local_serving": oracle.phrase_bm25_sql(PHRASE_QUERIES, k=10),
         "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
+        "engine_dismax_topk": oracle.dismax_bm25_sql(DISMAX_SPECS, k=10),
         "engine_slop_scan": oracle.sloppy_phrase_bm25_sql(SLOP_QUERIES,
                                                           slop=1, k=10),
         "engine_slop_repeated": oracle.sloppy_phrase_bm25_sql(
@@ -699,6 +779,12 @@ def oracle_sql() -> dict[str, str]:
             + oracle.phrase_bm25_sql(MF_HEAD_QUERIES, k=10)
               .replace("WITH ", f"WITH {_MF_HEAD_CTE}, ", 1)
             + ")",
+        "engine_multiterm_scoring": oracle.multiterm_sql(
+            MT_SCORING_SPECS, k=10, rewrite="scoring_boolean"),
+        "engine_wildcard_constant": oracle.multiterm_sql(
+            MT_WILDCARD_SPECS, k=25, rewrite="constant_score"),
+        "engine_fuzzy_topk": oracle.multiterm_sql(
+            MT_FUZZY_SPECS, k=10, rewrite="scoring_boolean"),
         "index_sha256_invariant": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    sha256(text) AS sha256,

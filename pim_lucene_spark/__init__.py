@@ -19,8 +19,14 @@ from pim_lucene_spark.config import IndexConfig
 from pim_lucene_spark.index import FullTextIndex, MultiFieldIndex
 from pim_lucene_spark.manifest import IndexManifest
 from pim_lucene_spark.plans.boolean import BooleanQuery
+from pim_lucene_spark.plans.dismax import DisMaxQuery
+from pim_lucene_spark.plans.multiterm import (FuzzyQuery, PrefixQuery,
+                                              RegexpQuery, TermRangeQuery,
+                                              WildcardQuery)
 from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
 
 __all__ = ["FullTextIndex", "IndexConfig", "IndexManifest",
-           "MultiFieldIndex", "PhraseQuery", "TermQuery", "BooleanQuery"]
+           "MultiFieldIndex", "PhraseQuery", "TermQuery", "BooleanQuery",
+           "DisMaxQuery", "PrefixQuery", "WildcardQuery", "TermRangeQuery",
+           "RegexpQuery", "FuzzyQuery"]
 __version__ = "0.3.0"

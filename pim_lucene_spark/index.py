@@ -116,13 +116,17 @@ class FullTextIndex:
         from pim_lucene_spark.operators.search import search
         from pim_lucene_spark.plans.boolean import BooleanQuery, \
             search_boolean
+        from pim_lucene_spark.plans.dismax import DisMaxQuery, search_dismax
         from pim_lucene_spark.plans.query import to_tuple
         from pim_lucene_spark.plans.router import search_with_fallback
 
-        exact, sloppy, slops, boolean = [], [], {}, []
+        exact, sloppy, slops, boolean, dismax = [], [], {}, [], []
         for qid, q in queries:
             if isinstance(q, BooleanQuery):
                 boolean.append((qid, q))
+                continue
+            if isinstance(q, DisMaxQuery):
+                dismax.append((qid, q))
                 continue
             s = int(getattr(q, "slop", 0))
             if s == 0:
@@ -137,6 +141,13 @@ class FullTextIndex:
             b = search_boolean(self.spark, self.manifest, boolean, k=k,
                                precision=precision)
             parts.append(b.select(
+                "qid", "doc_id",
+                F.lit(None).cast("double").alias("freq"),
+                F.lit(None).cast("int").alias("norm"), "score"))
+        if dismax:
+            d = search_dismax(self.spark, self.manifest, dismax, k=k,
+                              precision=precision)
+            parts.append(d.select(
                 "qid", "doc_id",
                 F.lit(None).cast("double").alias("freq"),
                 F.lit(None).cast("int").alias("norm"), "score"))

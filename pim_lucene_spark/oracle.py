@@ -421,6 +421,48 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
             + " " + " UNION ALL ".join(selects))
 
 
+def dismax_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
+                    tokenizer: str = "whitespace") -> str:
+    """DisjunctionMaxQuery oracle → (qid, doc_id, score).
+
+    ``queries``: ``(qid, {"clauses": [text, ...], "tie": t, "boost": b})``
+    with optional per-clause ``(text, boost)`` tuples.  Mirrors
+    ``plans/dismax.py`` exactly: per-clause BM25 selects chained with
+    FULL joins, ``greatest`` of coalesced scores + tie * (ordered sum −
+    max), boost multiplied at the top — the same float64 association
+    order as the engine's Catalyst expression, so hashes match."""
+    ctes, selects = [], []
+    for qid, spec in queries:
+        tie = float(spec.get("tie", 0.0))
+        boost = float(spec.get("boost", 1.0))
+        names = []
+        for j, cl in enumerate(spec["clauses"]):
+            text, cboost = (cl if isinstance(cl, tuple) else (cl, 1.0))
+            terms = tokenize_one(text, tokenizer)
+            cname = f"dq{qid}_c{j}"
+            ctes.append(f"{cname} AS ({_clause_select(terms, cboost)})")
+            names.append(cname)
+        from_sql, cols = "", []
+        for i, c in enumerate(names):
+            alias = f"c{i}"
+            cols.append(f"coalesce({alias}.score, 0.0)")
+            from_sql += (f"{c} {alias}" if i == 0
+                         else f" FULL JOIN {c} {alias} USING (doc_id)")
+        mx = cols[0] if len(cols) == 1 else f"greatest({', '.join(cols)})"
+        total = " + ".join(cols)
+        score = f"({mx} + {tie!r} * (({total}) - {mx}))"
+        if boost != 1.0:
+            score = f"({score} * {boost!r})"
+        qualify = (f"QUALIFY row_number() OVER "
+                   f"(ORDER BY {score} DESC, doc_id ASC) <= {k}"
+                   if k is not None else "")
+        selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, "
+            f"round({score}, 6) AS score FROM {from_sql} {qualify}")
+    return (f"WITH {_tok_cte(tokenizer)}, " + ", ".join(ctes)
+            + " " + " UNION ALL ".join(selects))
+
+
 def bm25f_sql(queries: list[tuple[int, str]], field_docs: dict[str, str],
               weights: dict[str, float], k: int | None = 10) -> str:
     """BM25F (sandbox CombinedFieldQuery) SQL → (qid, doc_id, freq, score).
@@ -498,6 +540,132 @@ FROM (SELECT fr.doc_id, fr.freq, nd.qdl
      pseudo_cs, (SELECT {df} AS qdf) qs
 WHERE qdf > 0 {qualify}""")
     return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def _mt_pred(q, col: str = "term") -> str:
+    """DuckDB predicate matching a multi-term query's expansion set —
+    the same set the engine reads off the stats table (indexed terms ==
+    distinct corpus terms)."""
+    from pim_lucene_spark.plans.multiterm import (
+        FuzzyQuery, PrefixQuery, RegexpQuery, TermRangeQuery,
+        WildcardQuery, wildcard_to_regex)
+    if isinstance(q, PrefixQuery):
+        return f"starts_with({col}, '{_q(q.prefix)}')"
+    if isinstance(q, WildcardQuery):
+        rx = "^" + wildcard_to_regex(q.pattern) + "$"
+        return f"regexp_matches({col}, '{_q(rx)}')"
+    if isinstance(q, RegexpQuery):
+        return f"regexp_matches({col}, '^{_q(q.regexp)}$')"
+    if isinstance(q, TermRangeQuery):
+        parts = []
+        if q.lower is not None:
+            parts.append(f"{col} {'>=' if q.include_lower else '>'} "
+                         f"'{_q(q.lower)}'")
+        if q.upper is not None:
+            parts.append(f"{col} {'<=' if q.include_upper else '<'} "
+                         f"'{_q(q.upper)}'")
+        return "(" + " AND ".join(parts or ["TRUE"]) + ")"
+    if isinstance(q, FuzzyQuery):
+        if q.transpositions:
+            raise ValueError("fuzzy oracle supports transpositions=False "
+                             "only (DuckDB has no OSA distance; the OSA "
+                             "path is pytest-verified instead)")
+        plen, qt = q.prefix_length, q.term
+        parts = [f"abs(length({col}) - {len(qt)}) <= {q.max_edits}",
+                 f"levenshtein(substring({col}, {plen + 1}), "
+                 f"'{_q(qt[plen:])}') <= {q.max_edits}"]
+        if plen:
+            parts.append(f"starts_with({col}, '{_q(qt[:plen])}')")
+        return "(" + " AND ".join(parts) + ")"
+    raise TypeError(f"no oracle predicate for {q!r}")
+
+
+def _mt_exp_cte(qid: int, q) -> str:
+    """Expansion CTE ``mtexp{qid}(term, tboost)`` — fuzzy replicates the
+    engine's float32 per-term boost (``FuzzyTermsEnum.java:249-256``) and
+    the (boost desc, term asc) top-``max_expansions`` selection
+    (``TopTermsRewrite.java:199-213``)."""
+    from pim_lucene_spark.plans.multiterm import FuzzyQuery
+    vocab = "(SELECT DISTINCT term FROM positions)"
+    if isinstance(q, FuzzyQuery):
+        plen, qt = q.prefix_length, q.term
+        ed = (f"levenshtein(substring(term, {plen + 1}), "
+              f"'{_q(qt[plen:])}')")
+        boost = (f"(CASE WHEN {ed} = 0 THEN CAST(1.0 AS DOUBLE) ELSE "
+                 f"CAST(CAST(CAST(1.0 AS REAL) - CAST({ed} AS REAL) / "
+                 f"CAST(least(length(term), {len(qt)}) AS REAL) AS REAL) "
+                 f"AS DOUBLE) END)")
+        return (f"mtexp{qid} AS (SELECT term, {boost} AS tboost "
+                f"FROM {vocab} WHERE {_mt_pred(q)} "
+                f"QUALIFY row_number() OVER "
+                f"(ORDER BY tboost DESC, term ASC) <= {q.max_expansions})")
+    return (f"mtexp{qid} AS (SELECT term, CAST(1.0 AS DOUBLE) AS tboost "
+            f"FROM {vocab} WHERE {_mt_pred(q)})")
+
+
+def multiterm_sql(queries: list[tuple[int, object]], k: int | None = 10,
+                  rewrite: str = "constant_score",
+                  tokenizer: str = "whitespace",
+                  round_scores: bool = True) -> str:
+    """MultiTermQuery oracle → (qid, doc_id, score).
+
+    ``constant_score``: every doc containing any expanded term scores the
+    query boost; top-k by doc-id asc (all ties).  ``scoring_boolean``:
+    per-term BM25 (``weight = (qboost·tboost)·idf`` — the engine's
+    ``plan_queries`` float64 association), per-doc sum left-folded in the
+    engine's expansion-ord order (term asc; fuzzy: boost desc, term asc)
+    via ``list_reduce`` — the same float64 association order as the
+    engine's ``F.aggregate`` fold, so hashes match."""
+    ctes, selects = [], []
+    for qid, q in queries:
+        qboost = float(getattr(q, "boost", 1.0))
+        ctes.append(_mt_exp_cte(qid, q))
+        if rewrite == "constant_score":
+            qualify = (f"QUALIFY row_number() OVER "
+                       f"(ORDER BY doc_id ASC) <= {k}" if k is not None
+                       else "")
+            selects.append(
+                f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, "
+                f"{qboost!r} AS score FROM "
+                f"(SELECT DISTINCT p.doc_id FROM positions p "
+                f"JOIN mtexp{qid} e ON p.term = e.term) {qualify}")
+            continue
+        if rewrite != "scoring_boolean":
+            raise ValueError(f"unknown rewrite {rewrite!r}")
+        weight = (f"(({qboost!r} * st.tboost) * "
+                  f"ln(1.0 + (CAST(n_docs AS DOUBLE) - st.df + 0.5) / "
+                  f"(st.df + 0.5)))")
+        cache = _cache_sql(_quantized_dl("docl.dl"))
+        score = (f"({weight} - {weight} / "
+                 f"(1.0 + CAST(tf.freq AS DOUBLE) * {cache}))")
+        ctes.append(
+            f"mtst{qid} AS (SELECT e.term, e.tboost, "
+            f"CAST(count(DISTINCT p.doc_id) AS BIGINT) AS df "
+            f"FROM mtexp{qid} e JOIN positions p ON p.term = e.term "
+            f"GROUP BY e.term, e.tboost)")
+        ctes.append(
+            f"mttf{qid} AS (SELECT p.term, p.doc_id, "
+            f"CAST(count(*) AS BIGINT) AS freq FROM positions p "
+            f"JOIN mtexp{qid} e ON p.term = e.term "
+            f"GROUP BY p.term, p.doc_id)")
+        ctes.append(
+            f"mtsc{qid} AS (SELECT tf.doc_id, st.term, st.tboost, "
+            f"{score} AS s FROM mttf{qid} tf "
+            f"JOIN mtst{qid} st ON st.term = tf.term "
+            f"JOIN docl ON docl.doc_id = tf.doc_id, cstats)")
+        ctes.append(
+            f"mtagg{qid} AS (SELECT doc_id, list_reduce("
+            f"list(CAST(s AS DOUBLE) ORDER BY tboost DESC, term ASC), "
+            f"(a, b) -> a + b) AS raw FROM mtsc{qid} GROUP BY doc_id)")
+        score_out = "round(raw, 6)" if round_scores else "raw"
+        qualify = (f"QUALIFY row_number() OVER "
+                   f"(ORDER BY raw DESC, doc_id ASC) <= {k}"
+                   if k is not None else "")
+        selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, "
+            f"{score_out} AS score FROM mtagg{qid} {qualify}")
+    return (f"WITH {_tok_cte(tokenizer)}, " + ", ".join(ctes)
+            + " " + " UNION ALL ".join(selects))
 
 
 def phrase_freqs_sql(queries: list[tuple[int, str]]) -> str:

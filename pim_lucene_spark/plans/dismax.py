@@ -1,0 +1,139 @@
+"""DisjunctionMaxQuery — Lucene's best-clause disjunction.
+
+``DisjunctionMaxQuery(clauses, tieBreakerMultiplier)`` scores a doc by its
+BEST clause plus a fraction of the others:
+
+    score = max(clause scores) + tie * (sum(clause scores) - max)
+
+(``DisjunctionMaxScorer.score``: sub-scores accumulate in double, max in
+float, the combination returns float).  It is the standard "best field"
+query — e.g. dismax over title/body term queries — and runs on the
+reference's standard Lucene path (the accelerator offloads only
+term/phrase queries), so it belongs in the user surface next to
+``BooleanQuery``.
+
+The Spark-first plan mirrors ``plans/boolean.py``: ONE batched engine
+search evaluates every clause of every query (shared postings scan +
+decode cache); per query the clause frames chain FULL OUTER joins on
+``doc_id`` (a doc matches the dismax iff it matches ≥1 clause), and the
+max/sum fold is a deterministic Catalyst expression over the fixed clause
+columns — reproducible float association, so the DuckDB oracle
+(:func:`pim_lucene_spark.oracle.dismax_bm25_sql`) hash-matches.
+
+Boost follows ``BoostQuery`` semantics (modern Lucene wraps dismax in
+``BoostQuery``; dismax itself has no boost): the final combined score is
+multiplied by ``boost`` at the top, not pushed into clause weights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DISMAX_RESULT_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+@dataclass(frozen=True)
+class DisMaxQuery:
+    """Disjunction-max over term/phrase clauses.
+
+    Clause entries are query texts (analyzed like any engine query:
+    multi-token text is a phrase, single token a term) or typed
+    ``PhraseQuery``/``TermQuery`` objects whose own boosts scale that
+    clause's weight (Lucene: a boosted sub-query inside the dismax).
+    ``tie`` is the tieBreakerMultiplier in [0, 1]; ``boost`` multiplies
+    the final combined score (``BoostQuery`` semantics).
+    """
+
+    clauses: tuple = ()
+    tie: float = 0.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "clauses", tuple(self.clauses))
+        if not self.clauses:
+            raise ValueError("DisMaxQuery needs at least one clause")
+        if not 0.0 <= self.tie <= 1.0:
+            raise ValueError("tie breaker multiplier must be in [0, 1]")
+
+
+def search_dismax(spark: SparkSession, index, queries, k: int = 10,
+                  precision: str = "float32") -> DataFrame:
+    """Batched dismax search → DataFrame(qid, doc_id, score).
+
+    ``queries`` is a list of ``(qid, DisMaxQuery)``.  One engine search
+    evaluates every clause of every query; composition is per-query FULL
+    join chains over the cached clause frame, unioned, topped with the
+    global (score desc, doc asc) window.
+    """
+    from pim_lucene_spark.plans.boolean import _clause_text_boost
+    from pim_lucene_spark.operators.search import search
+
+    sub, meta = [], []
+    for qid, dq in queries:
+        if not isinstance(dq, DisMaxQuery):
+            raise TypeError("queries must be (qid, DisMaxQuery) pairs")
+        sids = []
+        for clause in dq.clauses:
+            text, cboost = _clause_text_boost(clause)
+            sid = len(sub)
+            sub.append((sid, text, cboost))
+            sids.append(sid)
+        meta.append((qid, sids, float(dq.tie), float(dq.boost)))
+
+    empty = spark.createDataFrame([], DISMAX_RESULT_SCHEMA)
+    if not sub:
+        return empty
+    res = search(spark, index, sub, k=10 ** 9, precision=precision)
+    res = res.select(F.col("qid").alias("sid"), "doc_id", "score").persist()
+    try:
+        res.count()  # materialize once; every clause frame filters this
+
+        def clause(sid: int, name: str) -> DataFrame:
+            return (res.filter(F.col("sid") == sid)
+                    .select(F.col("doc_id"), F.col("score").alias(name)))
+
+        parts = []
+        for qid, sids, tie, boost in meta:
+            base, names = None, []
+            for i, sid in enumerate(sids):
+                name = f"c{i}"
+                names.append(name)
+                c = clause(sid, name)
+                base = c if base is None else base.join(c, "doc_id", "full")
+            # BM25 clause scores are > 0, so coalesce-to-0 keeps both the
+            # max and the sum exact for docs missing a clause
+            cols = [F.coalesce(F.col(n), F.lit(0.0)) for n in names]
+            mx = cols[0] if len(cols) == 1 else F.greatest(*cols)
+            total = cols[0]
+            for col in cols[1:]:
+                total = total + col
+            score = mx + F.lit(tie) * (total - mx)
+            if boost != 1.0:
+                score = score * F.lit(boost)
+            if precision == "float32":
+                # DisjunctionMaxScorer returns float; BoostQuery
+                # multiplies in float
+                score = score.cast("float").cast("double")
+            parts.append(base.select(
+                F.lit(qid).cast("long").alias("qid"),
+                F.col("doc_id"), score.alias("score")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        win = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                                F.asc("doc_id"))
+        out = (out.withColumn("rank", F.row_number().over(win))
+               .filter(F.col("rank") <= k).drop("rank")
+               .persist())
+        out.count()  # ≤ |queries|·k rows — materialize while res is live
+        return out
+    finally:
+        res.unpersist(blocking=False)

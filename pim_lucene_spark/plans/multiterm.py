@@ -1,0 +1,418 @@
+"""Multi-term queries — Prefix / Wildcard / TermRange / Regexp / Fuzzy.
+
+Lucene's ``MultiTermQuery`` family expands a pattern against the term
+dictionary, then rewrites to either a constant-score filter or a boolean
+disjunction of term queries (``MultiTermQuery.java:40-120``).  The
+Spark-first re-expression uses the index's term-stats Parquet as the term
+dictionary:
+
+- **Expansion is a pushed-down dictionary scan.**  Prefix patterns become
+  ``StringStartsWith`` Parquet pushdown; ranges become min/max row-group
+  pruning; wildcards/regexps push their literal prefix and evaluate the
+  compiled regex JVM-side (``rlike``); fuzzy pushes the exact-prefix +
+  length-window prefilter and evaluates Levenshtein JVM-side
+  (``F.levenshtein``), never per-row Python.
+- **``constant_score`` (Lucene's default rewrite) is fully distributed**:
+  the matched-term frame joins the postings directly (no driver term
+  list), doc ids are decoded per posting row in one Arrow pass with no
+  scoring, norms, or positions — the analogue of Lucene building a
+  bitset from the postings of every matched term.  Scales to unbounded
+  expansions (a one-letter prefix over a 100 M-term dictionary stays a
+  join + map, never a ``collect``).
+- **``scoring_boolean`` collects the expansion** (Lucene semantics cap it
+  at ``IndexSearcher.maxClauseCount`` = 1024 — ``TooManyClauses`` is the
+  reference behavior, raised here as ``ValueError``), then runs ONE
+  batched engine search over all (query, term) clauses and composes
+  per-doc scores with a deterministic ord-ordered JVM fold
+  (``F.aggregate`` over ``sort_array`` — reproducible float association
+  order, so the DuckDB oracle hash-matches).
+
+Fuzzy semantics pin to ``FuzzyTermsEnum.java:239-256``: per-term boost
+``ed == 0 ? 1 : 1 - ed / min(|term|, |query|)`` (code points, float32),
+top ``maxExpansions`` terms by (boost desc, term asc) — the
+``TopTermsRewrite.ScoreTerm`` priority order (``TopTermsRewrite.java:
+199-213``) — then a scoring-boolean over the survivors
+(``TopTermsScoringBooleanQueryRewrite``; the blended-freq stats variant
+is not modeled).  ``transpositions=True`` (the Lucene default) counts a
+transposition as one edit (optimal-string-alignment distance, the
+automaton's accept set); the exact OSA distance is computed in Python
+only over the JVM-prefiltered candidates (``lev ≤ 2·maxEdits`` — sound
+because one transposition costs two classic edits, so ``osa ≤ k`` ⟹
+``lev ≤ 2k``).  ``prefix_length`` requires those code points to match
+exactly and measures distance over the suffixes
+(``FuzzyQuery.java:84-126``).
+
+Patterns are NOT analyzed (Lucene multi-term queries match raw index
+terms) — pass lowercase patterns against a ``standard``-analyzed index.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pim_lucene_spark.manifest import IndexManifest
+
+#: Lucene IndexSearcher.maxClauseCount default — scoring rewrites of a
+#: larger expansion throw TooManyClauses (IndexSearcher.java).
+MAX_CLAUSE_COUNT = 1024
+
+MT_RESULT_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+@dataclass(frozen=True)
+class PrefixQuery:
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery:
+    """``*`` = any run, ``?`` = one char, ``\\`` escapes (WildcardQuery.java)."""
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery:
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery:
+    """Anchored regexp over whole terms (RegexpQuery.java matches the
+    full term).  Java-regex syntax subset shared with RE2."""
+    regexp: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    max_expansions: int = 50
+    transpositions: bool = True
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not 0 <= self.max_edits <= 2:
+            raise ValueError("max_edits must be in [0, 2] "
+                             "(LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE)")
+        if self.max_expansions <= 0:
+            raise ValueError("maxExpansions must be positive")
+
+
+MultiTermQueryT = (PrefixQuery, WildcardQuery, TermRangeQuery,
+                   RegexpQuery, FuzzyQuery)
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene wildcard → anchored regex (WildcardQuery.toAutomaton)."""
+    out, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out)
+
+
+def _wildcard_literal_prefix(pattern: str) -> str:
+    """Chars before the first unescaped wildcard — Parquet pushdown key."""
+    out, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        if c in "*?":
+            break
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def osa_distance(a: str, b: str, cap: int | None = None) -> int:
+    """Optimal-string-alignment distance (transposition = 1 edit) — the
+    accept set of Lucene's ``transpositions=true`` Levenshtein automata."""
+    la, lb = len(a), len(b)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
+    prev2, prev = None, list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _term_dict(spark: SparkSession, manifest: IndexManifest) -> DataFrame:
+    return spark.read.parquet(manifest.stats_path).select("term")
+
+
+def expand_frame(spark: SparkSession, manifest: IndexManifest,
+                 q) -> DataFrame:
+    """Matched-terms DataFrame(term) — pushdown-friendly, never collected.
+
+    Fuzzy is excluded (its top-N selection is inherently driver-side);
+    use :func:`expand_fuzzy`.
+    """
+    terms = _term_dict(spark, manifest)
+    if isinstance(q, PrefixQuery):
+        # StringStartsWith reaches the Parquet scan (PushedFilters)
+        return terms.filter(F.col("term").startswith(q.prefix))
+    if isinstance(q, WildcardQuery):
+        rx = "^" + wildcard_to_regex(q.pattern) + "$"
+        lit = _wildcard_literal_prefix(q.pattern)
+        out = terms
+        if lit:
+            out = out.filter(F.col("term").startswith(lit))
+        return out.filter(F.col("term").rlike(rx))
+    if isinstance(q, RegexpQuery):
+        return terms.filter(F.col("term").rlike("^" + q.regexp + "$"))
+    if isinstance(q, TermRangeQuery):
+        out = terms
+        if q.lower is not None:
+            op = F.col("term") >= q.lower if q.include_lower \
+                else F.col("term") > q.lower
+            out = out.filter(op)
+        if q.upper is not None:
+            op = F.col("term") <= q.upper if q.include_upper \
+                else F.col("term") < q.upper
+            out = out.filter(op)
+        return out
+    raise TypeError(f"not a frame-expandable multi-term query: {q!r}")
+
+
+def expand_fuzzy(spark: SparkSession, manifest: IndexManifest,
+                 q: FuzzyQuery) -> list[tuple[str, float]]:
+    """Top-``max_expansions`` fuzzy terms with their Lucene boosts.
+
+    JVM prefilter (prefix pushdown + length window + classic Levenshtein
+    with early-exit threshold) bounds the rows that reach the driver;
+    the exact OSA pass runs only on those survivors.
+    """
+    qterm = q.term
+    prefix, suffix_q = qterm[:q.prefix_length], qterm[q.prefix_length:]
+    k = q.max_edits
+    terms = _term_dict(spark, manifest)
+    if prefix:
+        terms = terms.filter(F.col("term").startswith(prefix))
+    qlen = len(qterm)
+    terms = terms.filter(
+        F.abs(F.length("term") - F.lit(qlen)) <= k)
+    suffix_col = F.expr(f"substring(term, {q.prefix_length + 1})")
+    # classic lev is an upper bound on OSA ⟹ sound prefilter at 2k for
+    # the transpositions automaton; exact filter when transpositions off
+    lev_cap = k if not q.transpositions else 2 * k
+    # thresholded levenshtein returns -1 past the cap (early exit)
+    dist = F.levenshtein(suffix_col, F.lit(suffix_q), lev_cap)
+    cand = (terms.withColumn("lev", dist)
+            .filter(F.col("lev").between(0, lev_cap))
+            .select("term", "lev").collect())
+    qlen_cp = len(qterm)
+    scored: list[tuple[str, float]] = []
+    for row in cand:
+        term = row["term"]
+        if q.transpositions:
+            ed = osa_distance(term[q.prefix_length:], suffix_q, cap=k)
+            if ed > k:
+                continue
+        else:
+            ed = int(row["lev"])
+        if ed == 0:
+            boost = 1.0
+        else:
+            min_len = min(len(term), qlen_cp)
+            boost = float(np.float32(1.0)
+                          - np.float32(ed) / np.float32(min_len))
+        scored.append((term, boost))
+    # ScoreTerm order: boost desc, term asc (TopTermsRewrite.java:209-212)
+    scored.sort(key=lambda tb: (-tb[1], tb[0]))
+    return scored[:q.max_expansions]
+
+
+def expand_terms(spark: SparkSession, manifest: IndexManifest, q,
+                 max_clause_count: int = MAX_CLAUSE_COUNT
+                 ) -> list[tuple[str, float]]:
+    """Driver-side expansion for scoring rewrites: sorted (term, boost).
+
+    Raises ``ValueError`` (Lucene ``TooManyClauses``) past
+    ``max_clause_count`` — the reference's guard against unbounded
+    boolean rewrites; use ``constant_score`` for wide patterns.
+    """
+    if isinstance(q, FuzzyQuery):
+        out = expand_fuzzy(spark, manifest, q)
+    else:
+        rows = (expand_frame(spark, manifest, q)
+                .limit(max_clause_count + 1).collect())
+        out = sorted((r["term"], 1.0) for r in rows)
+    if len(out) > max_clause_count:
+        raise ValueError(
+            f"TooManyClauses: expansion exceeds {max_clause_count} terms; "
+            f"use rewrite='constant_score'")
+    return out
+
+
+def _decode_doc_ids_kernel(P: int):
+    """Arrow batch map: posting rows → (qid, doc_id) with no scoring.
+
+    Per row: varint-decode doc gaps, prefix-sum within each segment
+    (delta chain resets at segment starts), map relative → global via
+    ``rel * P + pid`` — the round-robin routing inverse.
+    """
+    from pim_lucene_spark.functions.postings import (decode_uvarints,
+                                                     segmented_cumsum)
+
+    def fn(batches):
+        for batch in batches:
+            qids = batch.column("qid").to_pylist()
+            pids = batch.column("pid").to_pylist()
+            blobs = batch.column("doc_blob").to_pylist()
+            segs = batch.column("seg_doc_counts").to_pylist()
+            out_q, out_d = [], []
+            for qid, pid, blob, seg_counts in zip(qids, pids, blobs, segs):
+                gaps = decode_uvarints(blob).astype(np.int64)
+                if gaps.size == 0:
+                    continue
+                counts = np.asarray(seg_counts, dtype=np.int64)
+                starts = np.concatenate(
+                    [[0], np.cumsum(counts[:-1])])[counts > 0]
+                rel = segmented_cumsum(gaps, starts)
+                out_q.append(np.full(rel.size, qid, dtype=np.int64))
+                out_d.append(rel * P + pid)
+            if out_q:
+                yield pa.RecordBatch.from_pydict({
+                    "qid": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d)})
+
+    return fn
+
+
+def search_multiterm(spark: SparkSession, index: IndexManifest | str,
+                     queries: list[tuple[int, object]], k: int = 10,
+                     rewrite: str = "constant_score",
+                     precision: str = "float32") -> DataFrame:
+    """Batched multi-term search → DataFrame(qid, doc_id, score).
+
+    ``rewrite='constant_score'``: every matching doc scores the query
+    boost; ties (all of them) break doc-id asc.  Fully distributed —
+    matched terms join the postings, doc ids decode in one Arrow map
+    stage, ``distinct`` is the only shuffle.  FuzzyQuery still selects
+    its top-N terms driver-side (inherent to its semantics).
+
+    ``rewrite='scoring_boolean'``: BM25 per expanded term via ONE
+    batched engine search, per-doc sum folded in expansion-ord order
+    (deterministic float association both precisions).
+    """
+    manifest = IndexManifest.load(index) if isinstance(index, str) else index
+    empty = spark.createDataFrame([], MT_RESULT_SCHEMA)
+    if not queries:
+        return empty
+    if rewrite == "scoring_boolean":
+        return _search_scoring(spark, manifest, queries, k, precision, empty)
+    if rewrite != "constant_score":
+        raise ValueError(f"unknown rewrite {rewrite!r}")
+
+    frames = []
+    boosts = {}
+    for qid, q in queries:
+        boosts[int(qid)] = float(getattr(q, "boost", 1.0))
+        if isinstance(q, FuzzyQuery):
+            pairs = expand_fuzzy(spark, manifest, q)
+            if not pairs:
+                continue
+            frames.append(spark.createDataFrame(
+                [(int(qid), t) for t, _ in pairs], "qid long, term string"))
+        else:
+            frames.append(expand_frame(spark, manifest, q)
+                          .select(F.lit(int(qid)).cast("long").alias("qid"),
+                                  "term"))
+    if not frames:
+        return empty
+    matched = frames[0]
+    for fr in frames[1:]:
+        matched = matched.unionByName(fr)
+
+    postings = spark.read.parquet(
+        *[manifest.chunk_path(c) for c in range(manifest.build_chunks)])
+    joined = (postings.join(F.broadcast(matched), "term")
+              .select("qid", "pid", "doc_blob", "seg_doc_counts"))
+    pairs_schema = T.StructType([
+        T.StructField("qid", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False)])
+    docs = (joined.mapInArrow(
+        _decode_doc_ids_kernel(manifest.num_partitions), pairs_schema)
+        .distinct())
+    boost_df = spark.createDataFrame(
+        [(q, b) for q, b in boosts.items()], "qid long, boost double")
+    win = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+    return (docs.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .join(F.broadcast(boost_df), "qid")
+            .select("qid", "doc_id", F.col("boost").alias("score")))
+
+
+def _search_scoring(spark, manifest, queries, k, precision,
+                    empty) -> DataFrame:
+    from pim_lucene_spark.operators.search import search
+
+    sub, mapping = [], []
+    for qid, q in queries:
+        qboost = float(getattr(q, "boost", 1.0))
+        for ordi, (term, tboost) in enumerate(
+                expand_terms(spark, manifest, q)):
+            sid = len(sub)
+            sub.append((sid, term, tboost * qboost))
+            mapping.append((sid, int(qid), ordi))
+    if not sub:
+        return empty
+    res = search(spark, manifest, sub, k=10 ** 9, precision=precision)
+    mp = spark.createDataFrame(mapping, "sid long, qid long, ord int")
+    j = (res.select(F.col("qid").alias("sid"), "doc_id", "score")
+         .join(F.broadcast(mp), "sid"))
+    # deterministic double fold in expansion-ord order; float32 mode then
+    # casts the sum to float (BooleanWeight sums clause floats in double,
+    # returns float)
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("ord", "score"))),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x["score"])
+    if precision == "float32":
+        folded = folded.cast("float").cast("double")
+    agg = j.groupBy("qid", "doc_id").agg(folded.alias("score"))
+    win = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k).drop("rank"))
