@@ -868,15 +868,30 @@ _LOCAL_ROWS_MAX = 512 << 20
 _LOCAL_NORMS: dict = {}
 
 
-def _local_rows(manifest, ckey, terms: list[str]) -> dict[int, dict]:
+def _local_rows(manifest, ckey, terms: list[str],
+                pids: list[int] | None = None) -> dict[int, dict]:
     """Resident ``{pid: {term: [stripe-ordered rows]}}`` for the serving
     path — built once per term from a pyarrow pushdown read, then pure
-    dict assembly per call (no pandas iteration on the hot path)."""
+    dict assembly per call (no pandas iteration on the hot path).
+
+    ``pids`` restricts the read AND the residency to a pid subset (the
+    sharded server gives each worker process its own subset, so a shard
+    never reads or caches another shard's rows — ``pid IN`` joins the
+    pushdown next to ``term IN``).
+    """
     import pyarrow.parquet as pq
+    # pid subset is part of the residency key — a process serving shard A
+    # then shard B (or a fork inheriting the parent's full-range cache)
+    # must not answer B's reads from A's rows
+    ckey = (ckey, tuple(sorted(int(p) for p in pids))
+            if pids is not None else None)
     missing = [t for t in terms if (ckey, t) not in _LOCAL_ROWS]
     if missing:
+        filters = [("term", "in", missing)]
+        if pids is not None:
+            filters.append(("pid", "in", [int(p) for p in pids]))
         parts = [pq.read_table(manifest.chunk_path(c),
-                               filters=[("term", "in", missing)]).to_pandas()
+                               filters=filters).to_pandas()
                  for c in range(manifest.build_chunks)]
         pdf = pd.concat(parts, ignore_index=True)
         size_per = (int(pdf.memory_usage(deep=True).sum()) // max(len(pdf), 1)
@@ -928,7 +943,8 @@ def clear_local_cache() -> None:
 
 def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
                  k: int = 10, precision: str = "float32",
-                 postings_cache_mb: int = 256) -> pd.DataFrame:
+                 postings_cache_mb: int = 256,
+                 pids: list[int] | None = None) -> pd.DataFrame:
     """Serving-path search: the SAME kernel, no Spark job.
 
     The reference's query path never schedules batch work — queries go to
@@ -964,7 +980,7 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
         "postings_cache_mb": int(postings_cache_mb),
     }
     ckey = payload["cache_key"]
-    by_pid = _local_rows(manifest, ckey, list(needed_terms))
+    by_pid = _local_rows(manifest, ckey, list(needed_terms), pids=pids)
     outs = []
     for pid in sorted(by_pid):
         outs.append(_match_core(payload, int(pid), None,

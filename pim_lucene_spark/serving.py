@@ -1,0 +1,212 @@
+"""Sharded serving — N resident worker processes over the built index.
+
+The reference serves queries from an index resident across many
+accelerator ranks and drives them with a multithreaded searcher
+(``SearchWikiDPUMultiThread.java:120-245``: a thread pool fans query
+batches to the ranks and merges per-rank top-k on the host).  This is
+that architecture for the Spark-built index on a multi-core host, with
+two placements:
+
+- ``mode="shard"``: worker ``w`` owns pids ``{p : p % W == w}`` and
+  keeps ITS OWN resident caches (postings rows, norms blobs, decoded
+  postings) — the ``pid IN`` + ``term IN`` pyarrow pushdown means a
+  shard never reads another shard's rows, so resident bytes per process
+  shrink ~1/W while the union covers the whole index.  Every batch fans
+  to all shards and the per-shard per-query top-k frames merge on the
+  host — top-k of a union is the merge of per-shard top-ks, so results
+  are row-identical to the serial path (differential-tested).  This is
+  the latency mode, and the only mode whose residency scales to indexes
+  bigger than one process' budget (the 100 TB shape: one shard per
+  executor, not per core).
+- ``mode="replica"``: every worker holds the WHOLE pid range and whole
+  batches round-robin across workers — no per-batch fan-out or merge,
+  so many-batch throughput scales with cores at the cost of W× resident
+  bytes.  This is the throughput mode for indexes that fit per-process
+  (the reference's multithreaded driver over one loaded index).
+
+``search(queries, k)`` serves one batch; ``map(batches, k)`` pipelines
+many with a bounded in-flight window.  Workers fork lazily on first use;
+``close()`` (or the context manager) terminates them.  Results come back
+as small top-k pandas frames over pipes — ≤ W·|queries|·k rows a batch.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+from typing import Iterable
+
+import pandas as pd
+
+from pim_lucene_spark.manifest import IndexManifest
+
+_RESULT_COLS = ["qid", "doc_id", "freq", "norm", "score"]
+
+
+def _worker_main(conn, index_dir: str, pids: list[int] | None,
+                 precision: str, postings_cache_mb: int):
+    """Worker loop: resident single-process server over ``pids``
+    (``None`` = all pids — replica mode)."""
+    from pim_lucene_spark.operators.search import (clear_local_cache,
+                                                   clear_postings_cache,
+                                                   search_local)
+    clear_local_cache()      # drop fork-inherited residency — each worker
+    clear_postings_cache()   # builds its own shard-scoped caches
+    manifest = IndexManifest.load(index_dir)
+    while True:
+        msg = conn.recv()
+        if msg is None:
+            conn.close()
+            return
+        tag, queries, k = msg
+        try:
+            res = search_local(manifest, queries, k=k, precision=precision,
+                               postings_cache_mb=postings_cache_mb,
+                               pids=pids)
+            conn.send((tag, res))
+        except BaseException as exc:  # surface the failure, keep serving
+            conn.send((tag, exc))
+
+
+class ShardedServer:
+    """Multi-process resident search server (see module docstring)."""
+
+    def __init__(self, index: IndexManifest | str, num_workers: int = 0,
+                 mode: str = "shard", precision: str = "float32",
+                 postings_cache_mb: int = 256):
+        if mode not in ("shard", "replica"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.manifest = (IndexManifest.load(index) if isinstance(index, str)
+                         else index)
+        if num_workers <= 0:
+            num_workers = os.cpu_count() or 1
+        if mode == "shard":
+            num_workers = min(num_workers, self.manifest.num_partitions)
+        self.num_workers = num_workers
+        self.mode = mode
+        self.precision = precision
+        self.postings_cache_mb = int(postings_cache_mb)
+        self._ctx = mp.get_context("fork")
+        self._conns: list = []
+        self._procs: list = []
+
+    # --- lifecycle ----------------------------------------------------------
+    def _ensure_started(self) -> None:
+        if self._procs:
+            return
+        P, W = self.manifest.num_partitions, self.num_workers
+        for w in range(W):
+            parent, child = self._ctx.Pipe()
+            pids = ([p for p in range(P) if p % W == w]
+                    if self.mode == "shard" else None)
+            proc = self._ctx.Process(
+                target=_worker_main,
+                args=(child, self.manifest.index_dir, pids, self.precision,
+                      self.postings_cache_mb),
+                daemon=True)
+            proc.start()
+            child.close()
+            self._conns.append(parent)
+            self._procs.append(proc)
+
+    def close(self) -> None:
+        for conn in self._conns:
+            try:
+                conn.send(None)
+                conn.close()
+            except (BrokenPipeError, OSError):
+                pass
+        for proc in self._procs:
+            proc.join(timeout=5)
+            if proc.is_alive():
+                proc.terminate()
+        self._conns, self._procs = [], []
+
+    def __enter__(self) -> "ShardedServer":
+        self._ensure_started()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # --- serving ------------------------------------------------------------
+    @staticmethod
+    def _merge(parts: list[pd.DataFrame], k: int) -> pd.DataFrame:
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return pd.DataFrame(columns=_RESULT_COLS)
+        res = pd.concat(parts, ignore_index=True)
+        return (res.sort_values(["qid", "score", "doc_id"],
+                                ascending=[True, False, True])
+                .groupby("qid", sort=True).head(k).reset_index(drop=True))
+
+    @staticmethod
+    def _unwrap(res):
+        if isinstance(res, BaseException):
+            raise res
+        return res
+
+    def _gather(self, conns) -> list:
+        """Receive one reply from EVERY pipe before unwrapping — raising
+        on the first error would leave the other shards' replies queued
+        and desynchronize the next call."""
+        replies = [conn.recv()[1] for conn in conns]
+        return [self._unwrap(r) for r in replies]
+
+    def search(self, queries: list[tuple[int, str]],
+               k: int = 10) -> pd.DataFrame:
+        """One batch.  Shard mode: all shards in parallel + host merge.
+        Replica mode: one worker takes the whole batch."""
+        self._ensure_started()
+        if self.mode == "replica":
+            self._conns[0].send((0, queries, k))
+            return self._unwrap(self._conns[0].recv()[1])
+        for conn in self._conns:
+            conn.send((0, queries, k))
+        return self._merge(self._gather(self._conns), k)
+
+    def map(self, batches: Iterable[list[tuple[int, str]]],
+            k: int = 10) -> list[pd.DataFrame]:
+        """Pipeline many batches.
+
+        Replica mode: batch ``i`` goes whole to worker ``i % W`` — W
+        batches compute concurrently, no merge.  Shard mode: every batch
+        fans to all shards with a bounded in-flight window of 2, so the
+        host merge of batch ``i-1`` overlaps the shard compute of ``i``.
+        """
+        self._ensure_started()
+        batches = list(batches)
+        out: list[pd.DataFrame | None] = [None] * len(batches)
+
+        if self.mode == "replica":
+            W = self.num_workers
+            pending: dict[int, list[int]] = {w: [] for w in range(W)}
+            for i, batch in enumerate(batches):
+                w = i % W
+                # at most 2 outstanding per worker: drain the oldest first
+                if len(pending[w]) >= 2:
+                    j = pending[w].pop(0)
+                    out[j] = self._unwrap(self._conns[w].recv()[1])
+                self._conns[w].send((i, batch, k))
+                pending[w].append(i)
+            for w in range(W):
+                for j in pending[w]:
+                    out[j] = self._unwrap(self._conns[w].recv()[1])
+            return out  # type: ignore[return-value]
+
+        inflight: list[int] = []
+
+        def collect() -> None:
+            i = inflight.pop(0)
+            out[i] = self._merge(self._gather(self._conns), k)
+
+        nxt = 0
+        while nxt < len(batches) or inflight:
+            if nxt < len(batches) and len(inflight) < 2:
+                for conn in self._conns:
+                    conn.send((nxt, batches[nxt], k))
+                inflight.append(nxt)
+                nxt += 1
+            else:
+                collect()
+        return out  # type: ignore[return-value]

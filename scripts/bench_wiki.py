@@ -115,6 +115,22 @@ def main() -> None:
     local_rows = search_local(manifest, queries, k=k)
     local_s = time.time() - t0
 
+    # sharded serving: W resident worker processes, the analogue of the
+    # reference's multithreaded searcher over loaded ranks.  Replica mode
+    # round-robins whole batches (throughput); shard mode splits pids
+    # (latency / residency).  Same query stream, batched.
+    from pim_lucene_spark.serving import ShardedServer
+    workers = int(os.environ.get("WIKI_SERVE_WORKERS", "8"))
+    bsz = int(os.environ.get("WIKI_SERVE_BATCH", "64"))
+    batches = [queries[i:i + bsz] for i in range(0, len(queries), bsz)]
+    serve = {}
+    for mode in ("replica", "shard"):
+        with ShardedServer(manifest, num_workers=workers, mode=mode) as srv:
+            srv.map(batches[:2], k=k)  # warm per-worker residency
+            t0 = time.time()
+            srv.map(batches, k=k)
+            serve[mode] = time.time() - t0
+
     # differential: every Nth query also runs the brute-force scan; ranks
     # and float32 scores must be identical (results_diff.py analogue)
     sample = queries[::diff_every]
@@ -145,6 +161,10 @@ def main() -> None:
         "qps": round(qps, 2),
         "qps_k100": round(len(queries) / k100_s, 2),
         "qps_serving_path": round(len(queries) / local_s, 2),
+        "qps_serving_replica": round(len(queries) / serve["replica"], 2),
+        "qps_serving_shard": round(len(queries) / serve["shard"], 2),
+        "serve_workers": workers,
+        "serve_batch": bsz,
         "diff_sampled": len(sample),
         "diff_mismatches": mismatches,
         "cpus": cpus,
