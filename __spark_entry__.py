@@ -292,6 +292,20 @@ def _q_local_serving(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+def _q_sharded_serving(spark, sf_dir):
+    """Sharded serving (multi-process resident workers, pid-subset
+    placement + host top-k merge): must equal the distributed phrase
+    entry — same oracle SQL."""
+    from pim_lucene_spark.serving import ShardedServer
+    m = _get_index(spark, sf_dir)
+    with ShardedServer(m, num_workers=4, mode="shard",
+                       precision="float64") as srv:
+        pdf = srv.search(PHRASE_QUERIES, k=10)
+    pdf = pdf.assign(score=pdf.score.round(6))[
+        ["qid", "doc_id", "freq", "score"]]
+    return spark.createDataFrame(pdf)
+
+
 def _q_slop_scan(spark, sf_dir):
     res = brute_force_search(_docs(spark, sf_dir), SLOP_QUERIES, k=10,
                              precision="float64", slop=1)
@@ -475,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    k=5, bound_probe=True),
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_local_serving": _q_local_serving,
+        "engine_sharded_serving": _q_sharded_serving,
         "engine_boolean_bm25": _q_boolean,
         "engine_dismax_topk": _q_dismax,
         "engine_fallback_scan_bm25": _q_fallback_scan,
@@ -742,6 +757,8 @@ def oracle_sql() -> dict[str, str]:
                                                             k=10),
         # serving path (no Spark job) computes the identical result set
         "engine_local_serving": oracle.phrase_bm25_sql(PHRASE_QUERIES, k=10),
+        "engine_sharded_serving": oracle.phrase_bm25_sql(PHRASE_QUERIES,
+                                                         k=10),
         "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
         "engine_dismax_topk": oracle.dismax_bm25_sql(DISMAX_SPECS, k=10),
         "engine_slop_scan": oracle.sloppy_phrase_bm25_sql(SLOP_QUERIES,

@@ -113,6 +113,19 @@ def main() -> None:
             search_local(manifest, [(0, text)], k=10)
     local_ms = (time.time() - t) / (20 * len(BENCH_QUERIES)) * 1000
 
+    # sharded serving throughput: W resident worker processes, replica
+    # placement (whole batches round-robin) — the multithreaded-searcher
+    # analogue; many repeats of the 20-query batch
+    from pim_lucene_spark.serving import ShardedServer
+    serve_workers = int(os.environ.get("SPARK_GRAFT_SERVE_WORKERS", "8"))
+    reps_batches = [BATCH] * 40
+    with ShardedServer(manifest, num_workers=serve_workers,
+                       mode="replica", postings_cache_mb=CACHE_MB) as srv:
+        srv.map(reps_batches[:serve_workers], k=10)  # warm every worker
+        t = time.time()
+        srv.map(reps_batches, k=10)
+        serve_qps = len(BATCH) * len(reps_batches) / (time.time() - t)
+
     # batched throughput: the whole query set in one job
     batch_sec = float("inf")
     for _ in range(REPS):
@@ -138,6 +151,8 @@ def main() -> None:
         "cpus": CPUS,
         "latency_reps": REPS,
         "local_ms_per_query": round(local_ms, 2),
+        "serving_replica_qps": round(serve_qps, 2),
+        "serve_workers": serve_workers,
     }
     shutil.rmtree(index_dir, ignore_errors=True)
     print(json.dumps(out))
