@@ -117,16 +117,26 @@ class FullTextIndex:
         from pim_lucene_spark.plans.boolean import BooleanQuery, \
             search_boolean
         from pim_lucene_spark.plans.dismax import DisMaxQuery, search_dismax
+        from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
+                                                      MultiTermQueryT,
+                                                      search_multiterm)
         from pim_lucene_spark.plans.query import to_tuple
         from pim_lucene_spark.plans.router import search_with_fallback
 
         exact, sloppy, slops, boolean, dismax = [], [], {}, [], []
+        mt_const, mt_scoring = [], []
         for qid, q in queries:
             if isinstance(q, BooleanQuery):
                 boolean.append((qid, q))
                 continue
             if isinstance(q, DisMaxQuery):
                 dismax.append((qid, q))
+                continue
+            if isinstance(q, MultiTermQueryT):
+                # Lucene default rewrites: constant-score for
+                # prefix/wildcard/range/regexp, top-terms scoring for fuzzy
+                (mt_scoring if isinstance(q, FuzzyQuery)
+                 else mt_const).append((qid, q))
                 continue
             s = int(getattr(q, "slop", 0))
             if s == 0:
@@ -148,6 +158,16 @@ class FullTextIndex:
             d = search_dismax(self.spark, self.manifest, dismax, k=k,
                               precision=precision)
             parts.append(d.select(
+                "qid", "doc_id",
+                F.lit(None).cast("double").alias("freq"),
+                F.lit(None).cast("int").alias("norm"), "score"))
+        for mts, rewrite in ((mt_const, "constant_score"),
+                             (mt_scoring, "scoring_boolean")):
+            if not mts:
+                continue
+            mt = search_multiterm(self.spark, self.manifest, mts, k=k,
+                                  rewrite=rewrite, precision=precision)
+            parts.append(mt.select(
                 "qid", "doc_id",
                 F.lit(None).cast("double").alias("freq"),
                 F.lit(None).cast("int").alias("norm"), "score"))

@@ -181,6 +181,21 @@ def test_fuzzy_max_expansions_selection(spark, midx):
     assert cut == full[:3]  # keeps the (boost desc, term asc) head
 
 
+def test_facade_mixed_typed_batch(spark, midx):
+    from pim_lucene_spark import (FullTextIndex, FuzzyQuery, PhraseQuery,
+                                  PrefixQuery)
+    idx = FullTextIndex(spark, midx)
+    res = idx.query([
+        (0, PhraseQuery("bold")),
+        (1, PrefixQuery("col", boost=2.0)),      # constant-score rewrite
+        (2, FuzzyQuery("blod", max_edits=1)),    # scoring rewrite
+    ], k=10).toPandas()
+    assert set(res.qid) == {0, 1, 2}
+    mt = res[res.qid.isin([1, 2])]
+    assert mt.freq.isna().all()                  # multiterm: no freq
+    assert (res[res.qid == 1].score == 2.0).all()
+
+
 # --- rewrites ---------------------------------------------------------------
 
 def test_constant_score_docs_and_boost(spark, midx):
