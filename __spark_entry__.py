@@ -244,6 +244,30 @@ BOOL_SPECS = [
 ]
 
 
+# Classic query-string parser specs — each routes through parse_query →
+# FullTextIndex.query; oracles reuse the phrase/boolean SQL builders
+# phrase text WITHOUT the syntax quotes (the oracle tokenizes it raw);
+# _q_parsed adds the quotes when building the query string
+PARSE_PHRASE_SPECS = [(900, "the fast")]
+PARSE_BOOL_SPECS = [
+    (901, "+merge -vector", {"must": ["merge"], "must_not": ["vector"]}),
+    (902, "merge AND table", {"must": ["merge", "table"]}),
+    (903, "window OR vector^2", {"should": ["window", ("vector", 2.0)]}),
+]
+
+
+def _q_parsed(spark, sf_dir):
+    """Lucene-classic query strings end-to-end: parse → typed batch →
+    engine; one phrase + three boolean compositions."""
+    m = _get_index(spark, sf_dir)
+    from pim_lucene_spark.index import FullTextIndex
+    idx = FullTextIndex(spark, m)
+    strings = ([(qid, f'"{t}"') for qid, t in PARSE_PHRASE_SPECS]
+               + [(qid, s) for qid, s, _ in PARSE_BOOL_SPECS])
+    res = idx.parse_and_query(strings, k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
 # DisjunctionMaxQuery specs — best-clause scoring with tie breakers
 DISMAX_SPECS = [
     (750, {"clauses": ["merge", "table"]}),
@@ -492,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_sharded_serving": _q_sharded_serving,
         "engine_boolean_bm25": _q_boolean,
         "engine_dismax_topk": _q_dismax,
+        "engine_parsed_query": _q_parsed,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
         "engine_slop_repeated": _q_slop_repeated,
@@ -761,6 +786,13 @@ def oracle_sql() -> dict[str, str]:
                                                          k=10),
         "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
         "engine_dismax_topk": oracle.dismax_bm25_sql(DISMAX_SPECS, k=10),
+        "engine_parsed_query": (
+            "SELECT qid, doc_id, score FROM ("
+            + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)
+            + ") UNION ALL SELECT qid, doc_id, score FROM ("
+            + oracle.boolean_bm25_sql(
+                [(qid, spec) for qid, _, spec in PARSE_BOOL_SPECS], k=10)
+            + ")"),
         "engine_slop_scan": oracle.sloppy_phrase_bm25_sql(SLOP_QUERIES,
                                                           slop=1, k=10),
         "engine_slop_repeated": oracle.sloppy_phrase_bm25_sql(

@@ -23,10 +23,11 @@ from pim_lucene_spark.plans.dismax import DisMaxQuery
 from pim_lucene_spark.plans.multiterm import (FuzzyQuery, PrefixQuery,
                                               RegexpQuery, TermRangeQuery,
                                               WildcardQuery)
+from pim_lucene_spark.plans.parser import parse_query
 from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
 
 __all__ = ["FullTextIndex", "IndexConfig", "IndexManifest",
            "MultiFieldIndex", "PhraseQuery", "TermQuery", "BooleanQuery",
            "DisMaxQuery", "PrefixQuery", "WildcardQuery", "TermRangeQuery",
-           "RegexpQuery", "FuzzyQuery"]
+           "RegexpQuery", "FuzzyQuery", "parse_query"]
 __version__ = "0.3.0"

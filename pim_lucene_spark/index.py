@@ -186,6 +186,18 @@ class FullTextIndex:
             out = p if out is None else out.unionByName(p)
         return out
 
+    def parse_and_query(self, query_strings, k: int = 10,
+                        default_operator: str = "or",
+                        precision: str = "float32") -> DataFrame:
+        """Classic query-string search: each entry of ``query_strings``
+        is ``(qid, "lucene query syntax")`` (see ``plans/parser.py`` for
+        the supported grammar); parsed queries route through
+        :meth:`query` as one mixed typed batch."""
+        from pim_lucene_spark.plans.parser import parse_query
+        typed = [(qid, parse_query(s, default_operator=default_operator))
+                 for qid, s in query_strings]
+        return self.query(typed, k=k, precision=precision)
+
     # --- introspection -----------------------------------------------------
     @property
     def doc_count(self) -> int:

@@ -363,10 +363,13 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
         names: dict[str, list[str]] = {}
         for role in ("must", "filter", "should", "must_not"):
             names[role] = []
-            for j, text in enumerate(spec.get(role, [])):
+            for j, cl in enumerate(spec.get(role, [])):
+                # clause entries are texts or (text, clause_boost) tuples
+                text, clboost = (cl if isinstance(cl, tuple) else (cl, 1.0))
                 terms = tokenize_one(text, tokenizer)
                 cname = f"q{qid}_{role}{j}"
-                cboost = boost if role in ("must", "should") else 1.0
+                cboost = (clboost * boost if role in ("must", "should")
+                          else 1.0)
                 ctes.append(f"{cname} AS ({_clause_select(terms, cboost)})")
                 names[role].append(cname)
         score_cols, from_sql, base = [], "", None

@@ -1,0 +1,249 @@
+"""Classic query-string parser — the Lucene ``QueryParser`` surface.
+
+Parses the standard Lucene query syntax into this engine's typed query
+objects (``classic/QueryParserBase.java`` semantics for the supported
+subset), so a search box can drive ``FullTextIndex.query`` directly:
+
+====================  =================================================
+``foo``               ``TermQuery`` (single token after analysis)
+``"foo bar"``         ``PhraseQuery`` (multi-token text is a phrase)
+``"foo bar"~3``       sloppy ``PhraseQuery(slop=3)``
+``foo~`` / ``foo~1``  ``FuzzyQuery`` (default maxEdits 2)
+``foo*``              ``PrefixQuery`` (trailing-``*``-only pattern)
+``f*o?``              ``WildcardQuery``
+``/rege.p/``          ``RegexpQuery`` (anchored, Lucene semantics)
+``[a TO b]``          ``TermRangeQuery`` inclusive (``{ }`` exclusive,
+                      ``*`` for an open bound)
+``clause^2.5``        boost (``BoostQuery`` semantics on the clause)
+``+a -b c``           ``BooleanQuery``: MUST / MUST_NOT / SHOULD
+``a AND b``, ``OR``,  boolean operators — ``AND`` promotes BOTH
+``NOT b``             neighbors to MUST (classic retroactive rule);
+                      bare terms take ``default_operator``
+``\\*`` etc.          backslash escapes any special character
+====================  =================================================
+
+Deliberately unsupported (clear errors, documented): parenthesized
+sub-groups (the engine's ``BooleanQuery`` is flat), ``field:`` prefixes
+(the pim index is single-field; use ``MultiFieldIndex.search`` to pick
+a field), and multi-term queries *inside* a boolean composition
+(boolean clauses evaluate through the batched engine search, which
+takes term/phrase clauses — a multi-term query must be the whole
+string, as in a search box).
+
+Terms and phrase words are analyzed with the index's tokenizer at query
+time (by the engine), so the parser leaves text verbatim; wildcard /
+prefix / regexp / range / fuzzy patterns are NOT analyzed (Lucene
+multi-term semantics) — lowercase them to match a ``standard`` index.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pim_lucene_spark.plans.boolean import BooleanQuery
+from pim_lucene_spark.plans.multiterm import (FuzzyQuery, MultiTermQueryT,
+                                              PrefixQuery, RegexpQuery,
+                                              TermRangeQuery, WildcardQuery)
+from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
+
+_SPECIAL = set('+-!(){}[]^"~*?:\\/')
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<phrase>"(?:[^"\\]|\\.)*")
+  | (?P<regexp>/(?:[^/\\]|\\.)+/)
+  | (?P<range>[\[{](?:[^\]}]*?)\sTO\s(?:[^\]}]*?)[\]}])
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<colon>:)
+  | (?P<term>(?:[^\s+\-!(){}\[\]^"~:\\/]|\\.)+)
+  | (?P<tilde>~(?P<edits>\d+(?:\.\d+)?)?)
+  | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
+""", re.VERBOSE)
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+def _is_wild(term: str) -> bool:
+    """True if the raw (still-escaped) term has an unescaped * or ?."""
+    i = 0
+    while i < len(term):
+        if term[i] == "\\":
+            i += 2
+            continue
+        if term[i] in "*?":
+            return True
+        i += 1
+    return False
+
+
+def _lex(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if m is None:
+            raise ValueError(f"query syntax error at {pos}: {s[pos:]!r}")
+        pos = m.end()
+        kind = next(k for k in ("ws", "and", "or", "not", "plus", "minus",
+                                "phrase", "regexp", "range", "lparen",
+                                "rparen", "colon", "term", "tilde", "boost")
+                    if m.group(k) is not None)
+        if kind == "ws":
+            continue
+        out.append((kind, m.group(0)))
+    return out
+
+
+def _parse_range(raw: str) -> TermRangeQuery:
+    inc_lo, inc_hi = raw[0] == "[", raw[-1] == "]"
+    body = raw[1:-1]
+    lo, hi = re.split(r"\sTO\s", body, maxsplit=1)
+    lo, hi = lo.strip(), hi.strip()
+    return TermRangeQuery(
+        lower=None if lo in ("*", "") else _unescape(lo),
+        upper=None if hi in ("*", "") else _unescape(hi),
+        include_lower=inc_lo, include_upper=inc_hi)
+
+
+def _with_boost(q, boost: float):
+    if boost == 1.0:
+        return q
+    cls = type(q)
+    kwargs = {f: getattr(q, f) for f in q.__dataclass_fields__}
+    kwargs["boost"] = float(q.boost) * boost
+    return cls(**kwargs)
+
+
+def parse_query(s: str, default_operator: str = "or"):
+    """Parse a classic query string → a typed query object.
+
+    Returns a single ``TermQuery`` / ``PhraseQuery`` / multi-term query
+    when the string is one clause, else a ``BooleanQuery``.
+    ``default_operator`` ("or" | "and") sets the occur of unmarked
+    clauses, as in Lucene's ``QueryParser.setDefaultOperator``.
+    """
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    toks = _lex(s)
+    if not toks:
+        raise ValueError("empty query")
+
+    # clauses: list of [occur, query]; occur in {"must","must_not","should"}
+    clauses: list[list] = []
+    i, n = 0, len(toks)
+    pending = None   # explicit +/-/NOT modifier for the next clause
+    conj = None      # AND/OR seen since the previous clause
+
+    def push(q) -> None:
+        nonlocal pending, conj
+        if pending is not None:
+            occur = pending
+        elif conj == "or":
+            occur = "should"
+        elif conj == "and":
+            occur = "must"
+            # classic retroactive rule: AND promotes the previous
+            # unmarked SHOULD clause to MUST as well
+            if clauses and clauses[-1][0] == "should":
+                clauses[-1][0] = "must"
+        else:
+            occur = "must" if default_operator == "and" else "should"
+        clauses.append([occur, q])
+        pending, conj = None, None
+
+    while i < n:
+        kind, raw = toks[i]
+        if kind in ("plus", "not"):
+            pending = "must" if kind == "plus" else "must_not"
+            i += 1
+            continue
+        if kind == "minus":
+            pending = "must_not"
+            i += 1
+            continue
+        if kind == "and":
+            conj = "and"
+            i += 1
+            continue
+        if kind == "or":
+            conj = "or"
+            i += 1
+            continue
+        if kind in ("lparen", "rparen"):
+            raise ValueError(
+                "parenthesized sub-groups are not supported (the engine's "
+                "BooleanQuery is flat); rewrite without grouping")
+        if kind == "colon":
+            raise ValueError(
+                "field: syntax is not supported here — the pim index is "
+                "single-field; use MultiFieldIndex.search(field=...) to "
+                "target a field")
+        if kind in ("tilde", "boost"):
+            raise ValueError(f"dangling {raw!r} at clause start")
+
+        # --- a clause body ------------------------------------------------
+        if kind == "phrase":
+            text = _unescape(raw[1:-1])
+            slop = 0
+            if i + 1 < n and toks[i + 1][0] == "tilde":
+                traw = toks[i + 1][1]
+                slop = int(float(traw[1:])) if len(traw) > 1 else 0
+                i += 1
+            q = PhraseQuery(text, slop=slop)
+        elif kind == "regexp":
+            q = RegexpQuery(_unescape(raw[1:-1]))
+        elif kind == "range":
+            q = _parse_range(raw)
+        elif kind == "term":
+            if i + 1 < n and toks[i + 1][0] == "tilde":
+                traw = toks[i + 1][1]
+                edits = int(float(traw[1:])) if len(traw) > 1 else 2
+                q = FuzzyQuery(_unescape(raw), max_edits=edits)
+                i += 1
+            elif _is_wild(raw):
+                body = raw
+                # trailing-*-only with no other wildcard → PrefixQuery
+                if (body.endswith("*") and not body.endswith("\\*")
+                        and not _is_wild(body[:-1])):
+                    q = PrefixQuery(_unescape(body[:-1]))
+                else:
+                    q = WildcardQuery(body)  # pattern keeps its escapes
+            else:
+                q = TermQuery(_unescape(raw))
+        else:  # pragma: no cover — lexer covers every kind
+            raise ValueError(f"unexpected token {raw!r}")
+
+        if i + 1 < n and toks[i + 1][0] == "boost":
+            q = _with_boost(q, float(toks[i + 1][1][1:]))
+            i += 1
+        push(q)
+        i += 1
+
+    if pending is not None or conj is not None:
+        raise ValueError("dangling operator at end of query")
+
+    if len(clauses) == 1 and clauses[0][0] in ("should", "must"):
+        return clauses[0][1]
+    if any(isinstance(q, MultiTermQueryT) for _, q in clauses):
+        raise ValueError(
+            "multi-term queries (wildcard/prefix/fuzzy/range/regexp) are "
+            "supported only as the whole query, not inside a boolean "
+            "composition")
+    occur_map = {"must": [], "should": [], "must_not": []}
+    for occur, q in clauses:
+        occur_map[occur].append(q)
+    # TermQuery/PhraseQuery go in as typed clauses (search_boolean reads
+    # .text/.boost); PhraseQuery slop inside booleans is unsupported there
+    for q in occur_map["must"] + occur_map["should"] + occur_map["must_not"]:
+        if isinstance(q, PhraseQuery) and q.slop:
+            raise ValueError("sloppy phrases inside a boolean composition "
+                             "are not supported; query the phrase alone")
+    return BooleanQuery(must=occur_map["must"], should=occur_map["should"],
+                        must_not=occur_map["must_not"])

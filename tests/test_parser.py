@@ -1,0 +1,142 @@
+"""Classic query-string parser — Lucene QueryParser grammar subset →
+typed queries, plus end-to-end facade routing.
+"""
+
+import pandas as pd
+import pytest
+
+from pim_lucene_spark.plans.boolean import BooleanQuery
+from pim_lucene_spark.plans.multiterm import (FuzzyQuery, PrefixQuery,
+                                              RegexpQuery, TermRangeQuery,
+                                              WildcardQuery)
+from pim_lucene_spark.plans.parser import parse_query
+from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
+
+
+# --- single clauses ---------------------------------------------------------
+
+def test_bare_term():
+    assert parse_query("foo") == TermQuery("foo")
+
+
+def test_phrase_and_slop():
+    assert parse_query('"red apple"') == PhraseQuery("red apple")
+    assert parse_query('"red apple"~3') == PhraseQuery("red apple", slop=3)
+
+
+def test_fuzzy_default_and_explicit():
+    assert parse_query("merge~") == FuzzyQuery("merge", max_edits=2)
+    assert parse_query("merge~1") == FuzzyQuery("merge", max_edits=1)
+
+
+def test_prefix_vs_wildcard():
+    assert parse_query("fo*") == PrefixQuery("fo")
+    assert parse_query("f*o?") == WildcardQuery("f*o?")
+    assert parse_query("*oo") == WildcardQuery("*oo")
+
+
+def test_escaped_star_is_a_term():
+    assert parse_query(r"fo\*") == TermQuery("fo*")
+
+
+def test_regexp():
+    assert parse_query("/ab.c/") == RegexpQuery("ab.c")
+
+
+def test_ranges():
+    assert parse_query("[aa TO bb]") == TermRangeQuery(
+        "aa", "bb", include_lower=True, include_upper=True)
+    assert parse_query("{aa TO bb}") == TermRangeQuery(
+        "aa", "bb", include_lower=False, include_upper=False)
+    assert parse_query("[* TO bb]") == TermRangeQuery(
+        None, "bb", include_lower=True, include_upper=True)
+
+
+def test_boost_applies():
+    assert parse_query("foo^2.5") == TermQuery("foo", boost=2.5)
+    assert parse_query('"a b"^2') == PhraseQuery("a b", boost=2.0)
+    assert parse_query("pre*^3") == PrefixQuery("pre", boost=3.0)
+
+
+# --- boolean composition ----------------------------------------------------
+
+def test_plus_minus_bare():
+    q = parse_query('+alpha -beta gamma "d e"')
+    assert q == BooleanQuery(must=[TermQuery("alpha")],
+                             must_not=[TermQuery("beta")],
+                             should=[TermQuery("gamma"),
+                                     PhraseQuery("d e")])
+
+
+def test_and_promotes_both_sides():
+    q = parse_query("a AND b c")
+    assert q == BooleanQuery(must=[TermQuery("a"), TermQuery("b")],
+                             should=[TermQuery("c")])
+
+
+def test_or_keeps_should():
+    q = parse_query("a OR b")
+    assert q == BooleanQuery(should=[TermQuery("a"), TermQuery("b")])
+
+
+def test_not_keyword():
+    q = parse_query("a NOT b")
+    assert q == BooleanQuery(should=[TermQuery("a")],
+                             must_not=[TermQuery("b")])
+
+
+def test_default_operator_and():
+    q = parse_query("a b", default_operator="and")
+    assert q == BooleanQuery(must=[TermQuery("a"), TermQuery("b")])
+
+
+def test_boosted_clause_in_boolean():
+    q = parse_query("+a^2 b")
+    assert q == BooleanQuery(must=[TermQuery("a", boost=2.0)],
+                             should=[TermQuery("b")])
+
+
+# --- rejected constructs (clear errors) -------------------------------------
+
+def test_rejects_groups_fields_mixed_multiterm():
+    with pytest.raises(ValueError, match="sub-groups"):
+        parse_query("(a b) c")
+    with pytest.raises(ValueError, match="single-field"):
+        parse_query("title:foo")
+    with pytest.raises(ValueError, match="whole query"):
+        parse_query("+foo* bar")
+    with pytest.raises(ValueError, match="sloppy"):
+        parse_query('+a "b c"~2')
+    with pytest.raises(ValueError, match="dangling"):
+        parse_query("a AND")
+    with pytest.raises(ValueError, match="empty"):
+        parse_query("   ")
+
+
+# --- end-to-end through the facade ------------------------------------------
+
+def test_parse_and_query_end_to_end(spark, tmp_path_factory):
+    from pim_lucene_spark import FullTextIndex, IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+
+    docs = pd.DataFrame({
+        "doc_id": range(5),
+        "content": ["red apple pie", "red brick house", "green apple tart",
+                    "red apple red apple", "bold ideas only"],
+    })
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(docs),
+                    str(tmp_path_factory.mktemp("parseidx")), cfg,
+                    content_col="content", id_col="doc_id")
+    idx = FullTextIndex(spark, m)
+    res = idx.parse_and_query([
+        (0, '"red apple"'),
+        (1, "+red -green apple"),
+        (2, "bo*"),
+        (3, "bold~1"),
+    ], k=10).toPandas()
+    by_q = {q: set(g.doc_id) for q, g in res.groupby("qid")}
+    assert by_q[0] == {0, 3}
+    assert by_q[1] == {0, 1, 3}          # red docs, minus green, apple adds
+    assert by_q[2] == {4}                # bold
+    assert 4 in by_q[3]
