@@ -249,11 +249,23 @@ BOOL_SPECS = [
 # phrase text WITHOUT the syntax quotes (the oracle tokenizes it raw);
 # _q_parsed adds the quotes when building the query string
 PARSE_PHRASE_SPECS = [(900, "the fast")]
-PARSE_BOOL_SPECS = [
-    (901, "+merge -vector", {"must": ["merge"], "must_not": ["vector"]}),
-    (902, "merge AND table", {"must": ["merge", "table"]}),
-    (903, "window OR vector^2", {"should": ["window", ("vector", 2.0)]}),
-]
+def _parse_bool_specs():
+    """(qid, query_string, oracle_spec) — built lazily because the
+    multiterm clause objects live in the package."""
+    from pim_lucene_spark.plans.multiterm import PrefixQuery
+    return [
+        (901, "+merge -vector", {"must": ["merge"],
+                                 "must_not": ["vector"]}),
+        (902, "merge AND table", {"must": ["merge", "table"]}),
+        (903, "window OR vector^2", {"should": ["window",
+                                                ("vector", 2.0)]}),
+        # multiterm clause in a boolean: constant-score rewrite
+        (904, "+merge ta*^2", {"must": ["merge"],
+                               "should": [PrefixQuery("ta", boost=2.0)]}),
+    ]
+
+
+PARSE_BOOL_SPECS = _parse_bool_specs()
 
 
 def _q_parsed(spark, sf_dir):

@@ -364,12 +364,28 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
         for role in ("must", "filter", "should", "must_not"):
             names[role] = []
             for j, cl in enumerate(spec.get(role, [])):
+                cname = f"q{qid}_{role}{j}"
+                scoring = role in ("must", "should")
+                from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
+                                                              MultiTermQueryT)
+                if isinstance(cl, MultiTermQueryT):
+                    # in-boolean multi-term clause: constant-score rewrite
+                    # (score == clause boost), mirroring search_boolean
+                    if isinstance(cl, FuzzyQuery):
+                        raise ValueError("fuzzy-in-boolean has no SQL "
+                                         "oracle (top-terms scoring); "
+                                         "engine-tested only")
+                    cboost = (float(cl.boost) * boost if scoring else 1.0)
+                    ctes.append(
+                        f"{cname} AS (SELECT DISTINCT doc_id, "
+                        f"CAST({cboost!r} AS DOUBLE) AS score "
+                        f"FROM positions WHERE {_mt_pred(cl)})")
+                    names[role].append(cname)
+                    continue
                 # clause entries are texts or (text, clause_boost) tuples
                 text, clboost = (cl if isinstance(cl, tuple) else (cl, 1.0))
                 terms = tokenize_one(text, tokenizer)
-                cname = f"q{qid}_{role}{j}"
-                cboost = (clboost * boost if role in ("must", "should")
-                          else 1.0)
+                cboost = clboost * boost if scoring else 1.0
                 ctes.append(f"{cname} AS ({_clause_select(terms, cboost)})")
                 names[role].append(cname)
         score_cols, from_sql, base = [], "", None

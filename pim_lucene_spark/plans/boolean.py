@@ -84,9 +84,26 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
     per query, unioned and topped with the global (score desc, doc asc)
     window.
     """
-    from pim_lucene_spark.operators.search import search
+    from dataclasses import replace
 
-    sub, meta = [], []
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
+                                                  MultiTermQueryT,
+                                                  search_multiterm)
+
+    # multi-term clauses evaluate through search_multiterm with Lucene's
+    # in-boolean rewrites: constant-score for prefix/wildcard/range/regexp
+    # (clause score == boost), top-terms scoring for fuzzy — each family
+    # batched into ONE job keyed by sid, unioned with the engine clause
+    # frame so the join composition below is uniform
+    sub, mt_const, mt_scoring, meta = [], [], [], []
+    next_sid = [0]
+
+    def _alloc() -> int:
+        sid = next_sid[0]
+        next_sid[0] += 1
+        return sid
+
     for qid, bq in queries:
         if not isinstance(bq, BooleanQuery):
             raise TypeError("queries must be (qid, BooleanQuery) pairs")
@@ -94,20 +111,43 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
         for role in ("must", "filter", "should", "must_not"):
             sids = []
             for clause in getattr(bq, role):
-                text, cboost = _clause_text_boost(clause)
-                sid = len(sub)
+                sid = _alloc()
                 scoring = role in ("must", "should")
-                sub.append((sid, text,
-                            cboost * float(bq.boost) if scoring else 1.0))
+                if isinstance(clause, MultiTermQueryT):
+                    q = clause
+                    if scoring and float(bq.boost) != 1.0:
+                        q = replace(q, boost=float(q.boost)
+                                    * float(bq.boost))
+                    (mt_scoring if isinstance(q, FuzzyQuery)
+                     else mt_const).append((sid, q))
+                else:
+                    text, cboost = _clause_text_boost(clause)
+                    sub.append((sid, text,
+                                cboost * float(bq.boost) if scoring
+                                else 1.0))
                 sids.append(sid)
             roles[role] = sids
         meta.append((qid, roles, int(bq.min_should_match)))
 
     empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
-    if not sub:
+    if not (sub or mt_const or mt_scoring):
         return empty
-    res = search(spark, index, sub, k=10 ** 9, precision=precision)
-    res = res.select(F.col("qid").alias("sid"), "doc_id", "score").persist()
+    parts_res = []
+    if sub:
+        parts_res.append(
+            search(spark, index, sub, k=10 ** 9, precision=precision)
+            .select(F.col("qid").alias("sid"), "doc_id", "score"))
+    for mts, rewrite in ((mt_const, "constant_score"),
+                         (mt_scoring, "scoring_boolean")):
+        if mts:
+            parts_res.append(
+                search_multiterm(spark, index, mts, k=None, rewrite=rewrite,
+                                 precision=precision)
+                .select(F.col("qid").alias("sid"), "doc_id", "score"))
+    res = parts_res[0]
+    for p in parts_res[1:]:
+        res = res.unionByName(p)
+    res = res.persist()
     try:
         res.count()  # materialize once; every clause frame filters this
         # (the final result is materialized + cached before res releases,

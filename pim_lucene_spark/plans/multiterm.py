@@ -322,10 +322,13 @@ def _decode_doc_ids_kernel(P: int):
 
 
 def search_multiterm(spark: SparkSession, index: IndexManifest | str,
-                     queries: list[tuple[int, object]], k: int = 10,
+                     queries: list[tuple[int, object]], k: int | None = 10,
                      rewrite: str = "constant_score",
                      precision: str = "float32") -> DataFrame:
     """Batched multi-term search → DataFrame(qid, doc_id, score).
+
+    ``k=None`` returns every matching doc with no top-k window (clause
+    evaluation inside boolean composition).
 
     ``rewrite='constant_score'``: every matching doc scores the query
     boost; ties (all of them) break doc-id asc.  Fully distributed —
@@ -378,10 +381,11 @@ def search_multiterm(spark: SparkSession, index: IndexManifest | str,
         .distinct())
     boost_df = spark.createDataFrame(
         [(q, b) for q, b in boosts.items()], "qid long, boost double")
-    win = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
-    return (docs.withColumn("rank", F.row_number().over(win))
-            .filter(F.col("rank") <= k)
-            .join(F.broadcast(boost_df), "qid")
+    if k is not None:
+        win = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+        docs = (docs.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k).drop("rank"))
+    return (docs.join(F.broadcast(boost_df), "qid")
             .select("qid", "doc_id", F.col("boost").alias("score")))
 
 
@@ -413,6 +417,8 @@ def _search_scoring(spark, manifest, queries, k, precision,
     if precision == "float32":
         folded = folded.cast("float").cast("double")
     agg = j.groupBy("qid", "doc_id").agg(folded.alias("score"))
+    if k is None:
+        return agg
     win = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (agg.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k).drop("rank"))

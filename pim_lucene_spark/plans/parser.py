@@ -22,13 +22,13 @@ subset), so a search box can drive ``FullTextIndex.query`` directly:
 ``\\*`` etc.          backslash escapes any special character
 ====================  =================================================
 
-Deliberately unsupported (clear errors, documented): parenthesized
-sub-groups (the engine's ``BooleanQuery`` is flat), ``field:`` prefixes
-(the pim index is single-field; use ``MultiFieldIndex.search`` to pick
-a field), and multi-term queries *inside* a boolean composition
-(boolean clauses evaluate through the batched engine search, which
-takes term/phrase clauses — a multi-term query must be the whole
-string, as in a search box).
+Multi-term queries compose inside booleans with Lucene's in-boolean
+rewrites (``+content* -tmp`` works: constant-score for prefix/wildcard/
+range/regexp clauses, top-terms scoring for fuzzy).  Deliberately
+unsupported (clear errors, documented): parenthesized sub-groups (the
+engine's ``BooleanQuery`` is flat), ``field:`` prefixes (the pim index
+is single-field; use ``MultiFieldIndex.search`` to pick a field), and
+sloppy phrases inside booleans.
 
 Terms and phrase words are analyzed with the index's tokenizer at query
 time (by the engine), so the parser leaves text verbatim; wildcard /
@@ -231,11 +231,6 @@ def parse_query(s: str, default_operator: str = "or"):
 
     if len(clauses) == 1 and clauses[0][0] in ("should", "must"):
         return clauses[0][1]
-    if any(isinstance(q, MultiTermQueryT) for _, q in clauses):
-        raise ValueError(
-            "multi-term queries (wildcard/prefix/fuzzy/range/regexp) are "
-            "supported only as the whole query, not inside a boolean "
-            "composition")
     occur_map = {"must": [], "should": [], "must_not": []}
     for occur, q in clauses:
         occur_map[occur].append(q)

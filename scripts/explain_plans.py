@@ -91,6 +91,17 @@ def main() -> None:
     docs = spark.read.parquet(manifest.docs_path)
     simhash(docs).explain("formatted")
 
+    print("=" * 72)
+    print("6. multiterm expansion — StartsWith pushdown reaches the "
+          "dictionary scan")
+    print("=" * 72)
+    from pim_lucene_spark.plans.multiterm import (PrefixQuery,
+                                                  WildcardQuery,
+                                                  expand_frame)
+    expand_frame(spark, manifest, PrefixQuery("me")).explain("formatted")
+    # wildcard: literal prefix pushes down, regex evaluates JVM-side
+    expand_frame(spark, manifest, WildcardQuery("ba*h")).explain("formatted")
+
 
 if __name__ == "__main__":
     main()

@@ -193,3 +193,79 @@ def test_min_should_match(spark, bidx):
 def test_min_should_match_validation():
     with pytest.raises(ValueError, match="min_should_match"):
         BooleanQuery(should=["a"], min_should_match=2)
+
+
+# --- multi-term clauses inside booleans -------------------------------------
+
+def test_multiterm_clause_constant_score(spark, bidx):
+    """A prefix clause in MUST gates docs and contributes its boost as a
+    constant score (Lucene's in-boolean CONSTANT_SCORE rewrite)."""
+    from pim_lucene_spark.plans.multiterm import PrefixQuery
+    got = search_boolean(
+        spark, bidx,
+        [(0, BooleanQuery(must=["red", PrefixQuery("appl", boost=2.0)]))],
+        k=10).toPandas()
+    red = _scores(spark, bidx, "red")
+    app = _scores(spark, bidx, "apple")  # only appl* term in the corpus
+    assert set(got.doc_id) == set(red) & set(app)
+    for d, s in zip(got.doc_id, got.score):
+        assert np.float32(s) == np.float32(np.float64(red[d]) + 2.0)
+
+
+def test_multiterm_clause_must_not(spark, bidx):
+    from pim_lucene_spark.plans.multiterm import WildcardQuery
+    got = search_boolean(
+        spark, bidx,
+        [(0, BooleanQuery(must=["red"], must_not=[WildcardQuery("gr*")]))],
+        k=10).toPandas()
+    red = set(_scores(spark, bidx, "red"))
+    grn = set(_scores(spark, bidx, "green"))
+    assert set(got.doc_id) == red - grn
+
+
+def test_fuzzy_clause_scoring(spark, bidx):
+    """A fuzzy SHOULD clause adds its top-terms scoring-boolean score."""
+    from pim_lucene_spark.plans.multiterm import FuzzyQuery
+    base = search_boolean(spark, bidx, [(0, BooleanQuery(must=["red"]))],
+                          k=10).toPandas().set_index("doc_id").score
+    plus = search_boolean(
+        spark, bidx,
+        [(0, BooleanQuery(must=["red"],
+                          should=[FuzzyQuery("pie", max_edits=0)]))],
+        k=10).toPandas().set_index("doc_id").score
+    pie = _scores(spark, bidx, "pie")
+    assert set(plus.index) == set(base.index)
+    for d in plus.index:
+        exp = np.float32(np.float64(base[d]) + np.float64(pie.get(d, 0.0)))
+        assert np.float32(plus[d]) == exp
+
+
+def test_multiterm_boolean_matches_oracle(spark, bidx):
+    duckdb = pytest.importorskip("duckdb")
+    from pim_lucene_spark.oracle import boolean_bm25_sql
+    from pim_lucene_spark.plans.multiterm import PrefixQuery, WildcardQuery
+    specs = [
+        (0, {"must": ["red", PrefixQuery("appl", boost=2.0)]}),
+        (1, {"must": ["apple"], "must_not": [WildcardQuery("gr*")],
+             "boost": 3.0}),
+        (2, {"should": ["brick", PrefixQuery("gra")]}),
+    ]
+    bqs = [(qid, BooleanQuery(**spec)) for qid, spec in specs]
+    got = (search_boolean(spark, bidx, bqs, k=10, precision="float64")
+           .toPandas()
+           .assign(score=lambda d: d.score.round(6))
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", DOCS.rename(columns={"content": "text"}))
+    odf = (con.execute(boolean_bm25_sql(specs, k=10)).fetchdf()
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_parser_allows_multiterm_in_boolean():
+    from pim_lucene_spark.plans.multiterm import PrefixQuery
+    from pim_lucene_spark.plans.parser import parse_query
+    from pim_lucene_spark.plans.query import TermQuery
+    q = parse_query("+red appl*")
+    assert q == BooleanQuery(must=[TermQuery("red")],
+                             should=[PrefixQuery("appl")])
