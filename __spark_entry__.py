@@ -280,6 +280,28 @@ def _q_parsed(spark, sf_dir):
     return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _count_specs():
+    from pim_lucene_spark.plans.multiterm import PrefixQuery, WildcardQuery
+    return [(950, "merge"), (951, "the fast"), (952, PrefixQuery("s")),
+            (953, "zzz_nohit"), (954, WildcardQuery("*o*"))]
+
+
+def _q_suggest(spark, sf_dir):
+    """Prefix autocomplete over the term dictionary (doc-freq ranked,
+    StringStartsWith pushdown on the stats Parquet)."""
+    from pim_lucene_spark.plans.suggest import suggest_terms
+    m = _get_index(spark, sf_dir)
+    return suggest_terms(spark, m, "s", k=10)
+
+
+def _q_count(spark, sf_dir):
+    """IndexSearcher.count semantics: hits per query, no scoring; mixes
+    term/phrase/prefix/wildcard and a zero-hit query."""
+    from pim_lucene_spark.plans.suggest import count_matches
+    m = _get_index(spark, sf_dir)
+    return count_matches(spark, m, _count_specs())
+
+
 # DisjunctionMaxQuery specs — best-clause scoring with tie breakers
 DISMAX_SPECS = [
     (750, {"clauses": ["merge", "table"]}),
@@ -529,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_bm25": _q_boolean,
         "engine_dismax_topk": _q_dismax,
         "engine_parsed_query": _q_parsed,
+        "engine_suggest": _q_suggest,
+        "engine_count": _q_count,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
         "engine_slop_repeated": _q_slop_repeated,
@@ -798,6 +822,8 @@ def oracle_sql() -> dict[str, str]:
                                                          k=10),
         "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
         "engine_dismax_topk": oracle.dismax_bm25_sql(DISMAX_SPECS, k=10),
+        "engine_suggest": oracle.suggest_sql("s", k=10),
+        "engine_count": oracle.count_sql(_count_specs()),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)

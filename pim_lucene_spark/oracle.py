@@ -482,6 +482,40 @@ def dismax_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
             + " " + " UNION ALL ".join(selects))
 
 
+def suggest_sql(prefix: str, k: int = 10, by: str = "doc_freq",
+                tokenizer: str = "whitespace") -> str:
+    """Prefix-suggester oracle → (term, doc_freq, total_tf) — the term
+    dictionary recomputed from the raw corpus."""
+    return (f"WITH {_tok_cte(tokenizer)} "
+            f"SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS "
+            f"doc_freq, CAST(count(*) AS BIGINT) AS total_tf "
+            f"FROM positions WHERE starts_with(term, '{_q(prefix)}') "
+            f"GROUP BY term QUALIFY row_number() OVER "
+            f"(ORDER BY {by} DESC, term ASC) <= {k}")
+
+
+def count_sql(queries: list[tuple[int, object]],
+              tokenizer: str = "whitespace") -> str:
+    """Hit-count oracle → (qid, n_hits); queries are texts (multi-token
+    = phrase) or multi-term query objects (distinct-doc union)."""
+    from pim_lucene_spark.plans.multiterm import MultiTermQueryT
+    selects = []
+    for qid, q in queries:
+        if isinstance(q, MultiTermQueryT):
+            selects.append(
+                f"SELECT CAST({qid} AS BIGINT) AS qid, "
+                f"CAST(count(DISTINCT doc_id) AS BIGINT) AS n_hits "
+                f"FROM positions WHERE {_mt_pred(q)}")
+            continue
+        text = getattr(q, "text", q)
+        terms = tokenize_one(text, tokenizer)
+        selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, "
+            f"CAST(count(*) AS BIGINT) AS n_hits "
+            f"FROM ({_phrase_freq_select(terms)})")
+    return (f"WITH {_tok_cte(tokenizer)} " + " UNION ALL ".join(selects))
+
+
 def bm25f_sql(queries: list[tuple[int, str]], field_docs: dict[str, str],
               weights: dict[str, float], k: int | None = 10) -> str:
     """BM25F (sandbox CombinedFieldQuery) SQL → (qid, doc_id, freq, score).

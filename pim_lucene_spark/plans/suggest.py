@@ -1,0 +1,82 @@
+"""Term suggestion + hit counting — the small IndexSearcher utilities.
+
+- :func:`suggest_terms` — prefix autocomplete over the term dictionary,
+  ranked by document frequency (Lucene's ``TermFreqIterator``-backed
+  suggesters rank completions by weight = docFreq/totalTermFreq).  The
+  dictionary IS the index's term-stats Parquet, so the whole operator is
+  a pushed-down ``StringStartsWith`` scan + top-k — no postings touched,
+  no Python in the plan.
+- :func:`count_matches` — hit count per query with no scoring
+  (``IndexSearcher.count``): term/phrase queries count matching docs via
+  the engine's no-score match path; multi-term queries count the
+  distinct-doc union of their expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pim_lucene_spark.manifest import IndexManifest
+
+
+def suggest_terms(spark: SparkSession, index: IndexManifest | str,
+                  prefix: str, k: int = 10,
+                  by: str = "doc_freq") -> DataFrame:
+    """Top-``k`` completions of ``prefix`` → (term, doc_freq, total_tf).
+
+    Ranked ``by`` "doc_freq" or "total_tf" (desc), ties term asc.  The
+    prefix filter reaches the Parquet scan as ``StringStartsWith``.
+    """
+    if by not in ("doc_freq", "total_tf"):
+        raise ValueError("by must be 'doc_freq' or 'total_tf'")
+    manifest = IndexManifest.load(index) if isinstance(index, str) else index
+    stats = spark.read.parquet(manifest.stats_path)
+    out = stats.filter(F.col("term").startswith(prefix))
+    win = Window.orderBy(F.desc(by), F.asc("term"))
+    return (out.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k).drop("rank")
+            .select("term", "doc_freq", "total_tf"))
+
+
+def count_matches(spark: SparkSession, index: IndexManifest | str,
+                  queries: list[tuple[int, object]]) -> DataFrame:
+    """Hit counts → (qid, n_hits) — ``IndexSearcher.count`` semantics.
+
+    Entries are query texts (multi-token = phrase), typed
+    ``PhraseQuery``/``TermQuery``, or multi-term queries.  Counting goes
+    through the match paths with no norms or score work kept: term/
+    phrase counts come from the engine search result frame, multi-term
+    counts from the distinct-doc constant-score frame.  Queries with
+    zero hits still appear (count 0).
+    """
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.multiterm import (MultiTermQueryT,
+                                                  search_multiterm)
+    from pim_lucene_spark.plans.query import to_tuple
+
+    manifest = IndexManifest.load(index) if isinstance(index, str) else index
+    plain, multi = [], []
+    for qid, q in queries:
+        (multi if isinstance(q, MultiTermQueryT) else plain).append((qid, q))
+    parts = []
+    if plain:
+        res = search(spark, manifest,
+                     [to_tuple(qid, q) for qid, q in plain], k=10 ** 9)
+        parts.append(res.groupBy("qid")
+                     .agg(F.count("*").alias("n_hits")))
+    if multi:
+        res = search_multiterm(spark, manifest, multi, k=None,
+                               rewrite="constant_score")
+        parts.append(res.groupBy("qid")
+                     .agg(F.count("*").alias("n_hits")))
+    all_qids = spark.createDataFrame([(int(q),) for q, _ in queries],
+                                     "qid long")
+    out = parts[0] if parts else None
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if out is None:
+        return all_qids.select("qid", F.lit(0).cast("long").alias("n_hits"))
+    return (all_qids.join(out, "qid", "left")
+            .select("qid", F.coalesce("n_hits", F.lit(0))
+                    .cast("long").alias("n_hits")))

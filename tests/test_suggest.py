@@ -1,0 +1,56 @@
+"""Term suggestion (prefix autocomplete over the dictionary) and
+IndexSearcher.count-style hit counting.
+"""
+
+import pandas as pd
+import pytest
+
+from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.operators.index_build import build_index
+from pim_lucene_spark.plans.multiterm import PrefixQuery
+from pim_lucene_spark.plans.suggest import count_matches, suggest_terms
+
+DOCS = pd.DataFrame({
+    "doc_id": range(5),
+    "content": ["red apple pie apple", "applet reddish apple",
+                "green apple", "red red red", "apricot jam"],
+})
+
+
+@pytest.fixture(scope="module")
+def sidx(spark, tmp_path_factory):
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    return build_index(spark, spark.createDataFrame(DOCS),
+                       str(tmp_path_factory.mktemp("sugidx")), cfg,
+                       content_col="content", id_col="doc_id")
+
+
+def test_suggest_ranked_by_doc_freq(spark, sidx):
+    got = suggest_terms(spark, sidx, "ap", k=10).toPandas()
+    assert list(got.term) == ["apple", "applet", "apricot"]
+    assert list(got.doc_freq) == [3, 1, 1]  # applet < apricot ties term asc
+    assert got[got.term == "apple"].total_tf.iloc[0] == 4
+
+
+def test_suggest_k_cut_and_total_tf_rank(spark, sidx):
+    got = suggest_terms(spark, sidx, "re", k=1, by="total_tf").toPandas()
+    assert list(got.term) == ["red"]  # total_tf 4 beats reddish 1
+
+
+def test_suggest_no_completion(spark, sidx):
+    assert suggest_terms(spark, sidx, "zz", k=5).count() == 0
+
+
+def test_suggest_bad_rank_col(spark, sidx):
+    with pytest.raises(ValueError, match="doc_freq"):
+        suggest_terms(spark, sidx, "a", by="nope")
+
+
+def test_count_matches_mixed(spark, sidx):
+    got = (count_matches(spark, sidx, [
+        (0, "apple"), (1, "red apple"), (2, PrefixQuery("ap")),
+        (3, "nothere")]).toPandas().set_index("qid").n_hits)
+    assert got[0] == 3            # docs 0,1,2
+    assert got[1] == 1            # doc 0 only ("red apple" adjacent)
+    assert got[2] == 4            # ap* in docs 0,1,2,4
+    assert got[3] == 0            # zero-hit query still reported
