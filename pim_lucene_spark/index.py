@@ -338,6 +338,30 @@ class MultiFieldIndex:
         return self.search([(0, text)], k=k, field=field,
                            precision=precision).drop("qid")
 
+    def parse_and_query(self, query_strings, k: int = 10,
+                        default_operator: str = "or",
+                        precision: str = "float32") -> DataFrame:
+        """Classic query strings WITH ``field:`` bindings — e.g.
+        ``'+title:merge body:scan*'``.  Each parsed query becomes a
+        boolean whose clauses evaluate on their field's sub-index
+        (unfielded clauses take the default field), composed by the
+        shared join chain; single clauses run as a one-MUST boolean
+        (identical score).  Returns (qid, doc_id, score)."""
+        from pim_lucene_spark.plans.boolean import (BooleanQuery,
+                                                    search_boolean_fields)
+        from pim_lucene_spark.plans.parser import parse_query
+
+        typed = []
+        for qid, s in query_strings:
+            q = parse_query(s, default_operator=default_operator,
+                            allow_fields=True)
+            if not isinstance(q, BooleanQuery):
+                q = BooleanQuery(must=[q])
+            typed.append((qid, q))
+        return search_boolean_fields(self.spark, self.manifests,
+                                     self.default_field, typed, k=k,
+                                     precision=precision)
+
     def search_combined(self, queries: list[tuple[int, str]], k: int = 10,
                         field_weights: dict[str, float] | None = None,
                         precision: str = "float32",

@@ -147,6 +147,14 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
     res = parts_res[0]
     for p in parts_res[1:]:
         res = res.unionByName(p)
+    return _compose_boolean(spark, res, meta, k, precision, empty)
+
+
+def _compose_boolean(spark, res: DataFrame, meta, k: int,
+                     precision: str, empty: DataFrame) -> DataFrame:
+    """Join-chain composition over a materialized clause frame
+    ``res(sid, doc_id, score)`` — shared by the single-index and the
+    fielded (MultiFieldIndex) boolean paths."""
     res = res.persist()
     try:
         res.count()  # materialize once; every clause frame filters this
@@ -226,3 +234,91 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
         return out
     finally:
         res.unpersist(blocking=False)
+
+
+def search_boolean_fields(spark: SparkSession, manifests: dict,
+                          default_field: str, queries, k: int = 10,
+                          precision: str = "float32") -> DataFrame:
+    """Boolean search whose clauses may target different FIELDS.
+
+    ``manifests`` maps field name → that field's sub-index manifest
+    (``MultiFieldIndex.manifests``); clause entries are plain (default
+    field) or ``FieldedQuery(field, clause)``.  Per field, all of its
+    term/phrase clauses run through ONE engine search and its multi-term
+    clauses through one constant-score / one fuzzy-scoring job — frames
+    union into a single clause frame, and the composition is the same
+    deterministic join chain as :func:`search_boolean` (each field is an
+    independent posting space with its own stats, exactly Lucene's
+    per-field scoring inside one BooleanQuery).
+    """
+    from dataclasses import replace
+
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
+                                                  MultiTermQueryT,
+                                                  search_multiterm)
+    from pim_lucene_spark.plans.query import FieldedQuery
+
+    per_field: dict = {f: {"sub": [], "mt_const": [], "mt_scoring": []}
+                       for f in manifests}
+    meta, next_sid = [], [0]
+
+    def _alloc() -> int:
+        sid = next_sid[0]
+        next_sid[0] += 1
+        return sid
+
+    for qid, bq in queries:
+        if not isinstance(bq, BooleanQuery):
+            raise TypeError("queries must be (qid, BooleanQuery) pairs")
+        roles = {}
+        for role in ("must", "filter", "should", "must_not"):
+            sids = []
+            for clause in getattr(bq, role):
+                field = default_field
+                if isinstance(clause, FieldedQuery):
+                    field, clause = clause.field, clause.query
+                if field not in manifests:
+                    raise ValueError(f"unknown field {field!r}; have "
+                                     f"{sorted(manifests)}")
+                sid = _alloc()
+                scoring = role in ("must", "should")
+                slot = per_field[field]
+                if isinstance(clause, MultiTermQueryT):
+                    q = clause
+                    if scoring and float(bq.boost) != 1.0:
+                        q = replace(q, boost=float(q.boost)
+                                    * float(bq.boost))
+                    slot["mt_scoring" if isinstance(q, FuzzyQuery)
+                         else "mt_const"].append((sid, q))
+                else:
+                    text, cboost = _clause_text_boost(clause)
+                    slot["sub"].append(
+                        (sid, text,
+                         cboost * float(bq.boost) if scoring else 1.0))
+                sids.append(sid)
+            roles[role] = sids
+        meta.append((qid, roles, int(bq.min_should_match)))
+
+    empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+    parts_res = []
+    for field, slot in per_field.items():
+        man = manifests[field]
+        if slot["sub"]:
+            parts_res.append(
+                search(spark, man, slot["sub"], k=10 ** 9,
+                       precision=precision)
+                .select(F.col("qid").alias("sid"), "doc_id", "score"))
+        for key, rewrite in (("mt_const", "constant_score"),
+                             ("mt_scoring", "scoring_boolean")):
+            if slot[key]:
+                parts_res.append(
+                    search_multiterm(spark, man, slot[key], k=None,
+                                     rewrite=rewrite, precision=precision)
+                    .select(F.col("qid").alias("sid"), "doc_id", "score"))
+    if not parts_res:
+        return empty
+    res = parts_res[0]
+    for p in parts_res[1:]:
+        res = res.unionByName(p)
+    return _compose_boolean(spark, res, meta, k, precision, empty)

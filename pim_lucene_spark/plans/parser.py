@@ -121,14 +121,23 @@ def _with_boost(q, boost: float):
     return cls(**kwargs)
 
 
-def parse_query(s: str, default_operator: str = "or"):
+def parse_query(s: str, default_operator: str = "or",
+                allow_fields: bool = False):
     """Parse a classic query string → a typed query object.
 
     Returns a single ``TermQuery`` / ``PhraseQuery`` / multi-term query
     when the string is one clause, else a ``BooleanQuery``.
     ``default_operator`` ("or" | "and") sets the occur of unmarked
     clauses, as in Lucene's ``QueryParser.setDefaultOperator``.
+
+    ``allow_fields=True`` accepts ``field:clause`` bindings (one clause
+    per binding, Lucene semantics) and wraps the bound clause in
+    :class:`~pim_lucene_spark.plans.query.FieldedQuery` — the
+    ``MultiFieldIndex.parse_and_query`` mode; the single-field facade
+    keeps the default and rejects fields with a clear error.
     """
+    from pim_lucene_spark.plans.query import FieldedQuery
+
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
     toks = _lex(s)
@@ -140,9 +149,13 @@ def parse_query(s: str, default_operator: str = "or"):
     i, n = 0, len(toks)
     pending = None   # explicit +/-/NOT modifier for the next clause
     conj = None      # AND/OR seen since the previous clause
+    field = None     # field: binding for the next clause
 
     def push(q) -> None:
-        nonlocal pending, conj
+        nonlocal pending, conj, field
+        if field is not None:
+            q = FieldedQuery(field, q)
+            field = None
         if pending is not None:
             occur = pending
         elif conj == "or":
@@ -181,12 +194,22 @@ def parse_query(s: str, default_operator: str = "or"):
                 "parenthesized sub-groups are not supported (the engine's "
                 "BooleanQuery is flat); rewrite without grouping")
         if kind == "colon":
-            raise ValueError(
-                "field: syntax is not supported here — the pim index is "
-                "single-field; use MultiFieldIndex.search(field=...) to "
-                "target a field")
+            raise ValueError(f"dangling ':' at position {i}")
         if kind in ("tilde", "boost"):
             raise ValueError(f"dangling {raw!r} at clause start")
+
+        # --- field binding: term ':' clause -------------------------------
+        if (kind == "term" and i + 1 < n and toks[i + 1][0] == "colon"):
+            if not allow_fields:
+                raise ValueError(
+                    "field: syntax is not supported here — the pim index "
+                    "is single-field; use MultiFieldIndex.parse_and_query "
+                    "(or .search(field=...)) to target a field")
+            if field is not None:
+                raise ValueError("chained field: bindings")
+            field = _unescape(raw)
+            i += 2
+            continue
 
         # --- a clause body ------------------------------------------------
         if kind == "phrase":
@@ -226,7 +249,7 @@ def parse_query(s: str, default_operator: str = "or"):
         push(q)
         i += 1
 
-    if pending is not None or conj is not None:
+    if pending is not None or conj is not None or field is not None:
         raise ValueError("dangling operator at end of query")
 
     if len(clauses) == 1 and clauses[0][0] in ("should", "must"):
@@ -237,7 +260,8 @@ def parse_query(s: str, default_operator: str = "or"):
     # TermQuery/PhraseQuery go in as typed clauses (search_boolean reads
     # .text/.boost); PhraseQuery slop inside booleans is unsupported there
     for q in occur_map["must"] + occur_map["should"] + occur_map["must_not"]:
-        if isinstance(q, PhraseQuery) and q.slop:
+        inner = q.query if isinstance(q, FieldedQuery) else q
+        if isinstance(inner, PhraseQuery) and inner.slop:
             raise ValueError("sloppy phrases inside a boolean composition "
                              "are not supported; query the phrase alone")
     return BooleanQuery(must=occur_map["must"], should=occur_map["should"],

@@ -52,3 +52,14 @@ def to_tuple(qid: int, q) -> tuple[int, str, float]:
     if isinstance(q, str):
         return (qid, q, 1.0)
     raise TypeError(f"unsupported query object {type(q).__name__}")
+
+
+@dataclass(frozen=True)
+class FieldedQuery:
+    """A sub-query bound to a named field (``field:...`` query syntax,
+    Lucene's per-clause field binding).  Consumed by
+    ``MultiFieldIndex.parse_and_query`` / ``search_boolean_fields`` —
+    the single-field ``FullTextIndex`` rejects it."""
+
+    field: str
+    query: object

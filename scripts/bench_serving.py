@@ -39,15 +39,52 @@ def _ensure_index() -> str:
     return INDEX_DIR
 
 
+def _code_corpus_500k() -> tuple[str, list[tuple[int, str]]]:
+    """Build (once) a 500k-doc index over the deterministic source-code
+    corpus and return it with the scaling bench's 200-query batch —
+    serving scaling on a corpus ~20x the wiki subset."""
+    import bench_scaling as bs
+    from pyspark.sql import SparkSession
+
+    from pim_lucene_spark import IndexConfig
+    from pim_lucene_spark.manifest import IndexManifest
+    from pim_lucene_spark.operators.index_build import build_index
+
+    idx = f"{bs.WORK}/idx_serving_{bs.NUM_DOCS}"
+    if not os.path.isdir(idx):
+        bs._gen_corpus()
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.sql.shuffle.partitions", "32")
+                 .config("spark.driver.memory", "24g")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = spark.read.parquet(bs.CORPUS)
+        build_index(spark, docs, idx, IndexConfig(8, 8, build_chunks=1),
+                    content_col="content", id_col="doc_id")
+        spark.stop()
+    IndexManifest.load(idx)  # fail loudly if half-built
+    bs._write_queries()
+    with open(bs.QUERY_FILE, encoding="utf-8") as fh:
+        qs = [(i, ln.strip()) for i, ln in enumerate(fh) if ln.strip()]
+    return idx, qs
+
+
 def main() -> None:
     from pim_lucene_spark.serving import ShardedServer
 
-    index_dir = _ensure_index()
-    queries = load_queries()
+    if os.environ.get("SERVE_CORPUS") == "code500k":
+        index_dir, queries = _code_corpus_500k()
+        out_name, src = "BENCH_SERVING_500K.json", "code-500k"
+    else:
+        index_dir = _ensure_index()
+        queries = load_queries()
+        out_name, src = "BENCH_SERVING.json", "wiki"
     batches = [queries[i:i + BSZ] for i in range(0, len(queries), BSZ)]
     out: dict = {
         "metric": "sharded_serving_scaling",
-        "protocol": (f"wiki_subset 1036-query stream, batch={BSZ}, "
+        "corpus": src,
+        "n_queries": len(queries),
+        "protocol": (f"{src} query stream, batch={BSZ}, "
                      f"best of {REPS} reps per level, workers forked on "
                      "the same index"),
         "levels": {},
@@ -69,7 +106,7 @@ def main() -> None:
         out[f"{mode}_scaling_eff_{lo}_to_{hi}"] = round(
             per_level[hi] / per_level[lo] / ratio, 3)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_SERVING.json"), "w") as fh:
+    with open(os.path.join(root, out_name), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
 

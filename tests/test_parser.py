@@ -138,3 +138,68 @@ def test_parse_and_query_end_to_end(spark, tmp_path_factory):
     assert by_q[1] == {0, 1, 3}          # red docs, minus green, apple adds
     assert by_q[2] == {4}                # bold
     assert 4 in by_q[3]
+
+
+# --- field: bindings (MultiFieldIndex mode) ---------------------------------
+
+def test_fields_rejected_by_default():
+    with pytest.raises(ValueError, match="single-field"):
+        parse_query("title:foo")
+
+
+def test_fielded_parse():
+    from pim_lucene_spark.plans.query import FieldedQuery
+    q = parse_query("title:foo", allow_fields=True)
+    assert q == FieldedQuery("title", TermQuery("foo"))
+    q = parse_query('+title:"a b" -body:tmp* c', allow_fields=True)
+    assert q == BooleanQuery(
+        must=[FieldedQuery("title", PhraseQuery("a b"))],
+        must_not=[FieldedQuery("body", PrefixQuery("tmp"))],
+        should=[TermQuery("c")])
+    q = parse_query("title:foo^2", allow_fields=True)
+    assert q == FieldedQuery("title", TermQuery("foo", boost=2.0))
+
+
+def test_fielded_parse_errors():
+    with pytest.raises(ValueError, match="chained"):
+        parse_query("a:b:c", allow_fields=True)
+    with pytest.raises(ValueError, match="dangling"):
+        parse_query("title:", allow_fields=True)
+
+
+def test_multifield_parse_and_query_end_to_end(spark, tmp_path_factory):
+    import numpy as np
+
+    from pim_lucene_spark import IndexConfig, MultiFieldIndex
+
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "title": ["alpha merge", "beta scan", "alpha scan", "gamma merge"],
+        "body": ["x y z", "x merge z", "y z merge", "x y"],
+    })
+    idx = MultiFieldIndex.build(
+        spark, spark.createDataFrame(docs),
+        str(tmp_path_factory.mktemp("mfparse")),
+        fields={"title": "title", "body": "body"},
+        cfg=IndexConfig(num_partitions=2, num_segments=2, build_chunks=1),
+        id_col="doc_id")
+    res = idx.parse_and_query([
+        (0, "title:merge"),                       # docs 0, 3
+        (1, "+title:alpha body:merge"),           # 0,2; body:merge adds on 2
+        (2, "+body:merge -title:beta"),           # body merge {1,2} - beta {1}
+        (3, "title:al*"),                         # prefix on title
+    ], k=10).toPandas()
+    by_q = {q: set(g.doc_id) for q, g in res.groupby("qid")}
+    assert by_q[0] == {0, 3}
+    assert by_q[1] == {0, 2}
+    assert by_q[2] == {2}
+    assert by_q[3] == {0, 2}
+    # cross-field scoring: qid 1 doc 2 = title:alpha BM25 + body:merge BM25
+    t = idx.search([(0, "alpha")], field="title", k=10).toPandas()
+    b = idx.search([(0, "merge")], field="body", k=10).toPandas()
+    ts = dict(zip(t.doc_id, t.score))
+    bs = dict(zip(b.doc_id, b.score))
+    got = res[(res.qid == 1)].set_index("doc_id").score
+    for d in (0, 2):
+        exp = np.float32(np.float64(ts.get(d, 0.0)) + np.float64(bs.get(d, 0.0)))
+        assert np.float32(got[d]) == exp
