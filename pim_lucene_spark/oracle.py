@@ -382,6 +382,28 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
                         f"FROM positions WHERE {_mt_pred(cl)})")
                     names[role].append(cname)
                     continue
+                from pim_lucene_spark.plans.query import PhraseQuery
+                if isinstance(cl, PhraseQuery) and int(cl.slop) != 0:
+                    # sloppy clause: recursive-CTE SloppyPhraseMatcher
+                    # freq + the scan path's BM25 expression
+                    terms = tokenize_one(cl.text, tokenizer)
+                    uid = 9000 + len(ctes)   # unique CTE namespace
+                    rec, freq_name = _sloppy_rec_ctes(uid, terms,
+                                                      int(cl.slop))
+                    ctes.append(rec)
+                    cboost = (float(cl.boost) * boost if scoring else 1.0)
+                    weight = (f"({cboost!r} * ("
+                              + " + ".join(_idf_sql(t) for t in terms)
+                              + "))")
+                    cache = _cache_sql(_quantized_dl("docl.dl"))
+                    score = (f"({weight} - {weight} / "
+                             f"(1.0 + CAST(f.freq AS DOUBLE) * {cache}))")
+                    ctes.append(
+                        f"{cname} AS (SELECT f.doc_id, {score} AS score "
+                        f"FROM {freq_name} f "
+                        f"JOIN docl ON docl.doc_id = f.doc_id, cstats)")
+                    names[role].append(cname)
+                    continue
                 # clause entries are texts or (text, clause_boost) tuples
                 text, clboost = (cl if isinstance(cl, tuple) else (cl, 1.0))
                 terms = tokenize_one(text, tokenizer)
@@ -436,7 +458,9 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
             f"(SELECT doc_id, {total} AS total, {n_should} AS n_should "
             f"FROM {from_sql}) b "
             f"{where} {qualify}")
-    return (f"WITH {_tok_cte(tokenizer)}, " + ", ".join(ctes)
+    # RECURSIVE needed when a sloppy clause added its state-machine CTEs;
+    # harmless otherwise
+    return (f"WITH RECURSIVE {_tok_cte(tokenizer)}, " + ", ".join(ctes)
             + " " + " UNION ALL ".join(selects))
 
 

@@ -91,12 +91,18 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
                                                   MultiTermQueryT,
                                                   search_multiterm)
 
+    from pim_lucene_spark.plans.query import PhraseQuery
+    from pim_lucene_spark.plans.router import search_with_fallback
+
     # multi-term clauses evaluate through search_multiterm with Lucene's
     # in-boolean rewrites: constant-score for prefix/wildcard/range/regexp
     # (clause score == boost), top-terms scoring for fuzzy — each family
     # batched into ONE job keyed by sid, unioned with the engine clause
-    # frame so the join composition below is uniform
+    # frame so the join composition below is uniform.  Sloppy phrase
+    # clauses route through the ONE scan-path job with per-clause slops
+    # (the reference's slop contract).
     sub, mt_const, mt_scoring, meta = [], [], [], []
+    sloppy, slops = [], {}
     next_sid = [0]
 
     def _alloc() -> int:
@@ -120,6 +126,12 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
                                     * float(bq.boost))
                     (mt_scoring if isinstance(q, FuzzyQuery)
                      else mt_const).append((sid, q))
+                elif (isinstance(clause, PhraseQuery)
+                      and int(clause.slop) != 0):
+                    sloppy.append((sid, clause.text,
+                                   float(clause.boost) * float(bq.boost)
+                                   if scoring else 1.0))
+                    slops[sid] = int(clause.slop)
                 else:
                     text, cboost = _clause_text_boost(clause)
                     sub.append((sid, text,
@@ -130,7 +142,7 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
         meta.append((qid, roles, int(bq.min_should_match)))
 
     empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
-    if not (sub or mt_const or mt_scoring):
+    if not (sub or mt_const or mt_scoring or sloppy):
         return empty
     parts_res = []
     if sub:
@@ -144,6 +156,11 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
                 search_multiterm(spark, index, mts, k=None, rewrite=rewrite,
                                  precision=precision)
                 .select(F.col("qid").alias("sid"), "doc_id", "score"))
+    if sloppy:
+        parts_res.append(
+            search_with_fallback(spark, index, None, sloppy, k=10 ** 9,
+                                 slop=slops, precision=precision)
+            .select(F.col("qid").alias("sid"), "doc_id", "score"))
     res = parts_res[0]
     for p in parts_res[1:]:
         res = res.unionByName(p)
@@ -257,9 +274,11 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
     from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
                                                   MultiTermQueryT,
                                                   search_multiterm)
-    from pim_lucene_spark.plans.query import FieldedQuery
+    from pim_lucene_spark.plans.query import FieldedQuery, PhraseQuery
+    from pim_lucene_spark.plans.router import search_with_fallback
 
-    per_field: dict = {f: {"sub": [], "mt_const": [], "mt_scoring": []}
+    per_field: dict = {f: {"sub": [], "mt_const": [], "mt_scoring": [],
+                           "sloppy": [], "slops": {}}
                        for f in manifests}
     meta, next_sid = [], [0]
 
@@ -291,6 +310,13 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
                                     * float(bq.boost))
                     slot["mt_scoring" if isinstance(q, FuzzyQuery)
                          else "mt_const"].append((sid, q))
+                elif (isinstance(clause, PhraseQuery)
+                      and int(clause.slop) != 0):
+                    slot["sloppy"].append(
+                        (sid, clause.text,
+                         float(clause.boost) * float(bq.boost)
+                         if scoring else 1.0))
+                    slot["slops"][sid] = int(clause.slop)
                 else:
                     text, cboost = _clause_text_boost(clause)
                     slot["sub"].append(
@@ -316,6 +342,12 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
                     search_multiterm(spark, man, slot[key], k=None,
                                      rewrite=rewrite, precision=precision)
                     .select(F.col("qid").alias("sid"), "doc_id", "score"))
+        if slot["sloppy"]:
+            parts_res.append(
+                search_with_fallback(spark, man, None, slot["sloppy"],
+                                     k=10 ** 9, slop=slot["slops"],
+                                     precision=precision)
+                .select(F.col("qid").alias("sid"), "doc_id", "score"))
     if not parts_res:
         return empty
     res = parts_res[0]

@@ -24,11 +24,11 @@ subset), so a search box can drive ``FullTextIndex.query`` directly:
 
 Multi-term queries compose inside booleans with Lucene's in-boolean
 rewrites (``+content* -tmp`` works: constant-score for prefix/wildcard/
-range/regexp clauses, top-terms scoring for fuzzy).  Deliberately
-unsupported (clear errors, documented): parenthesized sub-groups (the
-engine's ``BooleanQuery`` is flat), ``field:`` prefixes (the pim index
-is single-field; use ``MultiFieldIndex.search`` to pick a field), and
-sloppy phrases inside booleans.
+range/regexp clauses, top-terms scoring for fuzzy), and sloppy phrases
+compose via the scan path (``+"a b"~2 c``).  Deliberately unsupported
+(clear errors, documented): parenthesized sub-groups (the engine's
+``BooleanQuery`` is flat) and — without ``allow_fields=True`` —
+``field:`` prefixes.
 
 Terms and phrase words are analyzed with the index's tokenizer at query
 time (by the engine), so the parser leaves text verbatim; wildcard /
@@ -258,11 +258,6 @@ def parse_query(s: str, default_operator: str = "or",
     for occur, q in clauses:
         occur_map[occur].append(q)
     # TermQuery/PhraseQuery go in as typed clauses (search_boolean reads
-    # .text/.boost); PhraseQuery slop inside booleans is unsupported there
-    for q in occur_map["must"] + occur_map["should"] + occur_map["must_not"]:
-        inner = q.query if isinstance(q, FieldedQuery) else q
-        if isinstance(inner, PhraseQuery) and inner.slop:
-            raise ValueError("sloppy phrases inside a boolean composition "
-                             "are not supported; query the phrase alone")
+    # .text/.boost; sloppy phrases route through the scan path there)
     return BooleanQuery(must=occur_map["must"], should=occur_map["should"],
                         must_not=occur_map["must_not"])

@@ -269,3 +269,65 @@ def test_parser_allows_multiterm_in_boolean():
     q = parse_query("+red appl*")
     assert q == BooleanQuery(must=[TermQuery("red")],
                              should=[PrefixQuery("appl")])
+
+
+# --- sloppy phrase clauses inside booleans ----------------------------------
+
+def test_sloppy_clause_adds_scan_score(spark, bidx):
+    """'red apple'~2 as a SHOULD clause adds the scan path's sloppy BM25
+    on top of a MUST term."""
+    from pim_lucene_spark.plans.query import PhraseQuery
+    from pim_lucene_spark.plans.router import search_with_fallback
+    base = search_boolean(spark, bidx, [(0, BooleanQuery(must=["pie"]))],
+                          k=10).toPandas().set_index("doc_id").score
+    plus = search_boolean(
+        spark, bidx,
+        [(0, BooleanQuery(must=["pie"],
+                          should=[PhraseQuery("red pie", slop=2)]))],
+        k=10).toPandas().set_index("doc_id").score
+    sl = search_with_fallback(
+        spark, bidx, None, [(0, "red pie")], k=100, slop=2).toPandas()
+    sls = dict(zip(sl.doc_id, sl.score))
+    assert set(plus.index) == set(base.index)
+    for d in plus.index:
+        exp = np.float32(np.float64(base[d]) + np.float64(sls.get(d, 0.0)))
+        assert np.float32(plus[d]) == exp
+
+
+def test_sloppy_clause_must_gates(spark, bidx):
+    from pim_lucene_spark.plans.query import PhraseQuery
+    got = search_boolean(
+        spark, bidx,
+        [(0, BooleanQuery(must=[PhraseQuery("red house", slop=1)]))],
+        k=10).toPandas()
+    assert set(got.doc_id) == {1}  # 'red brick house' at slop 1
+
+
+def test_sloppy_clause_matches_oracle(spark, bidx):
+    duckdb = pytest.importorskip("duckdb")
+    from pim_lucene_spark.oracle import boolean_bm25_sql
+    from pim_lucene_spark.plans.query import PhraseQuery
+    specs = [
+        (0, {"must": ["pie"],
+             "should": [PhraseQuery("red pie", slop=2)]}),
+        (1, {"must": [PhraseQuery("red house", slop=1, boost=2.0)],
+             "must_not": ["grass"]}),
+    ]
+    bqs = [(qid, BooleanQuery(**spec)) for qid, spec in specs]
+    got = (search_boolean(spark, bidx, bqs, k=10, precision="float64")
+           .toPandas()
+           .assign(score=lambda d: d.score.round(6))
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", DOCS.rename(columns={"content": "text"}))
+    odf = (con.execute(boolean_bm25_sql(specs, k=10)).fetchdf()
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_parser_sloppy_in_boolean():
+    from pim_lucene_spark.plans.parser import parse_query
+    from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
+    q = parse_query('+a "b c"~2')
+    assert q == BooleanQuery(must=[TermQuery("a")],
+                             should=[PhraseQuery("b c", slop=2)])

@@ -103,8 +103,6 @@ def test_rejects_groups_fields_mixed_multiterm():
         parse_query("(a b) c")
     with pytest.raises(ValueError, match="single-field"):
         parse_query("title:foo")
-    with pytest.raises(ValueError, match="sloppy"):
-        parse_query('+a "b c"~2')
     with pytest.raises(ValueError, match="dangling"):
         parse_query("a AND")
     with pytest.raises(ValueError, match="empty"):
