@@ -1,0 +1,60 @@
+"""IndexSearcher.explain parity: the factor tree's score must be
+bit-identical (float32) to what search() gives the same doc.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.operators.index_build import build_index
+from pim_lucene_spark.operators.search import search
+from pim_lucene_spark.plans.explain import explain
+
+DOCS = pd.DataFrame({
+    "doc_id": range(5),
+    "content": ["red apple pie", "red brick house", "green apple tart",
+                "red apple red apple", "bold ideas only"],
+})
+
+
+@pytest.fixture(scope="module")
+def eidx(spark, tmp_path_factory):
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    return build_index(spark, spark.createDataFrame(DOCS),
+                       str(tmp_path_factory.mktemp("explidx")), cfg,
+                       content_col="content", id_col="doc_id")
+
+
+@pytest.mark.parametrize("text", ["red", "red apple", "apple"])
+def test_explain_score_matches_search(spark, eidx, text):
+    res = search(spark, eidx, [(0, text)], k=100).toPandas()
+    assert len(res)
+    for _, row in res.iterrows():
+        ex = explain(eidx, text, int(row.doc_id))
+        assert ex["matches"]
+        assert np.float32(ex["score"]) == np.float32(row.score), \
+            (text, row.doc_id)
+        assert ex["freq"] == row.freq
+        assert ex["norm_byte"] == row.norm
+
+
+def test_explain_boost_and_factors(spark, eidx):
+    from pim_lucene_spark.plans.query import TermQuery
+    plain = explain(eidx, "red", 0)
+    boosted = explain(eidx, TermQuery("red", boost=2.0), 0)
+    assert np.float32(boosted["weight"]) == np.float32(
+        np.float32(2.0) * np.float32(plain["weight"]))
+    assert plain["per_term"][0]["doc_freq"] == 3
+    assert plain["per_term"][0]["doc_count"] == 5
+    assert plain["quantized_doc_length"] == 3
+
+
+def test_explain_non_match_and_errors(spark, eidx):
+    ex = explain(eidx, "red apple", 1)  # has red, no adjacent apple
+    assert not ex["matches"] and ex["score"] == 0.0
+    with pytest.raises(ValueError, match="not in the index"):
+        explain(eidx, "red", 999)
+    with pytest.raises(ValueError, match="slop"):
+        from pim_lucene_spark.plans.query import PhraseQuery
+        explain(eidx, PhraseQuery("red apple", slop=1), 0)
