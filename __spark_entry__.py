@@ -286,6 +286,24 @@ def _count_specs():
             (953, "zzz_nohit"), (954, WildcardQuery("*o*"))]
 
 
+def _wrapper_specs():
+    from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                              MatchAllDocsQuery,
+                                              PhraseQuery)
+    return [(960, MatchAllDocsQuery(boost=3.0)),
+            (961, ConstantScoreQuery(PhraseQuery("the fast"), boost=2.0))]
+
+
+def _q_constant_wrappers(spark, sf_dir):
+    """MatchAllDocsQuery + ConstantScoreQuery through the typed facade:
+    match set only, constant boost scores, k smallest doc ids."""
+    from pim_lucene_spark.index import FullTextIndex
+    m = _get_index(spark, sf_dir)
+    idx = FullTextIndex(spark, m)
+    res = idx.query(_wrapper_specs(), k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_suggest(spark, sf_dir):
     """Prefix autocomplete over the term dictionary (doc-freq ranked,
     StringStartsWith pushdown on the stats Parquet)."""
@@ -553,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
         "engine_count": _q_count,
+        "engine_constant_wrappers": _q_constant_wrappers,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
         "engine_slop_repeated": _q_slop_repeated,
@@ -823,6 +842,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
         "engine_dismax_topk": oracle.dismax_bm25_sql(DISMAX_SPECS, k=10),
         "engine_suggest": oracle.suggest_sql("s", k=10),
+        "engine_constant_wrappers": oracle.constant_wrappers_sql(
+            _wrapper_specs(), k=10),
         "engine_count": oracle.count_sql(_count_specs()),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("

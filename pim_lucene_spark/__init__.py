@@ -24,10 +24,13 @@ from pim_lucene_spark.plans.multiterm import (FuzzyQuery, PrefixQuery,
                                               RegexpQuery, TermRangeQuery,
                                               WildcardQuery)
 from pim_lucene_spark.plans.parser import parse_query
-from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
+from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                          MatchAllDocsQuery, PhraseQuery,
+                                          TermQuery)
 
 __all__ = ["FullTextIndex", "IndexConfig", "IndexManifest",
            "MultiFieldIndex", "PhraseQuery", "TermQuery", "BooleanQuery",
            "DisMaxQuery", "PrefixQuery", "WildcardQuery", "TermRangeQuery",
-           "RegexpQuery", "FuzzyQuery", "parse_query"]
+           "RegexpQuery", "FuzzyQuery", "MatchAllDocsQuery",
+           "ConstantScoreQuery", "parse_query"]
 __version__ = "0.3.0"

@@ -120,12 +120,17 @@ class FullTextIndex:
         from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
                                                       MultiTermQueryT,
                                                       search_multiterm)
-        from pim_lucene_spark.plans.query import to_tuple
+        from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                                  MatchAllDocsQuery,
+                                                  to_tuple)
         from pim_lucene_spark.plans.router import search_with_fallback
 
         exact, sloppy, slops, boolean, dismax = [], [], {}, [], []
-        mt_const, mt_scoring = [], []
+        mt_const, mt_scoring, wrappers = [], [], []
         for qid, q in queries:
+            if isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery)):
+                wrappers.append((qid, q))
+                continue
             if isinstance(q, BooleanQuery):
                 boolean.append((qid, q))
                 continue
@@ -171,6 +176,22 @@ class FullTextIndex:
                 "qid", "doc_id",
                 F.lit(None).cast("double").alias("freq"),
                 F.lit(None).cast("int").alias("norm"), "score"))
+        for qid, q in wrappers:
+            from pim_lucene_spark.plans.query import MatchAllDocsQuery
+            if isinstance(q, MatchAllDocsQuery):
+                m = (self.docs().select("doc_id")
+                     .orderBy(F.asc("doc_id")).limit(k))
+            else:  # ConstantScoreQuery: the wrapped query's MATCH SET,
+                # k smallest doc ids (all ties at score == boost)
+                m = (self.query([(qid, q.query)], k=10 ** 9,
+                                precision=precision)
+                     .select("doc_id").distinct()
+                     .orderBy(F.asc("doc_id")).limit(k))
+            parts.append(m.select(
+                F.lit(int(qid)).cast("long").alias("qid"), "doc_id",
+                F.lit(None).cast("double").alias("freq"),
+                F.lit(None).cast("int").alias("norm"),
+                F.lit(float(q.boost)).alias("score")))
         if exact:
             parts.append(search(self.spark, self.manifest, exact, k=k,
                                 precision=precision))

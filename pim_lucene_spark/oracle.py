@@ -506,6 +506,32 @@ def dismax_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
             + " " + " UNION ALL ".join(selects))
 
 
+def constant_wrappers_sql(queries: list[tuple[int, object]],
+                          k: int | None = 10,
+                          tokenizer: str = "whitespace") -> str:
+    """MatchAllDocs / ConstantScore oracle → (qid, doc_id, score): the
+    match set with a constant boost score, k smallest doc ids."""
+    from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                              MatchAllDocsQuery)
+    selects = []
+    for qid, q in queries:
+        boost = float(q.boost)
+        if isinstance(q, MatchAllDocsQuery):
+            inner = "SELECT doc_id FROM documents"
+        elif isinstance(q, ConstantScoreQuery):
+            text = getattr(q.query, "text", q.query)
+            terms = tokenize_one(text, tokenizer)
+            inner = (f"SELECT doc_id FROM "
+                     f"({_phrase_freq_select(terms)})")
+        else:
+            raise TypeError(f"unsupported wrapper {q!r}")
+        limit = f"ORDER BY doc_id LIMIT {k}" if k is not None else ""
+        selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, "
+            f"{boost!r} AS score FROM ({inner} {limit})")
+    return (f"WITH {_tok_cte(tokenizer)} " + " UNION ALL ".join(selects))
+
+
 def suggest_sql(prefix: str, k: int = 10, by: str = "doc_freq",
                 tokenizer: str = "whitespace") -> str:
     """Prefix-suggester oracle → (term, doc_freq, total_tf) — the term

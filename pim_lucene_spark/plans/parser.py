@@ -198,6 +198,19 @@ def parse_query(s: str, default_operator: str = "or",
         if kind in ("tilde", "boost"):
             raise ValueError(f"dangling {raw!r} at clause start")
 
+        # --- *:* = MatchAllDocsQuery (classic parser special case) --------
+        if (kind == "term" and raw == "*" and i + 2 < n
+                and toks[i + 1][0] == "colon"
+                and toks[i + 2] == ("term", "*")):
+            from pim_lucene_spark.plans.query import MatchAllDocsQuery
+            q = MatchAllDocsQuery()
+            if i + 3 < n and toks[i + 3][0] == "boost":
+                q = MatchAllDocsQuery(boost=float(toks[i + 3][1][1:]))
+                i += 1
+            push(q)
+            i += 3
+            continue
+
         # --- field binding: term ':' clause -------------------------------
         if (kind == "term" and i + 1 < n and toks[i + 1][0] == "colon"):
             if not allow_fields:

@@ -63,3 +63,21 @@ class FieldedQuery:
 
     field: str
     query: object
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery:
+    """Every doc matches with a constant score of ``boost``
+    (``MatchAllDocsQuery.java``); ties (all of them) break doc-id asc."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Wraps any engine query; every matching doc scores ``boost``
+    (``ConstantScoreQuery.java`` — the wrapped query's scores are
+    discarded, only its match set is kept)."""
+
+    query: object
+    boost: float = 1.0

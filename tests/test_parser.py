@@ -201,3 +201,39 @@ def test_multifield_parse_and_query_end_to_end(spark, tmp_path_factory):
     for d in (0, 2):
         exp = np.float32(np.float64(ts.get(d, 0.0)) + np.float64(bs.get(d, 0.0)))
         assert np.float32(got[d]) == exp
+
+
+# --- MatchAllDocs / ConstantScore -------------------------------------------
+
+def test_match_all_parse():
+    from pim_lucene_spark.plans.query import MatchAllDocsQuery
+    assert parse_query("*:*") == MatchAllDocsQuery()
+    assert parse_query("*:*^2") == MatchAllDocsQuery(boost=2.0)
+
+
+def test_match_all_and_constant_score_end_to_end(spark, tmp_path_factory):
+    from pim_lucene_spark import (ConstantScoreQuery, FullTextIndex,
+                                  IndexConfig, MatchAllDocsQuery)
+    from pim_lucene_spark.operators.index_build import build_index
+
+    docs = pd.DataFrame({
+        "doc_id": range(5),
+        "content": ["red apple pie", "red brick house", "green apple tart",
+                    "red apple red apple", "bold ideas only"],
+    })
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(docs),
+                    str(tmp_path_factory.mktemp("maidx")), cfg,
+                    content_col="content", id_col="doc_id")
+    idx = FullTextIndex(spark, m)
+    res = idx.query([
+        (0, MatchAllDocsQuery(boost=3.0)),
+        (1, ConstantScoreQuery(PhraseQuery("red apple"), boost=2.0)),
+        (2, parse_query("*:*")),
+    ], k=3).toPandas()
+    by_q = {q: g for q, g in res.groupby("qid")}
+    assert list(by_q[0].doc_id) == [0, 1, 2]       # k smallest ids
+    assert (by_q[0].score == 3.0).all()
+    assert set(by_q[1].doc_id) == {0, 3}           # phrase matches
+    assert (by_q[1].score == 2.0).all()
+    assert len(by_q[2]) == 3 and (by_q[2].score == 1.0).all()
