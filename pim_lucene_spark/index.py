@@ -176,22 +176,47 @@ class FullTextIndex:
                 "qid", "doc_id",
                 F.lit(None).cast("double").alias("freq"),
                 F.lit(None).cast("int").alias("norm"), "score"))
-        for qid, q in wrappers:
+        if wrappers:
+            from pyspark.sql import Window
+
             from pim_lucene_spark.plans.query import MatchAllDocsQuery
-            if isinstance(q, MatchAllDocsQuery):
-                m = (self.docs().select("doc_id")
-                     .orderBy(F.asc("doc_id")).limit(k))
-            else:  # ConstantScoreQuery: the wrapped query's MATCH SET,
-                # k smallest doc ids (all ties at score == boost)
-                m = (self.query([(qid, q.query)], k=10 ** 9,
-                                precision=precision)
-                     .select("doc_id").distinct()
-                     .orderBy(F.asc("doc_id")).limit(k))
-            parts.append(m.select(
-                F.lit(int(qid)).cast("long").alias("qid"), "doc_id",
-                F.lit(None).cast("double").alias("freq"),
-                F.lit(None).cast("int").alias("norm"),
-                F.lit(float(q.boost)).alias("score")))
+
+            def _const(match_df, boost_rows):
+                bmap = self.spark.createDataFrame(
+                    boost_rows, "qid long, score double")
+                win = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+                return (match_df
+                        .withColumn("rank", F.row_number().over(win))
+                        .filter(F.col("rank") <= k).drop("rank")
+                        .join(F.broadcast(bmap), "qid")
+                        .select("qid", "doc_id",
+                                F.lit(None).cast("double").alias("freq"),
+                                F.lit(None).cast("int").alias("norm"),
+                                "score"))
+
+            ma = [(int(qid), float(q.boost)) for qid, q in wrappers
+                  if isinstance(q, MatchAllDocsQuery)]
+            cs = [(qid, q) for qid, q in wrappers
+                  if not isinstance(q, MatchAllDocsQuery)]
+            if ma:
+                # one docs scan serves every *:* query — the k smallest
+                # ids are the same for all of them
+                ids = (self.docs().select("doc_id")
+                       .orderBy(F.asc("doc_id")).limit(k))
+                qids = self.spark.createDataFrame(
+                    [(q,) for q, _ in ma], "qid long")
+                parts.append(_const(
+                    ids.crossJoin(F.broadcast(qids)).select("qid", "doc_id"),
+                    ma))
+            if cs:
+                # ConstantScoreQuery: ONE batched evaluation of every
+                # wrapped query's match set, then per-qid k smallest ids
+                # at score == boost
+                inner = self.query([(qid, q.query) for qid, q in cs],
+                                   k=10 ** 9, precision=precision)
+                parts.append(_const(
+                    inner.select("qid", "doc_id").distinct(),
+                    [(int(qid), float(q.boost)) for qid, q in cs]))
         if exact:
             parts.append(search(self.spark, self.manifest, exact, k=k,
                                 precision=precision))

@@ -382,7 +382,16 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
                         f"FROM positions WHERE {_mt_pred(cl)})")
                     names[role].append(cname)
                     continue
-                from pim_lucene_spark.plans.query import PhraseQuery
+                from pim_lucene_spark.plans.query import (MatchAllDocsQuery,
+                                                          PhraseQuery)
+                if isinstance(cl, MatchAllDocsQuery):
+                    cboost = (float(cl.boost) * boost if scoring else 1.0)
+                    ctes.append(
+                        f"{cname} AS (SELECT doc_id, "
+                        f"CAST({cboost!r} AS DOUBLE) AS score "
+                        f"FROM documents)")
+                    names[role].append(cname)
+                    continue
                 if isinstance(cl, PhraseQuery) and int(cl.slop) != 0:
                     # sloppy clause: recursive-CTE SloppyPhraseMatcher
                     # freq + the scan path's BM25 expression
@@ -404,8 +413,13 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
                         f"JOIN docl ON docl.doc_id = f.doc_id, cstats)")
                     names[role].append(cname)
                     continue
-                # clause entries are texts or (text, clause_boost) tuples
-                text, clboost = (cl if isinstance(cl, tuple) else (cl, 1.0))
+                # clause entries are texts, (text, clause_boost) tuples,
+                # or typed exact TermQuery/PhraseQuery objects
+                if isinstance(cl, tuple):
+                    text, clboost = cl
+                else:
+                    text = getattr(cl, "text", cl)
+                    clboost = float(getattr(cl, "boost", 1.0))
                 terms = tokenize_one(text, tokenizer)
                 cboost = clboost * boost if scoring else 1.0
                 ctes.append(f"{cname} AS ({_clause_select(terms, cboost)})")

@@ -74,42 +74,40 @@ def _clause_text_boost(clause) -> tuple[str, float]:
     return text, boost
 
 
-def search_boolean(spark: SparkSession, index, queries, k: int = 10,
-                   precision: str = "float32") -> DataFrame:
-    """Batched boolean search → DataFrame(qid, doc_id, score).
+def _empty_slot() -> dict:
+    return {"sub": [], "mt_const": [], "mt_scoring": [],
+            "sloppy": [], "slops": {}, "matchall": []}
 
-    ``queries`` is a list of ``(qid, BooleanQuery)``.  One engine search
-    evaluates every clause of every query (shared postings scan, shared
-    decode cache); the boolean composition is a deterministic join chain
-    per query, unioned and topped with the global (score desc, doc asc)
-    window.
+
+def _classify_clauses(queries, resolve_field):
+    """Shared clause classifier for both boolean paths.
+
+    ``resolve_field(clause) -> (field_key, clause)`` — the single-index
+    path maps every clause to key ``None``; the fielded path unwraps
+    ``FieldedQuery``.  Returns ``(per_field slots, meta)`` where each
+    slot routes its clauses to the right evaluation family:
+
+    - term/phrase (slop 0) → ``sub`` (ONE batched engine search);
+    - multi-term → ``mt_const`` (constant-score rewrite: clause score ==
+      boost) or ``mt_scoring`` (fuzzy: top-terms scoring) — Lucene's
+      in-boolean rewrites;
+    - sloppy phrases → ``sloppy`` (ONE scan-path job, per-clause slops —
+      the reference's slop contract);
+    - ``MatchAllDocsQuery`` → ``matchall`` ('*:* -foo' style).
+
+    Boolean boost multiplies every SCORING clause's weight
+    (``BooleanWeight`` passes the boost down); FILTER/MUST_NOT clauses
+    evaluate with boost 1 (their scores are discarded).
     """
     from dataclasses import replace
 
-    from pim_lucene_spark.operators.search import search
     from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
-                                                  MultiTermQueryT,
-                                                  search_multiterm)
+                                                  MultiTermQueryT)
+    from pim_lucene_spark.plans.query import (MatchAllDocsQuery,
+                                              PhraseQuery)
 
-    from pim_lucene_spark.plans.query import PhraseQuery
-    from pim_lucene_spark.plans.router import search_with_fallback
-
-    # multi-term clauses evaluate through search_multiterm with Lucene's
-    # in-boolean rewrites: constant-score for prefix/wildcard/range/regexp
-    # (clause score == boost), top-terms scoring for fuzzy — each family
-    # batched into ONE job keyed by sid, unioned with the engine clause
-    # frame so the join composition below is uniform.  Sloppy phrase
-    # clauses route through the ONE scan-path job with per-clause slops
-    # (the reference's slop contract).
-    sub, mt_const, mt_scoring, meta = [], [], [], []
-    sloppy, slops = [], {}
-    next_sid = [0]
-
-    def _alloc() -> int:
-        sid = next_sid[0]
-        next_sid[0] += 1
-        return sid
-
+    per_field: dict = {}
+    meta, next_sid = [], [0]
     for qid, bq in queries:
         if not isinstance(bq, BooleanQuery):
             raise TypeError("queries must be (qid, BooleanQuery) pairs")
@@ -117,50 +115,98 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
         for role in ("must", "filter", "should", "must_not"):
             sids = []
             for clause in getattr(bq, role):
-                sid = _alloc()
+                fkey, clause = resolve_field(clause)
+                sid = next_sid[0]
+                next_sid[0] += 1
                 scoring = role in ("must", "should")
+                slot = per_field.setdefault(fkey, _empty_slot())
                 if isinstance(clause, MultiTermQueryT):
                     q = clause
                     if scoring and float(bq.boost) != 1.0:
                         q = replace(q, boost=float(q.boost)
                                     * float(bq.boost))
-                    (mt_scoring if isinstance(q, FuzzyQuery)
-                     else mt_const).append((sid, q))
+                    slot["mt_scoring" if isinstance(q, FuzzyQuery)
+                         else "mt_const"].append((sid, q))
+                elif isinstance(clause, MatchAllDocsQuery):
+                    slot["matchall"].append(
+                        (sid, float(clause.boost) * float(bq.boost)
+                         if scoring else 1.0))
                 elif (isinstance(clause, PhraseQuery)
                       and int(clause.slop) != 0):
-                    sloppy.append((sid, clause.text,
-                                   float(clause.boost) * float(bq.boost)
-                                   if scoring else 1.0))
-                    slops[sid] = int(clause.slop)
+                    slot["sloppy"].append(
+                        (sid, clause.text,
+                         float(clause.boost) * float(bq.boost)
+                         if scoring else 1.0))
+                    slot["slops"][sid] = int(clause.slop)
                 else:
                     text, cboost = _clause_text_boost(clause)
-                    sub.append((sid, text,
-                                cboost * float(bq.boost) if scoring
-                                else 1.0))
+                    slot["sub"].append(
+                        (sid, text,
+                         cboost * float(bq.boost) if scoring else 1.0))
                 sids.append(sid)
             roles[role] = sids
         meta.append((qid, roles, int(bq.min_should_match)))
+    return per_field, meta
 
-    empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
-    if not (sub or mt_const or mt_scoring or sloppy):
-        return empty
-    parts_res = []
-    if sub:
-        parts_res.append(
-            search(spark, index, sub, k=10 ** 9, precision=precision)
+
+def _clause_frames(spark, index, slot: dict,
+                   precision: str) -> list[DataFrame]:
+    """Evaluate one index's clause slot → frames of (sid, doc_id, score),
+    one batched job per evaluation family."""
+    from pim_lucene_spark.manifest import IndexManifest
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.multiterm import search_multiterm
+    from pim_lucene_spark.plans.router import search_with_fallback
+
+    frames = []
+    if slot["sub"]:
+        frames.append(
+            search(spark, index, slot["sub"], k=10 ** 9,
+                   precision=precision)
             .select(F.col("qid").alias("sid"), "doc_id", "score"))
-    for mts, rewrite in ((mt_const, "constant_score"),
-                         (mt_scoring, "scoring_boolean")):
-        if mts:
-            parts_res.append(
-                search_multiterm(spark, index, mts, k=None, rewrite=rewrite,
-                                 precision=precision)
+    for key, rewrite in (("mt_const", "constant_score"),
+                         ("mt_scoring", "scoring_boolean")):
+        if slot[key]:
+            frames.append(
+                search_multiterm(spark, index, slot[key], k=None,
+                                 rewrite=rewrite, precision=precision)
                 .select(F.col("qid").alias("sid"), "doc_id", "score"))
-    if sloppy:
-        parts_res.append(
-            search_with_fallback(spark, index, None, sloppy, k=10 ** 9,
-                                 slop=slops, precision=precision)
+    if slot["sloppy"]:
+        frames.append(
+            search_with_fallback(spark, index, None, slot["sloppy"],
+                                 k=10 ** 9, slop=slot["slops"],
+                                 precision=precision)
             .select(F.col("qid").alias("sid"), "doc_id", "score"))
+    if slot["matchall"]:
+        manifest = (IndexManifest.load(index) if isinstance(index, str)
+                    else index)
+        ids = spark.read.parquet(manifest.docs_path).select("doc_id")
+        ma = spark.createDataFrame(slot["matchall"],
+                                   "sid long, score double")
+        frames.append(ids.crossJoin(F.broadcast(ma))
+                      .select("sid", "doc_id", "score"))
+    return frames
+
+
+def search_boolean(spark: SparkSession, index, queries, k: int = 10,
+                   precision: str = "float32") -> DataFrame:
+    """Batched boolean search → DataFrame(qid, doc_id, score).
+
+    ``queries`` is a list of ``(qid, BooleanQuery)``.  One engine search
+    evaluates every term/phrase clause of every query (shared postings
+    scan, shared decode cache); multi-term, sloppy-phrase and
+    match-all-docs clauses run one batched job per family (see
+    :func:`_classify_clauses`); the boolean composition is a
+    deterministic join chain per query, unioned and topped with the
+    global (score desc, doc asc) window.
+    """
+    per_field, meta = _classify_clauses(queries, lambda c: (None, c))
+    empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+    parts_res = _clause_frames(spark, index,
+                               per_field.get(None, _empty_slot()),
+                               precision)
+    if not parts_res:
+        return empty
     res = parts_res[0]
     for p in parts_res[1:]:
         res = res.unionByName(p)
@@ -260,94 +306,31 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
 
     ``manifests`` maps field name → that field's sub-index manifest
     (``MultiFieldIndex.manifests``); clause entries are plain (default
-    field) or ``FieldedQuery(field, clause)``.  Per field, all of its
-    term/phrase clauses run through ONE engine search and its multi-term
-    clauses through one constant-score / one fuzzy-scoring job — frames
-    union into a single clause frame, and the composition is the same
+    field) or ``FieldedQuery(field, clause)``.  Per field, each clause
+    family runs its one batched job on that field's sub-index (see
+    :func:`_classify_clauses` / :func:`_clause_frames`) — frames union
+    into a single clause frame, and the composition is the same
     deterministic join chain as :func:`search_boolean` (each field is an
     independent posting space with its own stats, exactly Lucene's
     per-field scoring inside one BooleanQuery).
     """
-    from dataclasses import replace
+    from pim_lucene_spark.plans.query import FieldedQuery
 
-    from pim_lucene_spark.operators.search import search
-    from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
-                                                  MultiTermQueryT,
-                                                  search_multiterm)
-    from pim_lucene_spark.plans.query import FieldedQuery, PhraseQuery
-    from pim_lucene_spark.plans.router import search_with_fallback
+    def resolve(clause):
+        field = default_field
+        if isinstance(clause, FieldedQuery):
+            field, clause = clause.field, clause.query
+        if field not in manifests:
+            raise ValueError(f"unknown field {field!r}; have "
+                             f"{sorted(manifests)}")
+        return field, clause
 
-    per_field: dict = {f: {"sub": [], "mt_const": [], "mt_scoring": [],
-                           "sloppy": [], "slops": {}}
-                       for f in manifests}
-    meta, next_sid = [], [0]
-
-    def _alloc() -> int:
-        sid = next_sid[0]
-        next_sid[0] += 1
-        return sid
-
-    for qid, bq in queries:
-        if not isinstance(bq, BooleanQuery):
-            raise TypeError("queries must be (qid, BooleanQuery) pairs")
-        roles = {}
-        for role in ("must", "filter", "should", "must_not"):
-            sids = []
-            for clause in getattr(bq, role):
-                field = default_field
-                if isinstance(clause, FieldedQuery):
-                    field, clause = clause.field, clause.query
-                if field not in manifests:
-                    raise ValueError(f"unknown field {field!r}; have "
-                                     f"{sorted(manifests)}")
-                sid = _alloc()
-                scoring = role in ("must", "should")
-                slot = per_field[field]
-                if isinstance(clause, MultiTermQueryT):
-                    q = clause
-                    if scoring and float(bq.boost) != 1.0:
-                        q = replace(q, boost=float(q.boost)
-                                    * float(bq.boost))
-                    slot["mt_scoring" if isinstance(q, FuzzyQuery)
-                         else "mt_const"].append((sid, q))
-                elif (isinstance(clause, PhraseQuery)
-                      and int(clause.slop) != 0):
-                    slot["sloppy"].append(
-                        (sid, clause.text,
-                         float(clause.boost) * float(bq.boost)
-                         if scoring else 1.0))
-                    slot["slops"][sid] = int(clause.slop)
-                else:
-                    text, cboost = _clause_text_boost(clause)
-                    slot["sub"].append(
-                        (sid, text,
-                         cboost * float(bq.boost) if scoring else 1.0))
-                sids.append(sid)
-            roles[role] = sids
-        meta.append((qid, roles, int(bq.min_should_match)))
-
+    per_field, meta = _classify_clauses(queries, resolve)
     empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
     parts_res = []
-    for field, slot in per_field.items():
-        man = manifests[field]
-        if slot["sub"]:
-            parts_res.append(
-                search(spark, man, slot["sub"], k=10 ** 9,
-                       precision=precision)
-                .select(F.col("qid").alias("sid"), "doc_id", "score"))
-        for key, rewrite in (("mt_const", "constant_score"),
-                             ("mt_scoring", "scoring_boolean")):
-            if slot[key]:
-                parts_res.append(
-                    search_multiterm(spark, man, slot[key], k=None,
-                                     rewrite=rewrite, precision=precision)
-                    .select(F.col("qid").alias("sid"), "doc_id", "score"))
-        if slot["sloppy"]:
-            parts_res.append(
-                search_with_fallback(spark, man, None, slot["sloppy"],
-                                     k=10 ** 9, slop=slot["slops"],
-                                     precision=precision)
-                .select(F.col("qid").alias("sid"), "doc_id", "score"))
+    for fname, slot in per_field.items():
+        parts_res.extend(
+            _clause_frames(spark, manifests[fname], slot, precision))
     if not parts_res:
         return empty
     res = parts_res[0]

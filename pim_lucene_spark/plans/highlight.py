@@ -54,14 +54,24 @@ def _snippet_ws(text: str, spans, starts: list[int], m: int,
     fragment)."""
     s0, e0 = spans[starts[0]][1], spans[starts[0] + m - 1][2]
     lo, hi = max(0, s0 - window), min(len(text), e0 + window)
-    # wrap matched token runs inside [lo, hi), right-to-left
+    # wrap matched token runs inside [lo, hi); overlapping matches
+    # (repeated-term phrases like 'red red' in 'red red red') merge
+    # into one highlighted run, else the right-to-left insertion
+    # produces mis-nested tags
     cuts = []
     for st in starts:
         a, b = spans[st][1], spans[st + m - 1][2]
         if a >= lo and b <= hi:
             cuts.append((a, b))
+    cuts.sort()
+    merged: list[list[int]] = []
+    for a, b in cuts:
+        if merged and a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
     out = text[lo:hi]
-    for a, b in sorted(cuts, reverse=True):
+    for a, b in sorted(map(tuple, merged), reverse=True):
         ra, rb = a - lo, b - lo
         out = out[:ra] + pre + out[ra:rb] + post + out[rb:]
     prefix = "..." if lo > 0 else ""

@@ -156,16 +156,17 @@ def parse_query(s: str, default_operator: str = "or",
         if field is not None:
             q = FieldedQuery(field, q)
             field = None
+        # classic retroactive rule: AND promotes the previous unmarked
+        # SHOULD clause to MUST — even when THIS clause carries its own
+        # +/-/NOT modifier ('a AND NOT b' requires a)
+        if conj == "and" and clauses and clauses[-1][0] == "should":
+            clauses[-1][0] = "must"
         if pending is not None:
             occur = pending
         elif conj == "or":
             occur = "should"
         elif conj == "and":
             occur = "must"
-            # classic retroactive rule: AND promotes the previous
-            # unmarked SHOULD clause to MUST as well
-            if clauses and clauses[-1][0] == "should":
-                clauses[-1][0] = "must"
         else:
             occur = "must" if default_operator == "and" else "should"
         clauses.append([occur, q])
@@ -240,7 +241,17 @@ def parse_query(s: str, default_operator: str = "or",
         elif kind == "term":
             if i + 1 < n and toks[i + 1][0] == "tilde":
                 traw = toks[i + 1][1]
-                edits = int(float(traw[1:])) if len(traw) > 1 else 2
+                if len(traw) > 1:
+                    val = float(traw[1:])
+                    if val != int(val):
+                        # FuzzyQuery.java / classic QueryParser reject
+                        # the legacy similarity form
+                        raise ValueError(
+                            "Fractional edit distances are not allowed "
+                            f"({raw}{traw})")
+                    edits = int(val)
+                else:
+                    edits = 2
                 q = FuzzyQuery(_unescape(raw), max_edits=edits)
                 i += 1
             elif _is_wild(raw):
@@ -267,6 +278,10 @@ def parse_query(s: str, default_operator: str = "or",
 
     if len(clauses) == 1 and clauses[0][0] in ("should", "must"):
         return clauses[0][1]
+    if all(occur == "must_not" for occur, _ in clauses):
+        raise ValueError(
+            "purely negative query matches nothing — add at least one "
+            "positive clause (e.g. '*:* -foo')")
     occur_map = {"must": [], "should": [], "must_not": []}
     for occur, q in clauses:
         occur_map[occur].append(q)

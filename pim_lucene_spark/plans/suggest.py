@@ -54,11 +54,20 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
     from pim_lucene_spark.plans.multiterm import (MultiTermQueryT,
                                                   search_multiterm)
     from pim_lucene_spark.plans.query import to_tuple
+    from pim_lucene_spark.plans.router import search_with_fallback
 
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
-    plain, multi = [], []
+    plain, multi, sloppy, slops = [], [], [], {}
     for qid, q in queries:
-        (multi if isinstance(q, MultiTermQueryT) else plain).append((qid, q))
+        if isinstance(q, MultiTermQueryT):
+            multi.append((qid, q))
+        elif int(getattr(q, "slop", 0)) != 0:
+            # sloppy phrases count via the scan path — the exact-match
+            # path would silently undercount them
+            sloppy.append((qid, q.text, float(getattr(q, "boost", 1.0))))
+            slops[int(qid)] = int(q.slop)
+        else:
+            plain.append((qid, q))
     parts = []
     if plain:
         res = search(spark, manifest,
@@ -68,6 +77,11 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
     if multi:
         res = search_multiterm(spark, manifest, multi, k=None,
                                rewrite="constant_score")
+        parts.append(res.groupBy("qid")
+                     .agg(F.count("*").alias("n_hits")))
+    if sloppy:
+        res = search_with_fallback(spark, manifest, None, sloppy,
+                                   k=10 ** 9, slop=slops)
         parts.append(res.groupBy("qid")
                      .agg(F.count("*").alias("n_hits")))
     all_qids = spark.createDataFrame([(int(q),) for q, _ in queries],

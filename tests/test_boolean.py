@@ -331,3 +331,35 @@ def test_parser_sloppy_in_boolean():
     q = parse_query('+a "b c"~2')
     assert q == BooleanQuery(must=[TermQuery("a")],
                              should=[PhraseQuery("b c", slop=2)])
+
+
+def test_typed_exact_clause_oracle(spark, bidx):
+    """boolean_bm25_sql accepts typed EXACT PhraseQuery/TermQuery clause
+    objects (what the parser emits), not just texts."""
+    duckdb = pytest.importorskip("duckdb")
+    from pim_lucene_spark.oracle import boolean_bm25_sql
+    from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
+    specs = [(0, {"must": [PhraseQuery("red apple"),
+                           TermQuery("pie", boost=2.0)]})]
+    bqs = [(qid, BooleanQuery(**spec)) for qid, spec in specs]
+    got = (search_boolean(spark, bidx, bqs, k=10, precision="float64")
+           .toPandas()
+           .assign(score=lambda d: d.score.round(6))
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", DOCS.rename(columns={"content": "text"}))
+    odf = (con.execute(boolean_bm25_sql(specs, k=10)).fetchdf()
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_matchall_clause_in_boolean(spark, bidx):
+    from pim_lucene_spark.plans.query import MatchAllDocsQuery
+    got = search_boolean(
+        spark, bidx,
+        [(0, BooleanQuery(should=[MatchAllDocsQuery(boost=2.0)],
+                          must_not=["green"]))],
+        k=10).toPandas()
+    grn = set(_scores(spark, bidx, "green"))
+    assert set(got.doc_id) == set(range(6)) - grn
+    assert (got.score == 2.0).all()

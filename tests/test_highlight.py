@@ -78,3 +78,15 @@ def test_standard_analyzer_best_effort(spark, tmp_path_factory):
                     tokenizer="standard").toPandas()
     assert res.n_matches.iloc[0] == 1
     assert "<b>The Fast</b>" in res.snippet.iloc[0]
+
+
+def test_overlapping_matches_merge(spark):
+    """Repeated-term phrases produce overlapping matches; the wrapped
+    runs must merge instead of emitting mis-nested tags."""
+    docs = pd.DataFrame({"doc_id": [0], "content": ["red red red end"]})
+    hits = spark.createDataFrame([(0, 0)], "qid long, doc_id long")
+    res = highlight(spark.createDataFrame(docs), hits,
+                    [(0, "red red")], window=50).toPandas()
+    snip = res.snippet.iloc[0]
+    assert snip == "<b>red red red</b> end"
+    assert res.n_matches.iloc[0] == 2

@@ -237,3 +237,47 @@ def test_match_all_and_constant_score_end_to_end(spark, tmp_path_factory):
     assert set(by_q[1].doc_id) == {0, 3}           # phrase matches
     assert (by_q[1].score == 2.0).all()
     assert len(by_q[2]) == 3 and (by_q[2].score == 1.0).all()
+
+
+# --- code-review regressions ------------------------------------------------
+
+def test_and_promotes_through_modifier():
+    """'a AND NOT b AND c' must require a AND c (classic QueryParser
+    promotes the previous clause on every CONJ_AND, even when the next
+    clause carries its own modifier)."""
+    q = parse_query("a AND NOT b AND c")
+    assert q == BooleanQuery(must=[TermQuery("a"), TermQuery("c")],
+                             must_not=[TermQuery("b")])
+    q = parse_query("a AND +b")
+    assert q == BooleanQuery(must=[TermQuery("a"), TermQuery("b")])
+
+
+def test_pure_negative_clear_error():
+    with pytest.raises(ValueError, match="purely negative"):
+        parse_query("-foo")
+    with pytest.raises(ValueError, match="purely negative"):
+        parse_query("-foo -bar")
+
+
+def test_fractional_fuzzy_rejected():
+    with pytest.raises(ValueError, match="Fractional edit distances"):
+        parse_query("foo~0.8")
+    assert parse_query("foo~2.0") == FuzzyQuery("foo", max_edits=2)
+
+
+def test_match_all_with_negation_end_to_end(spark, tmp_path_factory):
+    from pim_lucene_spark import FullTextIndex, IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "content": ["red apple", "green tree", "red brick", "blue sky"],
+    })
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(docs),
+                    str(tmp_path_factory.mktemp("manidx")), cfg,
+                    content_col="content", id_col="doc_id")
+    idx = FullTextIndex(spark, m)
+    res = idx.parse_and_query([(0, "*:* -red")], k=10).toPandas()
+    assert set(res.doc_id) == {1, 3}
+    assert (res.score == 1.0).all()

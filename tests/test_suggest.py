@@ -54,3 +54,15 @@ def test_count_matches_mixed(spark, sidx):
     assert got[1] == 1            # doc 0 only ("red apple" adjacent)
     assert got[2] == 4            # ap* in docs 0,1,2,4
     assert got[3] == 0            # zero-hit query still reported
+
+
+def test_count_sloppy_phrase(spark, sidx):
+    """A sloppy PhraseQuery must count sloppy matches (scan path), not
+    silently fall back to exact adjacency."""
+    from pim_lucene_spark.plans.query import PhraseQuery
+    got = (count_matches(spark, sidx, [
+        (0, PhraseQuery("red pie", slop=0)),
+        (1, PhraseQuery("red pie", slop=1)),
+    ]).toPandas().set_index("qid").n_hits)
+    assert got[0] == 0            # 'red apple pie' is not adjacent
+    assert got[1] == 1            # one gap allowed
