@@ -348,7 +348,8 @@ def _clause_select(terms: list[str], boost: float = 1.0) -> str:
 
 
 def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
-                     tokenizer: str = "whitespace") -> str:
+                     tokenizer: str = "whitespace",
+                     round_scores: bool = True) -> str:
     """BooleanQuery oracle → (qid, doc_id, score).
 
     ``queries``: ``(qid, {"must": [...], "should": [...], "must_not":
@@ -384,6 +385,20 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
                     continue
                 from pim_lucene_spark.plans.query import (MatchAllDocsQuery,
                                                           PhraseQuery)
+                if isinstance(cl, dict):
+                    # nested group clause: the inner boolean's whole
+                    # score, boolean boost pushed down to scoring groups
+                    inner = dict(cl)
+                    if scoring and boost != 1.0:
+                        inner["boost"] = (float(inner.get("boost", 1.0))
+                                          * boost)
+                    inner_sql = boolean_bm25_sql(
+                        [(0, inner)], k=None, tokenizer=tokenizer,
+                        round_scores=False)
+                    ctes.append(f"{cname} AS (SELECT doc_id, score "
+                                f"FROM ({inner_sql}))")
+                    names[role].append(cname)
+                    continue
                 if isinstance(cl, MatchAllDocsQuery):
                     cboost = (float(cl.boost) * boost if scoring else 1.0)
                     ctes.append(
@@ -468,7 +483,8 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
                    if k is not None else "")
         selects.append(
             f"SELECT CAST({qid} AS BIGINT) AS qid, b.doc_id, "
-            f"round(b.total, 6) AS score FROM "
+            + ("round(b.total, 6)" if round_scores else "b.total")
+            + " AS score FROM "
             f"(SELECT doc_id, {total} AS total, {n_should} AS n_should "
             f"FROM {from_sql}) b "
             f"{where} {qualify}")

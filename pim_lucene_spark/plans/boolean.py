@@ -76,7 +76,7 @@ def _clause_text_boost(clause) -> tuple[str, float]:
 
 def _empty_slot() -> dict:
     return {"sub": [], "mt_const": [], "mt_scoring": [],
-            "sloppy": [], "slops": {}, "matchall": []}
+            "sloppy": [], "slops": {}, "matchall": [], "nested": []}
 
 
 def _classify_clauses(queries, resolve_field):
@@ -120,7 +120,16 @@ def _classify_clauses(queries, resolve_field):
                 next_sid[0] += 1
                 scoring = role in ("must", "should")
                 slot = per_field.setdefault(fkey, _empty_slot())
-                if isinstance(clause, MultiTermQueryT):
+                if isinstance(clause, BooleanQuery):
+                    # nested group '(a b) c': the inner boolean's whole
+                    # score is this clause's score; boolean boost passes
+                    # down (BooleanWeight gives sub-weights the boost)
+                    q = clause
+                    if scoring and float(bq.boost) != 1.0:
+                        q = replace(q, boost=float(q.boost)
+                                    * float(bq.boost))
+                    slot["nested"].append((sid, q))
+                elif isinstance(clause, MultiTermQueryT):
                     q = clause
                     if scoring and float(bq.boost) != 1.0:
                         q = replace(q, boost=float(q.boost)
@@ -202,9 +211,15 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
     """
     per_field, meta = _classify_clauses(queries, lambda c: (None, c))
     empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
-    parts_res = _clause_frames(spark, index,
-                               per_field.get(None, _empty_slot()),
-                               precision)
+    slot = per_field.get(None, _empty_slot())
+    parts_res = _clause_frames(spark, index, slot, precision)
+    if slot["nested"]:
+        # one recursive batched evaluation for ALL nested groups; the
+        # inner result's qid is the outer clause sid
+        parts_res.append(
+            search_boolean(spark, index, slot["nested"], k=10 ** 9,
+                           precision=precision)
+            .select(F.col("qid").alias("sid"), "doc_id", "score"))
     if not parts_res:
         return empty
     res = parts_res[0]
@@ -331,6 +346,15 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
     for fname, slot in per_field.items():
         parts_res.extend(
             _clause_frames(spark, manifests[fname], slot, precision))
+        if slot["nested"]:
+            # a group bound to a field ('title:(a b)') makes that field
+            # the default for its inner clauses; inner FieldedQuery
+            # clauses still resolve their own fields
+            parts_res.append(
+                search_boolean_fields(spark, manifests, fname,
+                                      slot["nested"], k=10 ** 9,
+                                      precision=precision)
+                .select(F.col("qid").alias("sid"), "doc_id", "score"))
     if not parts_res:
         return empty
     res = parts_res[0]

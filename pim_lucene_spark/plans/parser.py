@@ -24,11 +24,12 @@ subset), so a search box can drive ``FullTextIndex.query`` directly:
 
 Multi-term queries compose inside booleans with Lucene's in-boolean
 rewrites (``+content* -tmp`` works: constant-score for prefix/wildcard/
-range/regexp clauses, top-terms scoring for fuzzy), and sloppy phrases
-compose via the scan path (``+"a b"~2 c``).  Deliberately unsupported
-(clear errors, documented): parenthesized sub-groups (the engine's
-``BooleanQuery`` is flat) and — without ``allow_fields=True`` —
-``field:`` prefixes.
+range/regexp clauses, top-terms scoring for fuzzy), sloppy phrases
+compose via the scan path (``+"a b"~2 c``), and parenthesized
+sub-groups nest (``+(a b) -c``, ``title:(x y)^2`` — a group becomes a
+nested ``BooleanQuery`` clause whose whole score is the clause score).
+Without ``allow_fields=True``, ``field:`` prefixes are rejected with a
+clear error.
 
 Terms and phrase words are analyzed with the index's tokenizer at query
 time (by the engine), so the parser leaves text verbatim; wildcard /
@@ -136,17 +137,43 @@ def parse_query(s: str, default_operator: str = "or",
     ``MultiFieldIndex.parse_and_query`` mode; the single-field facade
     keeps the default and rejects fields with a clear error.
     """
-    from pim_lucene_spark.plans.query import FieldedQuery
-
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
     toks = _lex(s)
     if not toks:
         raise ValueError("empty query")
+    q, i = _parse_group(toks, 0, 0, default_operator, allow_fields)
+    if i != len(toks):
+        raise ValueError("unbalanced ')'")
+    return q
+
+
+def _finalize(clauses):
+    """clauses ``[occur, query]`` → a single typed query or BooleanQuery."""
+    if len(clauses) == 1 and clauses[0][0] in ("should", "must"):
+        return clauses[0][1]
+    if all(occur == "must_not" for occur, _ in clauses):
+        raise ValueError(
+            "purely negative query matches nothing — add at least one "
+            "positive clause (e.g. '*:* -foo')")
+    occur_map = {"must": [], "should": [], "must_not": []}
+    for occur, q in clauses:
+        occur_map[occur].append(q)
+    # TermQuery/PhraseQuery go in as typed clauses (search_boolean reads
+    # .text/.boost; sloppy phrases route through the scan path there)
+    return BooleanQuery(must=occur_map["must"], should=occur_map["should"],
+                        must_not=occur_map["must_not"])
+
+
+def _parse_group(toks, i: int, depth: int, default_operator: str,
+                 allow_fields: bool):
+    """Recursive-descent clause-list parser; consumes until the matching
+    ')' (``depth > 0``) or end of input.  Returns ``(query, next_i)``."""
+    from pim_lucene_spark.plans.query import FieldedQuery
 
     # clauses: list of [occur, query]; occur in {"must","must_not","should"}
     clauses: list[list] = []
-    i, n = 0, len(toks)
+    n = len(toks)
     pending = None   # explicit +/-/NOT modifier for the next clause
     conj = None      # AND/OR seen since the previous clause
     field = None     # field: binding for the next clause
@@ -172,6 +199,9 @@ def parse_query(s: str, default_operator: str = "or",
         clauses.append([occur, q])
         pending, conj = None, None
 
+    def _dangling() -> bool:
+        return pending is not None or conj is not None or field is not None
+
     while i < n:
         kind, raw = toks[i]
         if kind in ("plus", "not"):
@@ -190,10 +220,25 @@ def parse_query(s: str, default_operator: str = "or",
             conj = "or"
             i += 1
             continue
-        if kind in ("lparen", "rparen"):
-            raise ValueError(
-                "parenthesized sub-groups are not supported (the engine's "
-                "BooleanQuery is flat); rewrite without grouping")
+        if kind == "lparen":
+            # sub-group: parse recursively; the finalized inner query
+            # becomes ONE clause (a nested BooleanQuery evaluates as a
+            # single scoring clause downstream)
+            sub_q, i = _parse_group(toks, i + 1, depth + 1,
+                                    default_operator, allow_fields)
+            if i < n and toks[i][0] == "boost":
+                sub_q = _with_boost(sub_q, float(toks[i][1][1:]))
+                i += 1
+            push(sub_q)
+            continue
+        if kind == "rparen":
+            if depth == 0:
+                raise ValueError("unbalanced ')'")
+            if _dangling():
+                raise ValueError("dangling operator before ')'")
+            if not clauses:
+                raise ValueError("empty group '()'")
+            return _finalize(clauses), i + 1
         if kind == "colon":
             raise ValueError(f"dangling ':' at position {i}")
         if kind in ("tilde", "boost"):
@@ -273,19 +318,8 @@ def parse_query(s: str, default_operator: str = "or",
         push(q)
         i += 1
 
-    if pending is not None or conj is not None or field is not None:
+    if depth > 0:
+        raise ValueError("unbalanced '('")
+    if _dangling():
         raise ValueError("dangling operator at end of query")
-
-    if len(clauses) == 1 and clauses[0][0] in ("should", "must"):
-        return clauses[0][1]
-    if all(occur == "must_not" for occur, _ in clauses):
-        raise ValueError(
-            "purely negative query matches nothing — add at least one "
-            "positive clause (e.g. '*:* -foo')")
-    occur_map = {"must": [], "should": [], "must_not": []}
-    for occur, q in clauses:
-        occur_map[occur].append(q)
-    # TermQuery/PhraseQuery go in as typed clauses (search_boolean reads
-    # .text/.boost; sloppy phrases route through the scan path there)
-    return BooleanQuery(must=occur_map["must"], should=occur_map["should"],
-                        must_not=occur_map["must_not"])
+    return _finalize(clauses), i

@@ -99,8 +99,6 @@ def test_boosted_clause_in_boolean():
 # --- rejected constructs (clear errors) -------------------------------------
 
 def test_rejects_groups_fields_mixed_multiterm():
-    with pytest.raises(ValueError, match="sub-groups"):
-        parse_query("(a b) c")
     with pytest.raises(ValueError, match="single-field"):
         parse_query("title:foo")
     with pytest.raises(ValueError, match="dangling"):
@@ -281,3 +279,115 @@ def test_match_all_with_negation_end_to_end(spark, tmp_path_factory):
     res = idx.parse_and_query([(0, "*:* -red")], k=10).toPandas()
     assert set(res.doc_id) == {1, 3}
     assert (res.score == 1.0).all()
+
+
+# --- parenthesized sub-groups -----------------------------------------------
+
+def test_group_parse():
+    q = parse_query("(a b) c")
+    assert q == BooleanQuery(
+        should=[BooleanQuery(should=[TermQuery("a"), TermQuery("b")]),
+                TermQuery("c")])
+    q = parse_query("+(a b) -c")
+    assert q == BooleanQuery(
+        must=[BooleanQuery(should=[TermQuery("a"), TermQuery("b")])],
+        must_not=[TermQuery("c")])
+    # boost on a group; single-clause group unwraps
+    q = parse_query("(a AND b)^2 (c)")
+    assert q == BooleanQuery(
+        should=[BooleanQuery(must=[TermQuery("a"), TermQuery("b")],
+                             boost=2.0),
+                TermQuery("c")])
+    # nesting depth 2
+    q = parse_query("+((a b) d) e")
+    inner = BooleanQuery(should=[TermQuery("a"), TermQuery("b")])
+    assert q == BooleanQuery(
+        must=[BooleanQuery(should=[inner, TermQuery("d")])],
+        should=[TermQuery("e")])
+
+
+def test_group_fielded_parse():
+    from pim_lucene_spark.plans.query import FieldedQuery
+    q = parse_query("title:(a b) c", allow_fields=True)
+    assert q == BooleanQuery(
+        should=[FieldedQuery("title",
+                             BooleanQuery(should=[TermQuery("a"),
+                                                  TermQuery("b")])),
+                TermQuery("c")])
+
+
+def test_group_errors():
+    with pytest.raises(ValueError, match=r"unbalanced '\('"):
+        parse_query("(a b")
+    with pytest.raises(ValueError, match=r"unbalanced '\)'"):
+        parse_query("a b)")
+    with pytest.raises(ValueError, match="empty group"):
+        parse_query("() a")
+    with pytest.raises(ValueError, match="dangling"):
+        parse_query("(a AND) b")
+
+
+def test_group_end_to_end(spark, tmp_path_factory):
+    import numpy as np
+
+    from pim_lucene_spark import FullTextIndex, IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+
+    docs = pd.DataFrame({
+        "doc_id": range(5),
+        "content": ["red apple pie", "red brick house", "green apple tart",
+                    "red apple red apple", "bold ideas only"],
+    })
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(docs),
+                    str(tmp_path_factory.mktemp("grpidx")), cfg,
+                    content_col="content", id_col="doc_id")
+    idx = FullTextIndex(spark, m)
+    # (pie OR tart) docs {0,2}; AND red -> {0}
+    res = idx.parse_and_query([(0, "+(pie tart) +red")], k=10).toPandas()
+    assert set(res.doc_id) == {0}
+    # nested group score == pie-score + red-score on doc 0
+    from pim_lucene_spark.operators.search import search
+    pie = dict(zip(*[search(spark, m, [(0, "pie")], k=10).toPandas()
+                     [c] for c in ("doc_id", "score")]))
+    red = dict(zip(*[search(spark, m, [(0, "red")], k=10).toPandas()
+                     [c] for c in ("doc_id", "score")]))
+    exp = np.float32(np.float64(pie[0]) + np.float64(red[0]))
+    assert np.float32(res.score.iloc[0]) == exp
+
+
+def test_group_oracle(spark, tmp_path_factory):
+    duckdb = pytest.importorskip("duckdb")
+    from pim_lucene_spark import IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+    from pim_lucene_spark.oracle import boolean_bm25_sql
+    from pim_lucene_spark.plans.boolean import search_boolean
+
+    docs = pd.DataFrame({
+        "doc_id": range(5),
+        "content": ["red apple pie", "red brick house", "green apple tart",
+                    "red apple red apple", "bold ideas only"],
+    })
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(docs),
+                    str(tmp_path_factory.mktemp("grporcl")), cfg,
+                    content_col="content", id_col="doc_id")
+    specs = [
+        (0, {"must": [{"should": ["pie", "tart"]}, "red"]}),
+        (1, {"should": [{"must": ["red", "apple"], "boost": 2.0},
+                        "bold"]}),
+    ]
+    bqs = [(qid, BooleanQuery(**{
+        role: [BooleanQuery(**c) if isinstance(c, dict) else c
+               for c in cls]
+        for role, cls in spec.items() if role != "boost"}))
+        for qid, spec in specs]
+    got = (search_boolean(spark, m, bqs, k=10, precision="float64")
+           .toPandas()
+           .assign(score=lambda d: d.score.round(6))
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs.rename(columns={"content": "text"}))
+    odf = (con.execute(boolean_bm25_sql(specs, k=10)).fetchdf()
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
