@@ -39,6 +39,33 @@ def suggest_terms(spark: SparkSession, index: IndexManifest | str,
             .select("term", "doc_freq", "total_tf"))
 
 
+def suggest_terms_local(index: IndexManifest | str, prefix: str,
+                        k: int = 10, by: str = "doc_freq"):
+    """Serving-path suggester: the same completion list with NO Spark
+    job — one pyarrow read of the stats dictionary with the prefix
+    filter pushed down (row-group pruning on the sorted term column).
+    Returns a pandas frame (term, doc_freq, total_tf); row-identical to
+    :func:`suggest_terms` (differential-tested).  Autocomplete-as-you-
+    type latency next to ``search_local``.
+    """
+    import pyarrow.parquet as pq
+
+    if by not in ("doc_freq", "total_tf"):
+        raise ValueError("by must be 'doc_freq' or 'total_tf'")
+    manifest = IndexManifest.load(index) if isinstance(index, str) else index
+    # closed prefix interval [prefix, prefix + MAX_CHAR): range predicates
+    # prune row groups via the column's min/max stats
+    hi = prefix + "\U0010FFFF"
+    pdf = pq.read_table(
+        manifest.stats_path,
+        columns=["term", "doc_freq", "total_tf"],
+        filters=[("term", ">=", prefix), ("term", "<", hi)]).to_pandas()
+    pdf = pdf[pdf.term.str.startswith(prefix)]
+    pdf = pdf.sort_values([by, "term"], ascending=[False, True],
+                          kind="stable")
+    return pdf.head(k).reset_index(drop=True)
+
+
 def count_matches(spark: SparkSession, index: IndexManifest | str,
                   queries: list[tuple[int, object]]) -> DataFrame:
     """Hit counts → (qid, n_hits) — ``IndexSearcher.count`` semantics.

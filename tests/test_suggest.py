@@ -66,3 +66,13 @@ def test_count_sloppy_phrase(spark, sidx):
     ]).toPandas().set_index("qid").n_hits)
     assert got[0] == 0            # 'red apple pie' is not adjacent
     assert got[1] == 1            # one gap allowed
+
+
+def test_suggest_local_matches_spark(spark, sidx):
+    from pim_lucene_spark.plans.suggest import suggest_terms_local
+    for prefix, by in (("ap", "doc_freq"), ("re", "total_tf"),
+                       ("zz", "doc_freq"), ("", "doc_freq")):
+        a = (suggest_terms(spark, sidx, prefix, k=5, by=by).toPandas()
+             .reset_index(drop=True))
+        b = suggest_terms_local(sidx, prefix, k=5, by=by)
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
