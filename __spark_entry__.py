@@ -312,6 +312,14 @@ def _q_suggest(spark, sf_dir):
     return suggest_terms(spark, m, "s", k=10)
 
 
+def _q_suggest_local(spark, sf_dir):
+    """Serving-path suggester (no Spark job): must equal the
+    distributed suggester — same oracle SQL."""
+    from pim_lucene_spark.plans.suggest import suggest_terms_local
+    m = _get_index(spark, sf_dir)
+    return spark.createDataFrame(suggest_terms_local(m, "s", k=10))
+
+
 def _q_count(spark, sf_dir):
     """IndexSearcher.count semantics: hits per query, no scoring; mixes
     term/phrase/prefix/wildcard and a zero-hit query."""
@@ -570,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dismax_topk": _q_dismax,
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
+        "engine_suggest_local": _q_suggest_local,
         "engine_count": _q_count,
         "engine_constant_wrappers": _q_constant_wrappers,
         "engine_fallback_scan_bm25": _q_fallback_scan,
@@ -842,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
         "engine_dismax_topk": oracle.dismax_bm25_sql(DISMAX_SPECS, k=10),
         "engine_suggest": oracle.suggest_sql("s", k=10),
+        "engine_suggest_local": oracle.suggest_sql("s", k=10),
         "engine_constant_wrappers": oracle.constant_wrappers_sql(
             _wrapper_specs(), k=10),
         "engine_count": oracle.count_sql(_count_specs()),
