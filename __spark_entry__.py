@@ -317,7 +317,9 @@ def _q_suggest_local(spark, sf_dir):
     distributed suggester — same oracle SQL."""
     from pim_lucene_spark.plans.suggest import suggest_terms_local
     m = _get_index(spark, sf_dir)
-    return spark.createDataFrame(suggest_terms_local(m, "s", k=10))
+    return spark.createDataFrame(
+        suggest_terms_local(m, "s", k=10),
+        "term string, doc_freq long, total_tf long")
 
 
 def _q_count(spark, sf_dir):
