@@ -82,12 +82,18 @@ def main() -> None:
     search(spark, manifest, [(0, "the")], k=10).count()
 
     # per-query latency: best of REPS (this shared VM shows ~2x run noise;
-    # same convention as bench_scaling.py).  The warm postings cache is on
-    # — the faithful setup: the reference serves queries from an index
-    # RESIDENT in accelerator memory (loaded once, DpuSystemExecutor);
-    # results are identical either way (differential-tested).
+    # same convention as bench_scaling.py).  The warm postings cache is
+    # OFF for the distributed jobs and ON for the serving paths: Spark
+    # gives no pid→worker affinity across jobs, so distributed warm hits
+    # rarely land while the cache's prefer-full-decode residency trade
+    # makes every cold decode strictly more expensive (measured: cache=256
+    # cost +24% on q_phrase4 and +19% on the batch vs cache=0, round-4
+    # regression bisect) — whereas the resident, pid-pinned serving
+    # workers are exactly the reference's loaded-index regime and the
+    # cache doubles their QPS (631 vs 308 measured same day).
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     CACHE_MB = int(os.environ.get("SPARK_GRAFT_POSTINGS_CACHE_MB", "256"))
+    DIST_CACHE_MB = int(os.environ.get("SPARK_GRAFT_DIST_CACHE_MB", "0"))
     per_query: dict[str, float] = {}
     lat = []
     for name, text in BENCH_QUERIES.items():
@@ -98,7 +104,7 @@ def main() -> None:
             # lowest latency for small k
             search(spark, manifest, [(0, text)], k=10,
                    final_merge="driver",
-                   postings_cache_mb=CACHE_MB).collect()
+                   postings_cache_mb=DIST_CACHE_MB).collect()
             best = min(best, time.time() - t)
         per_query[name] = round(best, 4)
         lat.append(best)
@@ -131,7 +137,7 @@ def main() -> None:
     for _ in range(REPS):
         t = time.time()
         search(spark, manifest, BATCH, k=10, final_merge="driver",
-               postings_cache_mb=CACHE_MB).collect()
+               postings_cache_mb=DIST_CACHE_MB).collect()
         batch_sec = min(batch_sec, time.time() - t)
     per_query["q_batch20"] = round(batch_sec, 4)
 

@@ -371,6 +371,76 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
     return cand, freqs, nb, scores
 
 
+def _assemble_by_term(postings_pdf: pd.DataFrame) -> dict[str, list]:
+    """Reassemble striped postings rows per term in stripe order (hot
+    terms are striped across rows — skew bound,
+    ``IndexConfig.max_postings_per_stripe``)."""
+    by_term: dict[str, list] = {}
+    for row in postings_pdf.itertuples(index=False):
+        by_term.setdefault(row.term, []).append(row)
+    for rows in by_term.values():
+        rows.sort(key=lambda r: r.stripe)
+    return by_term
+
+
+class _DecodeCtx:
+    """Per-(partition, batch) decode cache shared by the search and
+    compound kernels.
+
+    Full decodes are cached across the query batch (repeated hot terms
+    decode once) and, when the warm cache is enabled, across batches in
+    the process-wide LRU; co-presence-masked decodes are query-specific.
+    Positions stay lazy either way.
+    """
+
+    __slots__ = ("by_term", "decoded", "pid", "ckey", "budget")
+
+    def __init__(self, by_term: dict[str, list], payload: dict, pid: int,
+                 ckey=None):
+        self.by_term = by_term
+        self.decoded: dict[str, _LazyPostings] = {}
+        self.pid = pid
+        self.ckey = ckey if ckey is not None else payload.get("cache_key")
+        self.budget = int(payload.get("postings_cache_mb", 0)) * (1 << 20)
+
+    def probe(self, term) -> "_LazyPostings | None":
+        tp = self.decoded.get(term)
+        if tp is None and self.budget:
+            tp = _postings_cache_get((self.ckey, self.pid, term))
+            if tp is not None:
+                self.decoded[term] = tp
+        return tp
+
+    def publish(self, term, tp: "_LazyPostings") -> None:
+        self.decoded[term] = tp
+        if self.budget:
+            _postings_cache_put((self.ckey, self.pid, term), tp,
+                                self.budget)
+
+    def get(self, term, seg_mask=None) -> "_LazyPostings":
+        tp = self.probe(term)
+        if tp is None and seg_mask is not None and self.budget:
+            # warm cache on: a masked decode is query-specific and
+            # re-done every batch — prefer one cacheable full decode for
+            # modest terms (same residency tradeoff as the single-term
+            # prefer_full path)
+            est = 16 * sum(int(np.asarray(r.seg_doc_counts,
+                                          dtype=np.int64).sum())
+                           for r in self.by_term[term])
+            if est <= self.budget // 8:
+                seg_mask = None
+        if tp is None and seg_mask is not None:
+            # no full decode available: decode only the co-present
+            # segments (query-specific, not published)
+            return _LazyPostings(self.by_term[term], seg_mask)
+        if tp is None:
+            tp = _LazyPostings(self.by_term[term])
+            self.publish(term, tp)
+        # an already-decoded superset is always valid: masked-out
+        # segments hold docs that cannot survive the intersection
+        return tp
+
+
 def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                 norms: np.ndarray,
                 by_term: dict[str, list] | None = None) -> pd.DataFrame:
@@ -382,57 +452,13 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
     num_segments = payload["num_segments"]
 
     if by_term is None:
-        # hot terms are striped across multiple rows (skew bound,
-        # IndexConfig.max_postings_per_stripe) — reassemble in stripe
-        # order (the serving path passes prebuilt, resident structures)
-        by_term = {}
-        for row in postings_pdf.itertuples(index=False):
-            by_term.setdefault(row.term, []).append(row)
-        for rows in by_term.values():
-            rows.sort(key=lambda r: r.stripe)
-    decoded: dict[str, _LazyPostings] = {}
-    ckey = payload.get("cache_key")
-    cache_budget = int(payload.get("postings_cache_mb", 0)) * (1 << 20)
-
-    def _probe_cached(term) -> "_LazyPostings | None":
-        tp = decoded.get(term)
-        if tp is None and cache_budget:
-            tp = _postings_cache_get((ckey, pid, term))
-            if tp is not None:
-                decoded[term] = tp
-        return tp
-
-    def _publish(term, tp: _LazyPostings) -> None:
-        decoded[term] = tp
-        if cache_budget:
-            _postings_cache_put((ckey, pid, term), tp, cache_budget)
-
-    def get_decoded(term, seg_mask=None) -> _LazyPostings:
-        """Full decodes are cached across the query batch (repeated hot
-        terms decode once) and, when enabled, across batches in the
-        process-wide warm cache; co-presence-masked decodes are
-        query-specific.  Positions stay lazy either way."""
-        tp = _probe_cached(term)
-        if tp is None and seg_mask is not None and cache_budget:
-            # warm cache on: a masked decode is query-specific and
-            # re-done every batch — prefer one cacheable full decode for
-            # modest terms (same residency tradeoff as the single-term
-            # prefer_full path)
-            est = 16 * sum(int(np.asarray(r.seg_doc_counts,
-                                          dtype=np.int64).sum())
-                           for r in by_term[term])
-            if est <= cache_budget // 8:
-                seg_mask = None
-        if tp is None and seg_mask is not None:
-            # no full decode available: decode only the co-present
-            # segments (query-specific, not published)
-            return _LazyPostings(by_term[term], seg_mask)
-        if tp is None:
-            tp = _LazyPostings(by_term[term])
-            _publish(term, tp)
-        # an already-decoded superset is always valid: masked-out
-        # segments hold docs that cannot survive the intersection
-        return tp
+        # (the serving path passes prebuilt, resident structures)
+        by_term = _assemble_by_term(postings_pdf)
+    ctx = _DecodeCtx(by_term, payload, pid)
+    cache_budget = ctx.budget
+    _probe_cached = ctx.probe
+    _publish = ctx.publish
+    get_decoded = ctx.get
 
     bounds = payload.get("bounds") or {}
     for qid, terms, weight in payload["queries"]:
