@@ -557,7 +557,8 @@ class MultiFieldIndex:
 
     def search_bm25f(self, queries: list[tuple[int, str]], k: int = 10,
                      field_weights: dict[str, float] | None = None,
-                     precision: str = "float32") -> DataFrame:
+                     precision: str = "float32",
+                     plan: str = "auto") -> DataFrame:
         """True BM25F ranking — the sandbox ``CombinedFieldQuery`` scoring
         (``CombinedFieldQuery.java:322-470``): the query's terms across all
         fields score as ONE pseudo-term in ONE pseudo-field.
@@ -656,6 +657,35 @@ class MultiFieldIndex:
                     boost=boost, precision=precision))
         if not planned:
             return empty
+
+        from pim_lucene_spark.plans.compound import (eval_bm25f,
+                                                     kernel_hostable)
+        if plan not in ("auto", "kernel", "join"):
+            raise ValueError(f"unknown plan {plan!r}")
+        if plan != "join" and kernel_hostable(manifests):
+            # in-kernel plan (plans/compound.py): per-field postings are
+            # co-located by doc_id % P, so the weighted-tf disjunction,
+            # combined-norm re-encode and single BM25 score all run per
+            # partition; only top-k rows shuffle — no k=10**9 per-term
+            # sub-searches, no freq shuffle, no norms join
+            fnames = list(manifests)
+            specs = []
+            for qid in planned:
+                terms = per_q[qid][0]
+                specs.append({"qid": int(qid), "op": "bm25f",
+                              "pairs": [(f, t,
+                                         float(np.float32(weights[f])))
+                                        for f in fnames for t in terms]})
+            needed = sorted({t for qid in planned for t in per_q[qid][0]})
+            return eval_bm25f(
+                self.spark, manifests, specs,
+                {int(q): float(w) for q, w in planned.items()}, cache,
+                [(f, float(np.float32(weights[f]))) for f in fnames],
+                needed, k, precision)
+        if plan == "kernel":
+            raise ValueError("fields differ in num_partitions or need "
+                             "cogroup norms; the BM25F kernel cannot "
+                             "host this batch")
 
         # weighted tf per (query, doc): one sub-query per DISTINCT term per
         # field (a hot term shared by N queries is decoded and scored

@@ -935,16 +935,32 @@ def _local_rows(manifest, ckey, terms: list[str],
             size = max(n_rows, 1) * max(size_per, 1)
             _LOCAL_ROWS[(ckey, t)] = (by_pid, size)
             _LOCAL_ROWS_STATE["bytes"] += size
-        while _LOCAL_ROWS_STATE["bytes"] > _LOCAL_ROWS_MAX and _LOCAL_ROWS:
-            _, (_, old) = _LOCAL_ROWS.popitem(last=False)
-            _LOCAL_ROWS_STATE["bytes"] -= old
+    # assemble the result BEFORE any eviction, pinning this batch's keys:
+    # a budget-driven LRU pass must never evict a term the CURRENT batch
+    # needs (just-loaded or previously resident) — the kernel treats a
+    # missing term as "no hits on this partition", which would silently
+    # return partial results
     out: dict[int, dict] = {}
+    current = set()
     for t in terms:
         entry = _LOCAL_ROWS.get((ckey, t))
-        if entry is not None:
-            _LOCAL_ROWS.move_to_end((ckey, t))
-            for pid, rows in entry[0].items():
-                out.setdefault(pid, {})[t] = rows
+        if entry is None:
+            # plan_queries dropped df=0 terms, so every requested term
+            # was either resident or just loaded — anything else is a
+            # bookkeeping bug: fail loudly, never serve partial results
+            raise RuntimeError(
+                f"serving-path residency lost term {t!r} mid-batch")
+        current.add((ckey, t))
+        _LOCAL_ROWS.move_to_end((ckey, t))
+        for pid, rows in entry[0].items():
+            out.setdefault(pid, {})[t] = rows
+    while _LOCAL_ROWS_STATE["bytes"] > _LOCAL_ROWS_MAX:
+        victim = next((key for key in _LOCAL_ROWS if key not in current),
+                      None)
+        if victim is None:
+            break  # only the pinned batch remains — over budget is fine
+        _, old = _LOCAL_ROWS.pop(victim)
+        _LOCAL_ROWS_STATE["bytes"] -= old
     return out
 
 

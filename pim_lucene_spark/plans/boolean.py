@@ -198,17 +198,70 @@ def _clause_frames(spark, index, slot: dict,
 
 
 def search_boolean(spark: SparkSession, index, queries, k: int = 10,
-                   precision: str = "float32") -> DataFrame:
+                   precision: str = "float32",
+                   plan: str = "auto") -> DataFrame:
     """Batched boolean search → DataFrame(qid, doc_id, score).
 
-    ``queries`` is a list of ``(qid, BooleanQuery)``.  One engine search
-    evaluates every term/phrase clause of every query (shared postings
-    scan, shared decode cache); multi-term, sloppy-phrase and
-    match-all-docs clauses run one batched job per family (see
-    :func:`_classify_clauses`); the boolean composition is a
-    deterministic join chain per query, unioned and topped with the
-    global (score desc, doc asc) window.
+    ``queries`` is a list of ``(qid, BooleanQuery)``.  Two plans, routed
+    per query (``plan='auto'``):
+
+    - **kernel** (default where possible): clauses evaluate inside the
+      per-partition search kernel — postings are routed ``doc_id % P``,
+      so every clause's postings for a doc are co-located — and the
+      BooleanWeight composition happens in numpy per partition, emitting
+      only per-partition top-k (one shuffle of ≤ P·k rows/query; see
+      ``plans/compound.py``).  Hosts term/phrase/fuzzy/nested clauses on
+      POSIX-visible v3 indexes.
+    - **join** (fallback; ``plan='join'`` forces it): clause match sets
+      materialize through one batched job per family and compose via a
+      deterministic join chain — needed for sloppy-phrase,
+      constant-score multiterm and match-all clauses, cogroup-norms
+      indexes, and ``k=None`` clause evaluation.
+
+    Both plans produce bit-identical scores (clause-declaration-order
+    float accumulation); differential-tested.
     """
+    for _, bq in queries:
+        if not isinstance(bq, BooleanQuery):
+            raise TypeError("queries must be (qid, BooleanQuery) pairs")
+    if plan not in ("auto", "kernel", "join"):
+        raise ValueError(f"unknown plan {plan!r}")
+    if plan != "join":
+        from pim_lucene_spark.manifest import IndexManifest
+        from pim_lucene_spark.plans.compound import (clause_kernelable,
+                                                     kernel_hostable,
+                                                     search_compound)
+        manifest = (IndexManifest.load(index) if isinstance(index, str)
+                    else index)
+        kq, jq = [], []
+        if kernel_hostable({"": manifest}) and k is not None:
+            for qid, bq in queries:
+                (kq if clause_kernelable(bq) else jq).append((qid, bq))
+        else:
+            jq = list(queries)
+        if plan == "kernel" and jq:
+            raise ValueError("batch contains clauses the compound kernel "
+                             "cannot host (sloppy/multiterm-const/"
+                             "matchall) or the index needs cogroup norms")
+        parts = []
+        if kq:
+            parts.append(search_compound(spark, {"": manifest}, "", kq,
+                                         k=k, precision=precision))
+        if jq:
+            parts.append(_search_boolean_join(spark, manifest, jq, k,
+                                              precision))
+        if not parts:
+            return spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return _search_boolean_join(spark, index, queries, k, precision)
+
+
+def _search_boolean_join(spark: SparkSession, index, queries, k,
+                         precision: str) -> DataFrame:
+    """Join-chain boolean plan (see :func:`search_boolean`)."""
     per_field, meta = _classify_clauses(queries, lambda c: (None, c))
     empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
     slot = per_field.get(None, _empty_slot())
@@ -217,8 +270,8 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
         # one recursive batched evaluation for ALL nested groups; the
         # inner result's qid is the outer clause sid
         parts_res.append(
-            search_boolean(spark, index, slot["nested"], k=10 ** 9,
-                           precision=precision)
+            _search_boolean_join(spark, index, slot["nested"], 10 ** 9,
+                                 precision)
             .select(F.col("qid").alias("sid"), "doc_id", "score"))
     if not parts_res:
         return empty
@@ -306,9 +359,19 @@ def _compose_boolean(spark, res: DataFrame, meta, k: int,
         win = Window.partitionBy("qid").orderBy(F.desc("score"),
                                                 F.asc("doc_id"))
         out = (out.withColumn("rank", F.row_number().over(win))
-               .filter(F.col("rank") <= k).drop("rank")
-               .persist())
-        out.count()  # ≤ |queries|·k rows — materialize while res is live
+               .filter(F.col("rank") <= k).drop("rank"))
+        if k * len(meta) <= 200_000:
+            # ≤ |queries|·k rows: materialize to the driver while res is
+            # live and return an in-memory frame — no executor cache is
+            # left behind (repeated calls in a long session used to
+            # accumulate persisted partitions until storage pressure)
+            return spark.createDataFrame(out.toPandas(),
+                                         BOOL_RESULT_SCHEMA)
+        # huge-k (clause-evaluation) calls keep the persisted plan; the
+        # consumer (a parent composition) materializes it while res is
+        # live, then it ages out of executor storage via LRU
+        out = out.persist()
+        out.count()
         return out
     finally:
         res.unpersist(blocking=False)
@@ -321,14 +384,51 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
 
     ``manifests`` maps field name → that field's sub-index manifest
     (``MultiFieldIndex.manifests``); clause entries are plain (default
-    field) or ``FieldedQuery(field, clause)``.  Per field, each clause
-    family runs its one batched job on that field's sub-index (see
-    :func:`_classify_clauses` / :func:`_clause_frames`) — frames union
-    into a single clause frame, and the composition is the same
-    deterministic join chain as :func:`search_boolean` (each field is an
-    independent posting space with its own stats, exactly Lucene's
-    per-field scoring inside one BooleanQuery).
+    field) or ``FieldedQuery(field, clause)``.  Each field is an
+    independent posting space with its own stats — exactly Lucene's
+    per-field scoring inside one BooleanQuery — but every field's
+    sub-index shares ``num_partitions``, so pid N holds the same doc
+    subset in every field: kernel-able queries compose inside the
+    per-partition kernel over a field-tagged union scan
+    (``plans/compound.py``, one shuffle of ≤ P·k rows).  The rest run
+    per-field clause-family jobs (:func:`_classify_clauses` /
+    :func:`_clause_frames`) composed by the same deterministic join
+    chain as :func:`search_boolean`.
     """
+    from pim_lucene_spark.plans.compound import (clause_kernelable,
+                                                 kernel_hostable,
+                                                 search_compound)
+    from pim_lucene_spark.plans.query import FieldedQuery
+
+    for _, bq in queries:
+        if not isinstance(bq, BooleanQuery):
+            raise TypeError("queries must be (qid, BooleanQuery) pairs")
+    kq, jq = [], []
+    if kernel_hostable(manifests) and k is not None:
+        fields = set(manifests)
+        for qid, bq in queries:
+            (kq if clause_kernelable(bq, allow_fielded=fields)
+             else jq).append((qid, bq))
+    else:
+        jq = list(queries)
+    parts = []
+    if kq:
+        parts.append(search_compound(spark, manifests, default_field, kq,
+                                     k=k, precision=precision))
+    if jq:
+        parts.append(_search_boolean_fields_join(
+            spark, manifests, default_field, jq, k, precision))
+    if not parts:
+        return spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _search_boolean_fields_join(spark: SparkSession, manifests: dict,
+                                default_field: str, queries, k,
+                                precision: str) -> DataFrame:
     from pim_lucene_spark.plans.query import FieldedQuery
 
     def resolve(clause):
@@ -351,9 +451,9 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
             # the default for its inner clauses; inner FieldedQuery
             # clauses still resolve their own fields
             parts_res.append(
-                search_boolean_fields(spark, manifests, fname,
-                                      slot["nested"], k=10 ** 9,
-                                      precision=precision)
+                _search_boolean_fields_join(spark, manifests, fname,
+                                            slot["nested"], 10 ** 9,
+                                            precision)
                 .select(F.col("qid").alias("sid"), "doc_id", "score"))
     if not parts_res:
         return empty

@@ -1,0 +1,678 @@
+"""In-kernel boolean/dismax/BM25F composition — no clause materialization.
+
+Postings are routed ``doc_id % P`` at build time, so EVERY clause's
+postings for a given doc live in the same partition.  Compositional
+queries (BooleanQuery score-sum, DisjunctionMaxQuery max+tie, multiterm
+scoring-boolean sum, BM25F weighted-tf merge) therefore never need to
+push per-clause match sets through a shuffle: each partition evaluates
+every clause locally against its co-located postings (shared decode
+cache), composes per doc in numpy — in clause-declaration order, the
+exact float association of the join-chain plan and the DuckDB oracles —
+and emits only its top-k composed rows.  One shuffle of ≤ P·k rows per
+query replaces the former ``k=10**9`` clause frames + full-outer-join
+chains (the round-3 scale defect: a stopword SHOULD clause used to ship
+its entire match set through the exchange).
+
+Reference semantics held bit-exactly:
+
+- ``BooleanWeight``: per-doc clause scores accumulate in double in
+  clause-declaration order (MUST columns then SHOULD columns), float32
+  mode casts the final sum; FILTER gates scorelessly, MUST_NOT excludes,
+  ``minimumNumberShouldMatch`` counts SHOULD matches.
+- ``DisjunctionMaxScorer.score``: ``max + tie*(sum - max)``, boost
+  multiplied at the top (``BoostQuery``).
+- scoring-boolean multiterm rewrite: per-doc sum over expanded terms in
+  expansion order (``BooleanQuery`` of ``TermQuery`` clauses).
+- nested groups: the inner boolean's composed score is the clause score,
+  float-cast at the group boundary exactly like a sub-scorer returning
+  float.
+
+Clauses the kernel cannot host (sloppy phrases — scan path over raw
+docs; constant-score multiterm — unbounded distributed expansion;
+MatchAllDocs — needs postings-less partitions) stay on the join-chain
+path; ``search_boolean`` routes per query, so a batch mixes both plans.
+
+Multi-field batches (``search_boolean_fields``, BM25F) ride the same
+kernel: every field's sub-index shares ``num_partitions``, so pid N of
+every field holds the same doc subset — the per-field postings scans
+union with a field tag and compose per partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pim_lucene_spark.functions import bm25
+from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.operators.search import (
+    _assemble_by_term,
+    _DecodeCtx,
+    _phrase_match_counts,
+    _resolve_norms_access,
+    plan_queries,
+)
+
+COMPOUND_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# kernel side
+# ---------------------------------------------------------------------------
+
+def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
+                weight: float, cache: np.ndarray,
+                precision: str) -> tuple[np.ndarray, np.ndarray]:
+    """One term/phrase clause's FULL partition-local match set →
+    (docs ascending-unique, float64 scores).  Same decode machinery as
+    the search kernel (co-presence segment masks, lazy positions), no
+    top-k cut — composition needs every matching doc of this partition,
+    but nothing ever leaves the partition."""
+    by_term = ctx.by_term
+    if any(t not in by_term for t in terms):
+        return _EMPTY_I64, _EMPTY_F64
+    uniq = list(dict.fromkeys(terms))
+    if len(terms) == 1:
+        lp = ctx.get(terms[0])
+        docs = lp.rel_docs
+        sc = np.asarray(bm25.score(lp.freqs, norms[docs], weight, cache,
+                                   precision), dtype=np.float64)
+        if docs.size > 1 and np.any(np.diff(docs) < 0):
+            o = np.argsort(docs, kind="stable")
+            docs, sc = docs[o], sc[o]
+        return docs, sc
+    # co-presence prune: a phrase can only match in segments where EVERY
+    # term has postings
+    pres = None
+    for t in uniq:
+        p = None
+        for r in by_term[t]:
+            c = np.asarray(r.seg_doc_counts) > 0
+            p = c if p is None else (p | c)
+        pres = p if pres is None else (pres & p)
+    if not pres.any():
+        return _EMPTY_I64, _EMPTY_F64
+    seg_mask = None if pres.all() else pres
+    tps = [ctx.get(t, seg_mask) for t in uniq]
+    cand = tps[0].rel_docs
+    idxs = [np.arange(cand.size)]
+    for tp in tps[1:]:
+        cand, ia, ib = np.intersect1d(cand, tp.rel_docs,
+                                      assume_unique=True,
+                                      return_indices=True)
+        idxs = [ix[ia] for ix in idxs] + [ib]
+        if cand.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+    term_order = [uniq.index(t) for t in terms]
+    counts = _phrase_match_counts([tps[j] for j in term_order],
+                                  [idxs[j] for j in term_order], cand.size)
+    hit = counts > 0
+    if not hit.any():
+        return _EMPTY_I64, _EMPTY_F64
+    docs = cand[hit]  # intersect1d output is sorted
+    sc = np.asarray(bm25.score(counts[hit], norms[docs], weight, cache,
+                               precision), dtype=np.float64)
+    return docs, sc
+
+
+def _lookup(docs: np.ndarray, base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Positions of ``base`` entries inside sorted-unique ``docs`` plus a
+    presence mask (vectorized sorted-merge membership)."""
+    if docs.size == 0:
+        return np.zeros(base.size, dtype=np.int64), \
+            np.zeros(base.size, dtype=bool)
+    pos = np.searchsorted(docs, base)
+    safe = np.minimum(pos, docs.size - 1)
+    present = (pos < docs.size) & (docs[safe] == base)
+    return pos, present
+
+
+def _compose_bool(spec: dict, clause_res: dict,
+                  precision: str) -> tuple[np.ndarray, np.ndarray]:
+    """BooleanWeight composition over evaluated clause results.
+
+    Float order matches the join-chain plan exactly: the old plan's
+    Catalyst sum runs over coalesced clause columns left-to-right (MUST
+    columns in declaration order, then SHOULD columns); adding a
+    coalesced 0.0 is the float identity, so accumulating only the
+    present clauses in the same order is bit-equal.
+    """
+    must = [clause_res[id(c)] for c in spec.get("must", ())]
+    filt = [clause_res[id(c)] for c in spec.get("filter", ())]
+    should = [clause_res[id(c)] for c in spec.get("should", ())]
+    must_not = [clause_res[id(c)] for c in spec.get("must_not", ())]
+    msm = int(spec.get("msm", 0))
+
+    base = None
+    for docs, _ in must:
+        base = docs if base is None else np.intersect1d(
+            base, docs, assume_unique=True)
+    for docs, _ in filt:
+        base = docs if base is None else np.intersect1d(
+            base, docs, assume_unique=True)
+    had_base = base is not None
+
+    if had_base:
+        acc = np.zeros(base.size, dtype=np.float64)
+        for docs, sc in must:  # base ⊆ docs
+            if base.size == 0:
+                break
+            pos = np.searchsorted(docs, base)
+            acc += sc[pos]
+        cnt = np.zeros(base.size, dtype=np.int64)
+        for docs, sc in should:
+            if base.size == 0:
+                break
+            pos, present = _lookup(docs, base)
+            acc[present] += sc[pos[present]]
+            cnt[present] += 1
+    else:
+        # pure-should: union of clause match sets
+        if should:
+            base = np.unique(np.concatenate([d for d, _ in should]))
+        else:
+            base = _EMPTY_I64
+        acc = np.zeros(base.size, dtype=np.float64)
+        cnt = np.zeros(base.size, dtype=np.int64)
+        for docs, sc in should:
+            pos = np.searchsorted(base, docs)  # docs ⊆ base
+            acc[pos] += sc
+            cnt[pos] += 1
+
+    required = msm if had_base else max(1, msm)
+    if (should and required > 1) or (had_base and required > 0):
+        keep = cnt >= required
+        base, acc = base[keep], acc[keep]
+    for docs, _ in must_not:
+        if base.size == 0:
+            break
+        keep = ~np.isin(base, docs, assume_unique=True)
+        base, acc = base[keep], acc[keep]
+    if precision == "float32":
+        # BooleanWeight sums clause floats in double, returns float
+        acc = acc.astype(np.float32).astype(np.float64)
+    return base, acc
+
+
+def _compose_dismax(spec: dict, clause_res: dict,
+                    precision: str) -> tuple[np.ndarray, np.ndarray]:
+    """DisjunctionMaxScorer: max + tie*(sum-max); boost at the top."""
+    clauses = [clause_res[id(c)] for c in spec.get("clauses", ())]
+    if not clauses:
+        return _EMPTY_I64, _EMPTY_F64
+    non_empty = [d for d, _ in clauses if d.size]
+    if not non_empty:
+        return _EMPTY_I64, _EMPTY_F64
+    base = np.unique(np.concatenate(non_empty))
+    mx = np.zeros(base.size, dtype=np.float64)  # BM25 scores are > 0
+    total = np.zeros(base.size, dtype=np.float64)
+    for docs, sc in clauses:
+        if docs.size == 0:
+            continue
+        pos = np.searchsorted(base, docs)
+        np.maximum.at(mx, pos, sc)
+        total[pos] += sc
+    tie = float(spec.get("tie", 0.0))
+    boost = float(spec.get("boost", 1.0))
+    score = mx + tie * (total - mx)
+    if boost != 1.0:
+        score = score * boost
+    if precision == "float32":
+        score = score.astype(np.float32).astype(np.float64)
+    return base, score
+
+
+def _eval_spec(spec: dict, eval_leaf, precision: str
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Recursive spec evaluation: resolve every clause (leaf sid or
+    nested group) then compose."""
+    clause_res: dict[int, tuple] = {}
+    roles = (("clauses",) if spec["op"] == "dismax"
+             else ("must", "filter", "should", "must_not"))
+    for role in roles:
+        for cl in spec.get(role, ()):
+            if cl["kind"] == "scored":
+                clause_res[id(cl)] = eval_leaf(cl["sid"])
+            else:  # nested group: composed score IS the clause score
+                clause_res[id(cl)] = _eval_spec(cl["spec"], eval_leaf,
+                                                precision)
+    if spec["op"] == "dismax":
+        return _compose_dismax(spec, clause_res, precision)
+    return _compose_bool(spec, clause_res, precision)
+
+
+def _compound_core(payload: dict, pid: int,
+                   per_field_by_term: dict[str, dict]) -> pd.DataFrame:
+    P = payload["num_partitions"]
+    k = payload["k"]
+    precision = payload["precision"]
+    fields = payload["fields"]
+    clause_plan = payload["clauses"]  # sid -> (field, terms, weight)
+
+    import pyarrow.parquet as pq
+    ctxs, norms = {}, {}
+    for f, fmeta in fields.items():
+        bt = per_field_by_term.get(f)
+        if bt is None:
+            continue
+        ctxs[f] = _DecodeCtx(bt, payload, pid, ckey=fmeta["cache_key"])
+        part_dir = os.path.join(fmeta["norms_path"], f"pid={pid}")
+        if not os.path.isdir(part_dir):
+            raise FileNotFoundError(
+                f"norms partition {part_dir} not visible from this "
+                "executor; the compound kernel needs a POSIX-visible "
+                "shared mount — the caller should have routed this "
+                "batch to the join-chain plan")
+        blob = (pq.read_table(part_dir, columns=["norms"])
+                .column("norms")[0].as_py())
+        norms[f] = np.frombuffer(blob, dtype=np.uint8)
+
+    leaf_cache: dict[int, tuple] = {}
+
+    def eval_leaf(sid: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = leaf_cache.get(sid)
+        if hit is not None:
+            return hit
+        ent = clause_plan.get(sid)
+        if ent is None:  # term absent index-wide (df=0): empty clause
+            res = (_EMPTY_I64, _EMPTY_F64)
+        else:
+            f, terms, weight = ent
+            if f not in ctxs:  # no postings rows for this field here
+                res = (_EMPTY_I64, _EMPTY_F64)
+            else:
+                res = _leaf_match(ctxs[f], norms[f], terms, weight,
+                                  fields[f]["cache"], precision)
+        leaf_cache[sid] = res
+        return res
+
+    out_qid, out_doc, out_score = [], [], []
+    for spec in payload["specs"]:
+        docs, scores = _eval_spec(spec, eval_leaf, precision)
+        if docs.size == 0:
+            continue
+        # per-partition top-k (score desc, doc asc) bounds the shuffle
+        order = np.lexsort((docs, -scores))
+        if k is not None and order.size > k:
+            order = order[:k]
+        out_qid.append(np.full(order.size, spec["qid"], dtype=np.int64))
+        out_doc.append(docs[order] * P + pid)
+        out_score.append(scores[order])
+
+    if not out_qid:
+        return pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+            {"qid": np.int64, "doc_id": np.int64, "score": np.float64})
+    return pd.DataFrame({
+        "qid": np.concatenate(out_qid),
+        "doc_id": np.concatenate(out_doc),
+        "score": np.concatenate(out_score),
+    })
+
+
+def _compound_kernel(payload: dict):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        per_field: dict[str, dict] = {}
+        if len(pdf):
+            for f, grp in pdf.groupby("fld", sort=False):
+                per_field[f] = _assemble_by_term(grp)
+        return _compound_core(payload, pid, per_field)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# driver side
+# ---------------------------------------------------------------------------
+
+def kernel_hostable(manifests: dict[str, IndexManifest]) -> bool:
+    """The compound kernel needs direct (POSIX-visible) norms, v3+
+    layouts, and one shared pid space across every field."""
+    ps = set()
+    for m in manifests.values():
+        if m.version < 3 or \
+                _resolve_norms_access("auto", m) != "direct":
+            return False
+        ps.add(m.num_partitions)
+    return len(ps) == 1
+
+
+def clause_kernelable(clause, allow_fielded=None) -> bool:
+    """True when a clause tree can evaluate inside the compound kernel:
+    term/phrase (slop 0) leaves, fuzzy (driver-expanded), nested
+    booleans.  Sloppy phrases (scan path), constant-score multiterm
+    (unbounded expansion) and MatchAllDocs (postings-less partitions)
+    route to the join-chain plan."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.multiterm import FuzzyQuery, MultiTermQueryT
+    from pim_lucene_spark.plans.query import (FieldedQuery, PhraseQuery,
+                                              TermQuery)
+
+    if isinstance(clause, FieldedQuery):
+        if allow_fielded is None:
+            return False
+        return (clause.field in allow_fielded
+                and clause_kernelable(clause.query, allow_fielded))
+    if isinstance(clause, BooleanQuery):
+        return all(clause_kernelable(c, allow_fielded)
+                   for role in ("must", "filter", "should", "must_not")
+                   for c in getattr(clause, role))
+    if isinstance(clause, FuzzyQuery):
+        return True
+    if isinstance(clause, MultiTermQueryT):
+        return False
+    if isinstance(clause, PhraseQuery):
+        return int(clause.slop) == 0
+    if isinstance(clause, TermQuery) or isinstance(clause, str):
+        return True
+    return False
+
+
+class _SpecBuilder:
+    """Flattens typed query trees into kernel specs + leaf lists.
+
+    Leaf sids are globally unique across the batch; each leaf carries
+    (field, text, boost) and goes through the SAME stats/weight planning
+    as the engine search path (``plan_queries``), so clause weights are
+    bit-identical to the join-chain plan's sub-searches.
+    """
+
+    def __init__(self, spark, manifests: dict[str, IndexManifest],
+                 default_field: str):
+        self.spark = spark
+        self.manifests = manifests
+        self.default_field = default_field
+        self.leaves: dict[str, list] = {f: [] for f in manifests}
+        self._next_sid = 0
+
+    def _leaf(self, field: str, text: str, boost: float) -> dict:
+        sid = self._next_sid
+        self._next_sid += 1
+        self.leaves[field].append((sid, text, float(boost)))
+        return {"kind": "scored", "sid": sid}
+
+    def _clause(self, field: str, clause, eff_boost: float) -> dict:
+        """``eff_boost`` is the product of enclosing scoring boosts
+        (BooleanWeight passes its boost down to scoring sub-weights)."""
+        from pim_lucene_spark.plans.boolean import (BooleanQuery,
+                                                    _clause_text_boost)
+        from pim_lucene_spark.plans.multiterm import FuzzyQuery, expand_terms
+        from pim_lucene_spark.plans.query import FieldedQuery
+
+        if isinstance(clause, FieldedQuery):
+            return self._clause(clause.field, clause.query, eff_boost)
+        if isinstance(clause, BooleanQuery):
+            return {"kind": "nested",
+                    "spec": self.bool_spec(None, clause, field, eff_boost)}
+        if isinstance(clause, FuzzyQuery):
+            # Lucene's in-boolean fuzzy rewrite: scoring boolean over the
+            # top expanded terms — a nested pure-SHOULD sum, float-cast
+            # at the group boundary like the old clause frame
+            qboost = float(clause.boost) * eff_boost
+            inner = [self._leaf(field, t, tb * qboost)
+                     for t, tb in expand_terms(self.spark,
+                                               self.manifests[field],
+                                               clause)]
+            return {"kind": "nested",
+                    "spec": {"qid": -1, "op": "bool", "must": (),
+                             "filter": (), "should": tuple(inner),
+                             "must_not": (), "msm": 0}}
+        text, cboost = _clause_text_boost(clause)
+        return self._leaf(field, text, cboost * eff_boost)
+
+    def bool_spec(self, qid, bq, field: str, inherit: float = 1.0) -> dict:
+        eff = float(bq.boost) * inherit
+        spec = {"qid": qid, "op": "bool", "msm": int(bq.min_should_match)}
+        for role in ("must", "filter", "should", "must_not"):
+            scoring = role in ("must", "should")
+            spec[role] = tuple(
+                self._clause(field, c, eff if scoring else 1.0)
+                for c in getattr(bq, role))
+        return spec
+
+    def dismax_spec(self, qid, dq, field: str) -> dict:
+        # dismax boost multiplies the COMBINED score (BoostQuery), not
+        # the clause weights
+        return {"qid": qid, "op": "dismax",
+                "clauses": tuple(self._clause(field, c, 1.0)
+                                 for c in dq.clauses),
+                "tie": float(dq.tie), "boost": float(dq.boost)}
+
+
+def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
+                  specs: list[dict], leaves: dict[str, list], k: int,
+                  precision: str,
+                  postings_cache_mb: int = 0,
+                  return_partial: bool = False) -> DataFrame:
+    """Run prepared compound specs through the per-partition kernel.
+
+    One union scan (per-field ``term IN`` pushdown + field tag) →
+    ``groupBy(pid)`` kernel → global top-k window over ≤ P·k rows/query.
+    ``return_partial`` returns the pre-window per-partition frame — the
+    exact row set this plan shuffles — for plan-shape tests/benchmarks.
+    """
+    empty = spark.createDataFrame([], COMPOUND_SCHEMA)
+    clause_plan: dict[int, tuple] = {}
+    fields_payload: dict[str, dict] = {}
+    scans = []
+    num_partitions = None
+    for f, m in manifests.items():
+        lv = leaves.get(f) or []
+        if not lv:
+            continue
+        planned, needed = plan_queries(spark, m, lv, k, precision)
+        num_partitions = m.num_partitions
+        for sid, terms, w in planned:
+            clause_plan[sid] = (f, tuple(terms), float(w))
+        if not needed:
+            continue
+        avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
+                                      precision)
+        fields_payload[f] = {
+            "cache": bm25.score_cache(avgdl, m.k1, m.b, precision),
+            "cache_key": (m.build_id or m.index_dir, m.doc_count,
+                          m.sum_total_term_freq),
+            "norms_path": m.norms_path,
+        }
+        scans.append(
+            spark.read.parquet(*[m.chunk_path(c)
+                                 for c in range(m.build_chunks)])
+            .filter(F.col("term").isin(list(needed)))
+            .withColumn("fld", F.lit(f)))
+    if not scans:
+        return empty
+    payload = {
+        "specs": specs,
+        "clauses": clause_plan,
+        "fields": fields_payload,
+        "k": int(k),
+        "precision": precision,
+        "num_partitions": int(num_partitions),
+        "postings_cache_mb": int(postings_cache_mb),
+    }
+    postings = scans[0]
+    for s in scans[1:]:
+        postings = postings.unionByName(s)
+    per_part = (postings.groupBy("pid")
+                .applyInPandas(_compound_kernel(payload), COMPOUND_SCHEMA))
+    if return_partial:
+        return per_part
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (per_part.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank"))
+
+
+BM25F_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("freq", T.DoubleType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+def _bm25f_core(payload: dict, pid: int,
+                per_field_by_term: dict[str, dict]) -> pd.DataFrame:
+    """BM25F per-partition kernel (``CombinedFieldQuery.java:322-470``):
+    per-doc weighted tf sum over every (field, term) pair, combined
+    re-encoded norm (``MultiNormsLeafSimScorer.java:140-153``), ONE BM25
+    score against the pseudo-field stats — all from this partition's
+    co-located postings; only top-k rows leave."""
+    from pim_lucene_spark.functions.smallfloat import (byte4_to_int,
+                                                       int_to_byte4)
+    import pyarrow.parquet as pq
+
+    P = payload["num_partitions"]
+    k = payload["k"]
+    precision = payload["precision"]
+    cache = payload["cache"]
+
+    ctxs = {}
+    norms: dict[str, np.ndarray] = {}
+    # every field's norms participate in the combined norm even where the
+    # field has no postings rows in this partition
+    for f, fmeta in payload["fields"].items():
+        part_dir = os.path.join(fmeta["norms_path"], f"pid={pid}")
+        blob = (pq.read_table(part_dir, columns=["norms"])
+                .column("norms")[0].as_py())
+        norms[f] = np.frombuffer(blob, dtype=np.uint8)
+        bt = per_field_by_term.get(f)
+        if bt is not None:
+            ctxs[f] = _DecodeCtx(bt, payload, pid, ckey=fmeta["cache_key"])
+
+    out_qid, out_doc, out_freq, out_score = [], [], [], []
+    for spec in payload["specs"]:
+        parts = []
+        for f, t, w in spec["pairs"]:
+            ctx = ctxs.get(f)
+            if ctx is None or t not in ctx.by_term:
+                continue
+            lp = ctx.get(t)
+            parts.append((lp, np.float64(w)))
+        if not parts:
+            continue
+        union = np.unique(np.concatenate([lp.rel_docs for lp, _ in parts]))
+        freq = np.zeros(union.size, dtype=np.float64)
+        for lp, w in parts:
+            pos = np.searchsorted(union, lp.rel_docs)
+            freq[pos] += lp.freqs.astype(np.float64) * w
+        acc = np.zeros(union.size, dtype=np.float32)
+        for f, w32 in payload["norm_weights"]:
+            dec = byte4_to_int(norms[f][union].astype(np.int64))
+            acc += (np.float32(w32)
+                    * dec.astype(np.float32)).astype(np.float32)
+        nb = int_to_byte4(np.floor(acc + np.float32(0.5)).astype(np.int64))
+        sc = np.asarray(bm25.score(freq, nb,
+                                   payload["qweights"][spec["qid"]],
+                                   cache, precision), dtype=np.float64)
+        order = np.lexsort((union, -sc))
+        if k is not None and order.size > k:
+            order = order[:k]
+        out_qid.append(np.full(order.size, spec["qid"], dtype=np.int64))
+        out_doc.append(union[order] * P + pid)
+        out_freq.append(freq[order])
+        out_score.append(sc[order])
+
+    if not out_qid:
+        return pd.DataFrame(
+            {"qid": [], "doc_id": [], "freq": [], "score": []}).astype(
+            {"qid": np.int64, "doc_id": np.int64, "freq": np.float64,
+             "score": np.float64})
+    return pd.DataFrame({
+        "qid": np.concatenate(out_qid),
+        "doc_id": np.concatenate(out_doc),
+        "freq": np.concatenate(out_freq),
+        "score": np.concatenate(out_score),
+    })
+
+
+def _bm25f_kernel(payload: dict):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        per_field: dict[str, dict] = {}
+        if len(pdf):
+            for f, grp in pdf.groupby("fld", sort=False):
+                per_field[f] = _assemble_by_term(grp)
+        return _bm25f_core(payload, pid, per_field)
+    return fn
+
+
+def eval_bm25f(spark: SparkSession, manifests: dict[str, IndexManifest],
+               specs: list[dict], qweights: dict, cache,
+               norm_weights: list, needed_terms: list[str], k: int,
+               precision: str) -> DataFrame:
+    """Run BM25F specs through the per-partition kernel: one union scan
+    (per-field ``term IN`` pushdown + field tag) → ``groupBy(pid)``
+    kernel → global top-k window."""
+    empty = spark.createDataFrame([], BM25F_SCHEMA)
+    if not specs or not needed_terms:
+        return empty
+    fields_payload, scans = {}, []
+    num_partitions = None
+    for f, m in manifests.items():
+        num_partitions = m.num_partitions
+        fields_payload[f] = {
+            "cache_key": (m.build_id or m.index_dir, m.doc_count,
+                          m.sum_total_term_freq),
+            "norms_path": m.norms_path,
+        }
+        scans.append(
+            spark.read.parquet(*[m.chunk_path(c)
+                                 for c in range(m.build_chunks)])
+            .filter(F.col("term").isin(list(needed_terms)))
+            .withColumn("fld", F.lit(f)))
+    payload = {
+        "specs": specs,
+        "qweights": qweights,
+        "cache": cache,
+        "norm_weights": norm_weights,
+        "fields": fields_payload,
+        "k": int(k),
+        "precision": precision,
+        "num_partitions": int(num_partitions),
+        "postings_cache_mb": 0,
+    }
+    postings = scans[0]
+    for s in scans[1:]:
+        postings = postings.unionByName(s)
+    per_part = (postings.groupBy("pid")
+                .applyInPandas(_bm25f_kernel(payload), BM25F_SCHEMA))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (per_part.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank"))
+
+
+def search_compound(spark: SparkSession,
+                    manifests: dict[str, IndexManifest],
+                    default_field: str, queries, k: int = 10,
+                    precision: str = "float32",
+                    postings_cache_mb: int = 0) -> DataFrame:
+    """Kernel-side boolean/dismax batch → DataFrame(qid, doc_id, score).
+
+    ``queries``: (qid, BooleanQuery | DisMaxQuery) pairs whose clause
+    trees passed :func:`clause_kernelable`; callers route the rest to the
+    join-chain plan.
+    """
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+
+    b = _SpecBuilder(spark, manifests, default_field)
+    specs = []
+    for qid, q in queries:
+        if isinstance(q, BooleanQuery):
+            specs.append(b.bool_spec(qid, q, default_field))
+        else:
+            specs.append(b.dismax_spec(qid, q, default_field))
+    return eval_compound(spark, manifests, specs, b.leaves, k, precision,
+                         postings_cache_mb=postings_cache_mb)

@@ -65,14 +65,40 @@ class DisMaxQuery:
 
 
 def search_dismax(spark: SparkSession, index, queries, k: int = 10,
-                  precision: str = "float32") -> DataFrame:
+                  precision: str = "float32",
+                  plan: str = "auto") -> DataFrame:
     """Batched dismax search → DataFrame(qid, doc_id, score).
 
-    ``queries`` is a list of ``(qid, DisMaxQuery)``.  One engine search
-    evaluates every clause of every query; composition is per-query FULL
-    join chains over the cached clause frame, unioned, topped with the
-    global (score desc, doc asc) window.
+    ``plan='auto'`` runs the composition inside the per-partition search
+    kernel (clauses are co-located by ``doc_id % P``; only per-partition
+    top-k rows shuffle — ``plans/compound.py``) on POSIX-visible v3
+    indexes, else falls back to the join-chain plan: one engine search
+    evaluates every clause, per-query FULL join chains compose, topped
+    with the global (score desc, doc asc) window.  Bit-identical scores
+    either way (differential-tested).
     """
+    for _, dq in queries:
+        if not isinstance(dq, DisMaxQuery):
+            raise TypeError("queries must be (qid, DisMaxQuery) pairs")
+    if plan not in ("auto", "kernel", "join"):
+        raise ValueError(f"unknown plan {plan!r}")
+    if plan != "join":
+        from pim_lucene_spark.manifest import IndexManifest
+        from pim_lucene_spark.plans.compound import (kernel_hostable,
+                                                     search_compound)
+        manifest = (IndexManifest.load(index) if isinstance(index, str)
+                    else index)
+        if kernel_hostable({"": manifest}) and k is not None:
+            return search_compound(spark, {"": manifest}, "", queries,
+                                   k=k, precision=precision)
+        if plan == "kernel":
+            raise ValueError("index needs cogroup norms (or k=None); the "
+                             "compound kernel cannot host this batch")
+    return _search_dismax_join(spark, index, queries, k, precision)
+
+
+def _search_dismax_join(spark: SparkSession, index, queries, k,
+                        precision: str) -> DataFrame:
     from pim_lucene_spark.plans.boolean import _clause_text_boost
     from pim_lucene_spark.operators.search import search
 
@@ -131,9 +157,15 @@ def search_dismax(spark: SparkSession, index, queries, k: int = 10,
         win = Window.partitionBy("qid").orderBy(F.desc("score"),
                                                 F.asc("doc_id"))
         out = (out.withColumn("rank", F.row_number().over(win))
-               .filter(F.col("rank") <= k).drop("rank")
-               .persist())
-        out.count()  # ≤ |queries|·k rows — materialize while res is live
+               .filter(F.col("rank") <= k).drop("rank"))
+        if k * len(meta) <= 200_000:
+            # ≤ |queries|·k rows: driver-materialize while res is live —
+            # leaves no persisted partitions behind (see
+            # plans/boolean.py::_compose_boolean)
+            return spark.createDataFrame(out.toPandas(),
+                                         DISMAX_RESULT_SCHEMA)
+        out = out.persist()
+        out.count()  # materialize while res is live
         return out
     finally:
         res.unpersist(blocking=False)

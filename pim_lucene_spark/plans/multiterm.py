@@ -391,6 +391,32 @@ def search_multiterm(spark: SparkSession, index: IndexManifest | str,
 
 def _search_scoring(spark, manifest, queries, k, precision,
                     empty) -> DataFrame:
+    from pim_lucene_spark.plans.compound import (_SpecBuilder,
+                                                 eval_compound,
+                                                 kernel_hostable)
+
+    if k is not None and kernel_hostable({"": manifest}):
+        # in-kernel composition: the expansion's per-term match sets
+        # never leave their partition — the per-doc expansion-order sum
+        # runs in the kernel and only per-partition top-k rows shuffle
+        b = _SpecBuilder(spark, {"": manifest}, "")
+        specs = []
+        for qid, q in queries:
+            qboost = float(getattr(q, "boost", 1.0))
+            inner = tuple(
+                b._leaf("", t, tb * qboost)
+                for t, tb in expand_terms(spark, manifest, q))
+            specs.append({"qid": int(qid), "op": "bool", "must": (),
+                          "filter": (), "should": inner, "must_not": (),
+                          "msm": 0})
+        return eval_compound(spark, {"": manifest}, specs, b.leaves, k,
+                             precision)
+    return _search_scoring_join(spark, manifest, queries, k, precision,
+                                empty)
+
+
+def _search_scoring_join(spark, manifest, queries, k, precision,
+                         empty) -> DataFrame:
     from pim_lucene_spark.operators.search import search
 
     sub, mapping = [], []

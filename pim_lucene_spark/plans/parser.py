@@ -183,11 +183,17 @@ def _parse_group(toks, i: int, depth: int, default_operator: str,
         if field is not None:
             q = FieldedQuery(field, q)
             field = None
-        # classic retroactive rule: AND promotes the previous unmarked
-        # SHOULD clause to MUST — even when THIS clause carries its own
-        # +/-/NOT modifier ('a AND NOT b' requires a)
+        # classic retroactive rules (QueryParserBase.java:377-385): AND
+        # promotes the previous SHOULD clause to MUST — even when THIS
+        # clause carries its own +/-/NOT modifier ('a AND NOT b'
+        # requires a); under default_operator='and', OR demotes the
+        # previous non-prohibited clause to SHOULD ('a OR b' → 'a b',
+        # and '+a OR b' → 'a OR b' per the reference's own comment)
         if conj == "and" and clauses and clauses[-1][0] == "should":
             clauses[-1][0] = "must"
+        if conj == "or" and default_operator == "and" and clauses \
+                and clauses[-1][0] == "must":
+            clauses[-1][0] = "should"
         if pending is not None:
             occur = pending
         elif conj == "or":

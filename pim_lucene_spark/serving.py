@@ -146,11 +146,23 @@ class ShardedServer:
             raise res
         return res
 
-    def _gather(self, conns) -> list:
+    def _recv_tagged(self, conn, expect: int):
+        """Receive one reply and verify it answers THIS request — a tag
+        mismatch means the pipe protocol desynchronized (e.g. an earlier
+        caller abandoned replies) and every later result would silently
+        belong to a stale batch: fail loudly instead."""
+        tag, payload = conn.recv()
+        if tag != expect:
+            raise RuntimeError(
+                f"serving pipe desync: expected reply for request "
+                f"{expect}, got {tag}")
+        return payload
+
+    def _gather(self, conns, expect: int) -> list:
         """Receive one reply from EVERY pipe before unwrapping — raising
         on the first error would leave the other shards' replies queued
         and desynchronize the next call."""
-        replies = [conn.recv()[1] for conn in conns]
+        replies = [self._recv_tagged(conn, expect) for conn in conns]
         return [self._unwrap(r) for r in replies]
 
     def search(self, queries: list[tuple[int, str]],
@@ -160,10 +172,10 @@ class ShardedServer:
         self._ensure_started()
         if self.mode == "replica":
             self._conns[0].send((0, queries, k))
-            return self._unwrap(self._conns[0].recv()[1])
+            return self._unwrap(self._recv_tagged(self._conns[0], 0))
         for conn in self._conns:
             conn.send((0, queries, k))
-        return self._merge(self._gather(self._conns), k)
+        return self._merge(self._gather(self._conns, 0), k)
 
     def map(self, batches: Iterable[list[tuple[int, str]]],
             k: int = 10) -> list[pd.DataFrame]:
@@ -181,24 +193,39 @@ class ShardedServer:
         if self.mode == "replica":
             W = self.num_workers
             pending: dict[int, list[int]] = {w: [] for w in range(W)}
+            # worker errors are recorded and re-raised only after EVERY
+            # outstanding reply is drained (mirroring _gather): raising
+            # mid-drain would leave queued replies that desynchronize the
+            # next call into serving stale batches
+            errors: list[BaseException] = []
+
+            def drain(w: int) -> None:
+                j = pending[w].pop(0)
+                payload = self._recv_tagged(self._conns[w], j)
+                if isinstance(payload, BaseException):
+                    errors.append(payload)
+                else:
+                    out[j] = payload
+
             for i, batch in enumerate(batches):
                 w = i % W
                 # at most 2 outstanding per worker: drain the oldest first
                 if len(pending[w]) >= 2:
-                    j = pending[w].pop(0)
-                    out[j] = self._unwrap(self._conns[w].recv()[1])
+                    drain(w)
                 self._conns[w].send((i, batch, k))
                 pending[w].append(i)
             for w in range(W):
-                for j in pending[w]:
-                    out[j] = self._unwrap(self._conns[w].recv()[1])
+                while pending[w]:
+                    drain(w)
+            if errors:
+                raise errors[0]
             return out  # type: ignore[return-value]
 
         inflight: list[int] = []
 
         def collect() -> None:
             i = inflight.pop(0)
-            out[i] = self._merge(self._gather(self._conns), k)
+            out[i] = self._merge(self._gather(self._conns, i), k)
 
         nxt = 0
         while nxt < len(batches) or inflight:

@@ -1,0 +1,186 @@
+"""In-kernel compound composition (plans/compound.py) vs the join-chain
+plans — bit-identical scores, and the plan-shape property the kernel
+exists for: only per-partition top-k rows reach the shuffle (the join
+plan shipped every clause's full match set)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.operators.index_build import build_index
+from pim_lucene_spark.plans.boolean import (BooleanQuery, search_boolean,
+                                            search_boolean_fields)
+from pim_lucene_spark.plans.dismax import DisMaxQuery, search_dismax
+from pim_lucene_spark.plans.multiterm import FuzzyQuery, search_multiterm
+from pim_lucene_spark.plans.query import FieldedQuery, PhraseQuery, TermQuery
+
+VOCAB = ["red", "green", "blue", "apple", "brick", "house", "sky",
+         "grass", "sunset", "pie", "tart", "only", "the", "fast"]
+
+
+def _corpus(n=120, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        words = list(rng.choice(VOCAB, size=rng.integers(4, 18)))
+        if i % 3 == 0:
+            words += ["the", "fast"]  # guarantee phrase + stopword mass
+        rows.append(" ".join(words))
+    return pd.DataFrame({"doc_id": range(n), "content": rows})
+
+
+@pytest.fixture(scope="module")
+def cidx(spark, tmp_path_factory):
+    cfg = IndexConfig(num_partitions=4, num_segments=2, build_chunks=1)
+    return build_index(spark, spark.createDataFrame(_corpus()),
+                       str(tmp_path_factory.mktemp("compound")), cfg,
+                       content_col="content", id_col="doc_id")
+
+
+BOOL_BATCH = [
+    (0, BooleanQuery(must=["red", "apple"])),
+    (1, BooleanQuery(should=["brick", "grass", "sky"])),
+    (2, BooleanQuery(must=["red"], must_not=["apple"], boost=2.0)),
+    (3, BooleanQuery(must=["the"], filter=["fast"], should=["pie"])),
+    (4, BooleanQuery(should=["the fast", "tart", "red zzz_absent"],
+                     min_should_match=1)),
+    (5, BooleanQuery(must=[PhraseQuery("the fast", boost=1.5)],
+                     should=["sky", "apple"], min_should_match=1)),
+    (6, BooleanQuery(should=[BooleanQuery(must=["red"], should=["pie"]),
+                             "sunset"], boost=3.0)),
+    (7, BooleanQuery(should=["blue", "green"], min_should_match=2)),
+    (8, BooleanQuery(must=["red"],
+                     should=[FuzzyQuery("aple", max_edits=1)])),
+]
+
+
+def _cmp(a, b):
+    a = a.toPandas().sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    b = b.toPandas().sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    return a
+
+
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+def test_boolean_kernel_matches_join(spark, cidx, precision):
+    got = _cmp(search_boolean(spark, cidx, BOOL_BATCH, k=10,
+                              precision=precision, plan="kernel"),
+               search_boolean(spark, cidx, BOOL_BATCH, k=10,
+                              precision=precision, plan="join"))
+    assert set(got.qid) >= {0, 1, 2, 3, 4, 5, 6}
+
+
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+def test_dismax_kernel_matches_join(spark, cidx, precision):
+    batch = [
+        (0, DisMaxQuery(clauses=["red", "apple"])),
+        (1, DisMaxQuery(clauses=["the fast", "sky"], tie=0.25)),
+        (2, DisMaxQuery(clauses=[TermQuery("red", boost=3.0), "blue",
+                                 "grass"], tie=0.5, boost=2.0)),
+    ]
+    _cmp(search_dismax(spark, cidx, batch, k=10, precision=precision,
+                       plan="kernel"),
+         search_dismax(spark, cidx, batch, k=10, precision=precision,
+                       plan="join"))
+
+
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+def test_scoring_boolean_kernel_matches_join(spark, cidx, precision):
+    from pim_lucene_spark.plans.multiterm import (MT_RESULT_SCHEMA,
+                                                  _search_scoring_join)
+    batch = [(0, FuzzyQuery("aple", max_edits=2)),
+             (1, FuzzyQuery("grass", max_edits=1, boost=2.0))]
+    a = search_multiterm(spark, cidx, batch, k=10,
+                         rewrite="scoring_boolean", precision=precision)
+    b = _search_scoring_join(spark, cidx, batch, 10, precision,
+                             spark.createDataFrame([], MT_RESULT_SCHEMA))
+    _cmp(a, b)
+
+
+def test_auto_routes_mixed_batch(spark, cidx):
+    """A batch mixing kernel-able and join-only (sloppy clause) queries
+    splits per query and still matches the all-join plan."""
+    batch = BOOL_BATCH[:3] + [
+        (9, BooleanQuery(must=[PhraseQuery("red apple", slop=2)],
+                         should=["sky"]))]
+    _cmp(search_boolean(spark, cidx, batch, k=10, plan="auto"),
+         search_boolean(spark, cidx, batch, k=10, plan="join"))
+
+
+def test_kernel_shuffle_is_topk_bounded(spark, cidx):
+    """The plan-shape win: a stopword SHOULD clause used to push its full
+    match set through the shuffle (k=10**9 clause frame); the kernel
+    shuffles at most P·k composed rows per query."""
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.compound import _SpecBuilder, eval_compound
+
+    k = 10
+    bq = BooleanQuery(must=["red"], should=["the"])  # "the" ≈ every doc
+    b = _SpecBuilder(spark, {"": cidx}, "")
+    specs = [b.bool_spec(0, bq, "")]
+    partial = eval_compound(spark, {"": cidx}, specs, b.leaves, k,
+                            "float32", return_partial=True).toPandas()
+    P = cidx.num_partitions
+    assert len(partial) <= P * k
+    per_pid = partial.groupby(partial.doc_id % P).size()
+    assert (per_pid <= k).all()
+
+    # the join plan's clause frame for the same query (what used to
+    # cross the exchange): the stopword's entire match set
+    clause_rows = search(spark, cidx, [(0, "red"), (1, "the")], k=10 ** 9
+                         ).count()
+    # ≥3× even on this 120-doc corpus; the ratio grows with corpus size
+    # (clause frame ~ docs containing the stopword, kernel ≤ P·k)
+    assert clause_rows > 3 * len(partial)
+
+
+# --- multi-field: fielded boolean + BM25F ------------------------------
+
+@pytest.fixture(scope="module")
+def mfidx(spark, tmp_path_factory):
+    from pim_lucene_spark.index import MultiFieldIndex
+    rng = np.random.default_rng(11)
+    n = 80
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "title": [" ".join(rng.choice(VOCAB[:8], size=rng.integers(2, 5)))
+                  for _ in range(n)],
+        "body": [" ".join(rng.choice(VOCAB, size=rng.integers(6, 20)))
+                 for _ in range(n)],
+    })
+    cfg = IndexConfig(num_partitions=4, num_segments=2, build_chunks=1)
+    return MultiFieldIndex.build(
+        spark, spark.createDataFrame(pdf),
+        str(tmp_path_factory.mktemp("mfcompound")),
+        fields={"title": "title", "body": "body"}, cfg=cfg,
+        id_col="doc_id")
+
+
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+def test_fielded_boolean_kernel_matches_join(spark, mfidx, precision):
+    from pim_lucene_spark.plans.boolean import _search_boolean_fields_join
+    batch = [
+        (0, BooleanQuery(must=[FieldedQuery("title", "red")],
+                         should=[FieldedQuery("body", "apple"), "sky"])),
+        (1, BooleanQuery(should=[FieldedQuery("title", "green"),
+                                 FieldedQuery("body", "grass")])),
+        (2, BooleanQuery(must=["apple"],
+                         must_not=[FieldedQuery("title", "blue")])),
+    ]
+    a = search_boolean_fields(spark, mfidx.manifests, "body", batch, k=10,
+                              precision=precision)
+    b = _search_boolean_fields_join(spark, mfidx.manifests, "body", batch,
+                                    10, precision)
+    _cmp(a, b)
+
+
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+def test_bm25f_kernel_matches_join(spark, mfidx, precision):
+    qs = [(0, "red apple"), (1, "apple"), (2, "green grass sky")]
+    w = {"title": 2.0, "body": 1.0}
+    a = mfidx.search_bm25f(qs, k=10, field_weights=w, precision=precision,
+                           plan="kernel")
+    b = mfidx.search_bm25f(qs, k=10, field_weights=w, precision=precision,
+                           plan="join")
+    _cmp(a, b)

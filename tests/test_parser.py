@@ -90,6 +90,30 @@ def test_default_operator_and():
     assert q == BooleanQuery(must=[TermQuery("a"), TermQuery("b")])
 
 
+def test_or_demotes_under_and_default():
+    # QueryParserBase.java:377-385: under AND_OPERATOR, OR retroactively
+    # demotes the preceding non-prohibited clause to SHOULD
+    q = parse_query("a OR b", default_operator="and")
+    assert q == BooleanQuery(should=[TermQuery("a"), TermQuery("b")])
+    # '+a OR b' → 'a OR b' (the reference's own comment: explicit + is
+    # demoted too; only prohibited clauses survive)
+    q = parse_query("+a OR b", default_operator="and")
+    assert q == BooleanQuery(should=[TermQuery("a"), TermQuery("b")])
+    # '-a OR b' keeps the prohibition
+    q = parse_query("-a OR b", default_operator="and")
+    assert q == BooleanQuery(must_not=[TermQuery("a")],
+                             should=[TermQuery("b")])
+    # under the OR default nothing is demoted (no operator==AND branch)
+    q = parse_query("+a OR b", default_operator="or")
+    assert q == BooleanQuery(must=[TermQuery("a")],
+                             should=[TermQuery("b")])
+    # mixed chain: 'a AND b OR c' under AND → +a b c? No: AND promotes a,
+    # then OR demotes b; c takes the OR conj → should
+    q = parse_query("a AND b OR c", default_operator="and")
+    assert q == BooleanQuery(must=[TermQuery("a")],
+                             should=[TermQuery("b"), TermQuery("c")])
+
+
 def test_boosted_clause_in_boolean():
     q = parse_query("+a^2 b")
     assert q == BooleanQuery(must=[TermQuery("a", boost=2.0)],

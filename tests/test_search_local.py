@@ -51,3 +51,26 @@ def test_facade_search_local(spark, local_index):
     res = idx.search_local(QUERIES[:2], k=5)
     assert set(res.columns) == {"qid", "doc_id", "freq", "norm", "score"}
     assert len(res) > 0
+
+
+def test_local_rows_budget_eviction_never_drops_current_batch(
+        spark, local_index):
+    """Regression: with a tiny residency budget, the LRU pass used to
+    evict terms the CURRENT batch needs (just-loaded or resident), and
+    the kernel silently treated them as no-hit — partial results.  The
+    eviction now runs after assembly with the batch's keys pinned."""
+    import pim_lucene_spark.operators.search as S
+
+    expected = (search_local(local_index, QUERIES, k=10)
+                .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    old_max = S._LOCAL_ROWS_MAX
+    S.clear_local_cache()
+    try:
+        S._LOCAL_ROWS_MAX = 1  # every batch is over budget
+        for _ in range(3):  # repeated batches re-load after eviction
+            got = (search_local(local_index, QUERIES, k=10)
+                   .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, expected)
+    finally:
+        S._LOCAL_ROWS_MAX = old_max
+        S.clear_local_cache()
