@@ -5,7 +5,9 @@ the standard operators a 100 TB training-data pipeline needs, expressed
 Spark-first:
 
 - ``exact_dedup``      : hash-groupBy on sha256(content) — one shuffle.
-- ``ngram_jaccard_pairs``: blocked exact token-n-gram Jaccard (SQL-checkable).
+- ``ngram_jaccard_pairs``: exact token-n-gram Jaccard over a bounded
+  candidate space — LSH-bucketed by default, manual equi-join blocking
+  via ``block_col`` (SQL-checkable).
 - ``minhash_lsh_pairs``  : MinHash signatures + banded LSH bucketing —
   the scale path: shuffles only O(docs × bands) bucket keys, never the
   O(n²) pair space; candidates verified with exact Jaccard.
@@ -75,20 +77,53 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "content",
-                        block_col: str | None = None) -> DataFrame:
-    """Exact token-n-gram Jaccard over blocked candidate pairs.
+                        block_col: str | None = None,
+                        lsh_num_hashes: int = 64,
+                        lsh_bands: int = 32,
+                        max_bucket_size: int | None = 10_000) -> DataFrame:
+    """Exact token-n-gram Jaccard over a BOUNDED candidate pair space.
 
-    ``block_col`` bounds the pair space (equi-join blocking); with None the
-    join is a full self-join — only for small corpora / tests.  Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    Candidate generation (the Jaccard itself is always exact):
+
+    - ``block_col=None`` (default): banded MinHash-LSH buckets
+      (:func:`lsh_candidate_pairs`) — shuffles O(docs × bands) keys,
+      never the O(n²) pair space, so the default is safe at corpus
+      scale.  Candidate recall at the default 32 bands of 2 rows is
+      ``1-(1-j²)³²`` (≈0.9999 at j=0.5); raise ``lsh_bands`` for lower
+      thresholds.  The verify stage re-computes exact Jaccard, so
+      reported pairs are never false positives.
+    - ``block_col='...'``: manual equi-join blocking on a caller-chosen
+      key (language, length bucket, shard) — exhaustive WITHIN blocks,
+      the mode an exact-recall oracle run wants.  A constant block
+      degenerates to the full self-join: keep blocks bounded.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
+    jaccard >= threshold.
     """
     g = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                     *( [F.col(block_col).alias("blk")] if block_col else
-                        [F.lit(0).alias("blk")] ),
                      F.array_distinct(ngrams_col(tokens_col(text_col), n))
                       .alias("grams")))
-    a = g.alias("a")
-    b = g.alias("b")
+    if block_col is None:
+        cand = lsh_candidate_pairs(docs, num_hashes=lsh_num_hashes,
+                                   bands=lsh_bands, n=n, id_col=id_col,
+                                   text_col=text_col,
+                                   max_bucket_size=max_bucket_size)
+        inter = F.size(F.array_intersect("ga", "gb"))
+        union = F.size(F.array_union("ga", "gb"))
+        return (cand
+                .join(g.select(F.col("doc_id").alias("doc_a"),
+                               F.col("grams").alias("ga")), "doc_a")
+                .join(g.select(F.col("doc_id").alias("doc_b"),
+                               F.col("grams").alias("gb")), "doc_b")
+                .select("doc_a", "doc_b",
+                        (inter.cast("double")
+                         / union.cast("double")).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    gb = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(block_col).alias("blk"))
+          .join(g, "doc_id"))
+    a = gb.alias("a")
+    b = gb.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
     jac = inter.cast("double") / union.cast("double")
@@ -175,26 +210,17 @@ def _exact_star_candidates(docs: DataFrame, dropped: DataFrame,
                     F.col("doc_id").alias("doc_b")))
 
 
-def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
-                      n: int = 3, threshold: float = 0.5,
-                      id_col: str = "doc_id", text_col: str = "content",
-                      seed: int = 42,
-                      hash_fn: str = "xxhash64",
-                      max_bucket_size: int | None = 10_000) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
-
-    Scale path: docs sharing any band bucket become candidates (shuffle on
-    (band, bucket-key)); candidates are re-verified with exact n-gram
-    Jaccard so the threshold is exact, LSH only affects recall.  The band
-    bucket key is the concatenated signature slice itself (no second hash
-    — exactly as collision-safe, and byte-for-byte reproducible in SQL).
-
-    ``max_bucket_size`` (default 10⁴ — ON at scale) keeps pathological
-    boilerplate buckets out of the quadratic self-join; their members are
-    routed through the linear exact-duplicate star instead and still feed
-    the same verify stage (see :func:`_exact_star_candidates`).  ``None``
-    disables the cap entirely (small corpora / oracle runs).
-    """
+def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 64,
+                        bands: int = 16, n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "content",
+                        seed: int = 42, hash_fn: str = "xxhash64",
+                        max_bucket_size: int | None = 10_000) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from banded MinHash LSH
+    buckets — the shared bounded candidate generator behind
+    :func:`minhash_lsh_pairs` and the :func:`ngram_jaccard_pairs`
+    default.  Shuffles O(docs × bands) bucket keys, never the O(n²) pair
+    space; oversized buckets route through the linear exact-duplicate
+    star (:func:`_exact_star_candidates`)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, seed,
@@ -220,7 +246,31 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     if dropped is not None:
         cand = cand.unionByName(
             _exact_star_candidates(docs, dropped, id_col, text_col))
-    cand = cand.distinct()
+    return cand.distinct()
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      n: int = 3, threshold: float = 0.5,
+                      id_col: str = "doc_id", text_col: str = "content",
+                      seed: int = 42,
+                      hash_fn: str = "xxhash64",
+                      max_bucket_size: int | None = 10_000) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
+
+    Scale path: docs sharing any band bucket become candidates (shuffle on
+    (band, bucket-key)); candidates are re-verified with exact n-gram
+    Jaccard so the threshold is exact, LSH only affects recall.  The band
+    bucket key is the concatenated signature slice itself (no second hash
+    — exactly as collision-safe, and byte-for-byte reproducible in SQL).
+
+    ``max_bucket_size`` (default 10⁴ — ON at scale) keeps pathological
+    boilerplate buckets out of the quadratic self-join; their members are
+    routed through the linear exact-duplicate star instead and still feed
+    the same verify stage (see :func:`_exact_star_candidates`).  ``None``
+    disables the cap entirely (small corpora / oracle runs).
+    """
+    cand = lsh_candidate_pairs(docs, num_hashes, bands, n, id_col,
+                               text_col, seed, hash_fn, max_bucket_size)
     g = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                     F.array_distinct(ngrams_col(tokens_col(text_col), n))
                      .alias("grams"))

@@ -202,3 +202,28 @@ def test_repetition_stats_hand_fixture(spark):
     assert r.loc[2].distinct_ratio == 1.0 and r.loc[2].top_token_share == 0.0
     assert r.loc[3].distinct_ratio == 1.0
     assert r.loc[3].top_token_share == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_ngram_jaccard_default_is_lsh_blocked_no_cartesian(spark):
+    """The default (block_col=None) used to be a full self-join; it now
+    routes candidates through MinHash-LSH buckets: no CartesianProduct
+    (or unconditioned BNL join) anywhere in the plan, planted near-dups
+    still found, and every reported pair verifies exactly."""
+    docs = spark.createDataFrame(_corpus())
+    got = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pdf = got.toPandas()
+    # exact all-pairs reference (tiny corpus): the LSH default must find
+    # the planted near-dup pairs and report their exact Jaccard
+    ref = (dedup.ngram_jaccard_pairs(
+        docs.selectExpr("doc_id", "content", "1 AS one"),
+        n=3, threshold=0.3, block_col="one").toPandas())
+    got_pairs = set(zip(pdf.doc_a, pdf.doc_b))
+    ref_pairs = set(zip(ref.doc_a, ref.doc_b))
+    assert got_pairs <= ref_pairs            # never a false positive
+    high = ref[ref.jaccard >= 0.5]           # recall on strong near-dups
+    assert set(zip(high.doc_a, high.doc_b)) <= got_pairs
+    merged = pdf.merge(ref, on=["doc_a", "doc_b"], suffixes=("", "_ref"))
+    assert np.allclose(merged.jaccard, merged.jaccard_ref)
