@@ -145,6 +145,37 @@ def _q_merged_phrase(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _get_deleted_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
+    """Index with a delete vector applied: every ``doc_id % 7 == 3`` is
+    marked deleted (the live-docs lifecycle of TestPimIndexWriter.java:
+    72-118 / the reference's TODO PimIndexWriter.java:186-187).  Stats
+    keep counting the deleted docs (Lucene pre-merge semantics) — the
+    oracle mirrors that by scoring on the full corpus and excluding the
+    ids before its top-k cut."""
+    from pim_lucene_spark.operators.deletes import write_deletes
+    key = hashlib.md5((sf_dir + "|del").encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "pim_index_cache", key)
+    manifest_file = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_file):
+        m = IndexManifest.load(index_dir)
+        if len(m.completed_chunks) == m.build_chunks and m.version >= 3 \
+                and m.delete_gen == 1:
+            return m
+    m = build_index(spark, _docs(spark, sf_dir), index_dir, _CFG,
+                    content_col="content", id_col="doc_id", source=sf_dir)
+    ids = (spark.read.parquet(m.docs_path).select("doc_id")
+           .filter(F.col("doc_id") % 7 == 3))
+    return write_deletes(spark, m, ids)
+
+
+def _q_deleted(spark, sf_dir):
+    m = _get_deleted_index(spark, sf_dir)
+    res = search(spark, m, PHRASE_QUERIES + TERM_QUERIES, k=10,
+                 precision="float64")
+    return res.select("qid", "doc_id", "freq",
+                      F.round("score", 6).alias("score"))
+
+
 def _get_std_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
     """Index an UPPERCASED view of documents with the `standard` analyzer —
     case-folding must happen in the analyzer (IndexRAMDPU.java:90 uses
@@ -574,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: _searched(s, d, PHRASE_QUERIES + TERM_QUERIES,
                                    k=5, bound_probe=True),
         "engine_merged_phrase_bm25": _q_merged_phrase,
+        "engine_deleted_docs": _q_deleted,
         "engine_local_serving": _q_local_serving,
         "engine_sharded_serving": _q_sharded_serving,
         "engine_boolean_bm25": _q_boolean,
@@ -843,6 +875,11 @@ def oracle_sql() -> dict[str, str]:
         "engine_merged_phrase_bm25":
             oracle.phrase_bm25_sql(PHRASE_QUERIES, k=10).replace(
                 "WITH ", f"WITH {_MERGE_REMAP_CTE}, ", 1),
+        # delete vector: score on FULL-corpus stats (Lucene pre-merge
+        # semantics), exclude deleted ids before the top-k cut
+        "engine_deleted_docs": oracle.phrase_bm25_sql(
+            PHRASE_QUERIES + TERM_QUERIES, k=10,
+            exclude_pred="f.doc_id % 7 = 3"),
         # brute-force fallback path computes the identical result set
         "engine_fallback_scan_bm25": oracle.phrase_bm25_sql(PHRASE_QUERIES,
                                                             k=10),

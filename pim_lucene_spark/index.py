@@ -61,6 +61,31 @@ class FullTextIndex:
         return FullTextIndex(self.spark, merge_indexes(
             self.spark, manifests, out_dir, num_segments=num_segments))
 
+    # --- delete lifecycle ---------------------------------------------------
+    def delete_docs(self, doc_ids) -> int:
+        """Mark docs deleted (live-docs semantics, the reference's open
+        TODO ``PimIndexWriter.java:186-187``): they stop matching every
+        query path immediately, while term/collection stats keep
+        counting them until the next merge purges their postings —
+        exactly Lucene's pre-merge scoring.  ``doc_ids`` is an iterable
+        of global ids or a DataFrame with a ``doc_id`` column.  Returns
+        the total deleted count.  Single-writer, like ``IndexWriter``.
+        """
+        from pim_lucene_spark.operators.deletes import write_deletes
+        self.manifest = write_deletes(self.spark, self.manifest, doc_ids)
+        return self.manifest.deleted_count
+
+    def deleted_doc_ids(self) -> DataFrame:
+        from pim_lucene_spark.operators.deletes import deleted_ids
+        return deleted_ids(self.spark, self.manifest)
+
+    def live_docs(self) -> DataFrame:
+        """The docs table minus deleted rows."""
+        d = self.docs()
+        if self.manifest.delete_gen:
+            d = d.join(self.deleted_doc_ids(), "doc_id", "left_anti")
+        return d
+
     # --- queries -----------------------------------------------------------
     def search(self, queries: list[tuple[int, str]], k: int = 10,
                precision: str = "float32", slop: int = 0) -> DataFrame:

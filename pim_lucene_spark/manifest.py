@@ -42,6 +42,19 @@ class IndexManifest:
     # unique id of this build/merge (stats caches key on it so a rebuilt
     # index in the same directory never serves stale term stats)
     build_id: str = ""
+    # delete-vector generation: 0 = no deletes; g > 0 = the live-docs
+    # state at deletes/gen=g/ (a Parquet of deleted GLOBAL doc ids,
+    # partitioned by pid).  Each delete_docs() call writes a NEW
+    # generation with the full deleted set and bumps the counter, so a
+    # reader holding a manifest snapshot never sees a half-written
+    # delete vector (single-writer, like a Lucene commit point).
+    # Postings/norms/stats are untouched: like Lucene, deleted docs are
+    # filtered at query time and purged (with stats recomputed) at the
+    # next merge — the live-docs design the reference leaves as TODO
+    # (PimIndexWriter.java:186-187; lifecycle of
+    # TestPimIndexWriter.java:72-118).
+    delete_gen: int = 0
+    deleted_count: int = 0
     # format version 3: norms parquet laid out as norms/pid=N/ so search
     # tasks read their partition's blob directly (no norms shuffle);
     # doc_span/build_id fields.  version 2: striped posting rows.
@@ -63,6 +76,13 @@ class IndexManifest:
     @property
     def postings_path(self) -> str:
         return os.path.join(self.index_dir, "postings")
+
+    @property
+    def deletes_path(self) -> str:
+        """Current delete-vector generation dir (meaningful only when
+        ``delete_gen > 0``)."""
+        return os.path.join(self.index_dir, "deletes",
+                            f"gen={self.delete_gen}")
 
     def chunk_path(self, chunk: int) -> str:
         return os.path.join(self.postings_path, f"chunk={chunk}")

@@ -60,11 +60,31 @@ def _load(m: IndexManifest | str) -> IndexManifest:
 
 def _merge_postings_kernel(rel_shifts: list[int], num_partitions: int,
                            num_segments: int, nb_doc_per_segment: int,
-                           stripe_cap: int):
+                           stripe_cap: int,
+                           del_paths: list[str | None] | None = None,
+                           del_spans: list[int] | None = None):
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        # per-source live masks: a merge PURGES deleted docs (Lucene's
+        # merge-reclaims-deletes) by dropping their postings at the
+        # decoded level before re-encode
+        live_src: dict[int, np.ndarray | None] = {}
+
+        def get_live(src: int):
+            if src not in live_src:
+                path = del_paths[src] if del_paths else None
+                if path is None:
+                    live_src[src] = None
+                else:
+                    from pim_lucene_spark.operators.deletes import (
+                        live_mask_for,
+                    )
+                    live_src[src] = live_mask_for(
+                        path, pid, num_partitions, del_spans[src])
+            return live_src[src]
+
         # factorize terms once at the ROW level: per-token term identity is
         # an int64 code, never a Python string (rows ≪ tokens)
         row_codes, uniques = pd.factorize(pdf["term"], sort=True)
@@ -82,11 +102,23 @@ def _merge_postings_kernel(rel_shifts: list[int], num_partitions: int,
             tp = decode_columnar(row.doc_blob, row.freq_blob, row.pos_blob,
                                  np.asarray(row.seg_doc_counts),
                                  decode_positions=True)
-            abs_doc = (tp.rel_docs + rel_shifts[row.src]) * num_partitions + pid
-            tok_doc = np.repeat(abs_doc, tp.freqs)
+            rel, freqs, pos = tp.rel_docs, tp.freqs, tp.positions
+            lv = get_live(int(row.src))
+            if lv is not None:
+                keep = lv[rel]
+                if not keep.all():
+                    pos = pos[np.repeat(keep, freqs)]
+                    rel, freqs = rel[keep], freqs[keep]
+                    if rel.size == 0:
+                        continue
+            abs_doc = (rel + rel_shifts[row.src]) * num_partitions + pid
+            tok_doc = np.repeat(abs_doc, freqs)
             code_parts.append(np.full(tok_doc.size, code, dtype=np.int64))
             doc_parts.append(tok_doc)
-            pos_parts.append(tp.positions)
+            pos_parts.append(pos)
+        if not code_parts:
+            return pd.DataFrame(columns=[f.name for f in
+                                         POSTINGS_SCHEMA.fields])
         codes = np.concatenate(code_parts)
         tok_doc = np.concatenate(doc_parts)
         tok_pos = np.concatenate(pos_parts)
@@ -169,23 +201,33 @@ def merge_indexes(spark: SparkSession, sources: list,
     qf, _ = quantize_norm_inverse(bm25.score_cache(avgdl32, ms[0].k1, ms[0].b))
     manifest.norm_quant_factor = int(qf)
 
-    # --- docs: union with shifted ids -------------------------------------
+    # --- docs: union with shifted ids; a merge PURGES deleted docs ---------
+    any_del = any(m.delete_gen for m in ms)
     docs = None
     for m, base in zip(ms, bases):
-        d = (spark.read.parquet(m.docs_path)
-             .withColumn("doc_id", F.col("doc_id") + F.lit(base)))
-        docs = d if docs is None else docs.unionByName(d)
+        d = spark.read.parquet(m.docs_path)
+        if m.delete_gen:
+            from pim_lucene_spark.operators.deletes import deleted_ids
+            d = d.join(deleted_ids(spark, m), "doc_id", "left_anti")
+        d = d.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        # allowMissingColumns: sources may differ in payload meta columns
+        # (e.g. update generations carry src_doc_id)
+        docs = d if docs is None else docs.unionByName(
+            d, allowMissingColumns=True)
     docs.write.mode("overwrite").parquet(manifest.docs_path)
 
-    # --- postings: per-partition multi-way merge ---------------------------
+    # --- postings: per-partition multi-way merge (deletes dropped at the
+    # decoded posting level; stats recomputed below) ------------------------
     postings = None
     for i, m in enumerate(ms):
         p = (spark.read.parquet(*[m.chunk_path(c)
                                   for c in range(m.build_chunks)])
              .withColumn("src", F.lit(i)))
         postings = p if postings is None else postings.unionByName(p)
-    kernel = _merge_postings_kernel(rel_shifts, P, segs, nb_doc_per_segment,
-                                    stripe_cap)
+    kernel = _merge_postings_kernel(
+        rel_shifts, P, segs, nb_doc_per_segment, stripe_cap,
+        del_paths=[m.deletes_path if m.delete_gen else None for m in ms],
+        del_spans=[-(-m.span // P) for m in ms])
     (postings.groupBy("pid").applyInPandas(kernel, POSTINGS_SCHEMA)
      .write.mode("overwrite").parquet(manifest.chunk_path(0)))
 
@@ -207,6 +249,18 @@ def merge_indexes(spark: SparkSession, sources: list,
      .agg(F.sum("df").alias("doc_freq"), F.sum("ttf").alias("total_tf"))
      .write.mode("overwrite").parquet(manifest.stats_path))
 
+    if any_del:
+        # purged merge: collection stats shrink to the live corpus (the
+        # moment Lucene's deleted-doc statistics catch up is the merge)
+        doc_count = spark.read.parquet(manifest.docs_path).count()
+        sum_ttf = int(merged.agg(F.sum("ttf")).collect()[0][0] or 0)
+        manifest.doc_count, manifest.sum_total_term_freq = \
+            int(doc_count), sum_ttf
+        avgdl32 = bm25.avg_field_length(sum_ttf, doc_count, "float32")
+        qf, _ = quantize_norm_inverse(
+            bm25.score_cache(avgdl32, ms[0].k1, ms[0].b))
+        manifest.norm_quant_factor = int(qf)
+
     metrics_rows = (merged.groupBy("pid").agg(
         F.count_distinct("term").alias("terms"),
         F.sum("df").alias("postings"),
@@ -216,7 +270,7 @@ def merge_indexes(spark: SparkSession, sources: list,
     ).collect())
     manifest.metrics = {
         "merge_seconds": round(time.time() - t0, 3),
-        "doc_count": doc_count,
+        "doc_count": manifest.doc_count,
         "sources": [m.index_dir for m in ms],
         "doc_bases": bases,
         "per_partition": {

@@ -65,6 +65,7 @@ from pim_lucene_spark.functions.postings import (
 )
 from pim_lucene_spark.functions.tokenize import tokenize_one
 from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.operators.deletes import live_mask_for
 
 RESULT_SCHEMA = T.StructType([
     T.StructField("qid", T.LongType(), False),
@@ -281,7 +282,8 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
                       cache: np.ndarray, precision: str, k: int,
                       num_segments: int, ext_bound: float = -np.inf,
                       cached: "_LazyPostings | None" = None,
-                      cache_put=None, prefer_full_bytes: int = 0):
+                      cache_put=None, prefer_full_bytes: int = 0,
+                      live: np.ndarray | None = None):
     """Single-term scoring with block-max segment skipping.
 
     Segments are visited in descending admissible upper-bound order
@@ -318,18 +320,23 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         lp = cached if cached is not None else _LazyPostings(rows)
         if cached is None and cache_put is not None:
             cache_put(lp)
-        nb = norms[lp.rel_docs]
-        sc = bm25.score(lp.freqs, nb, weight, cache, precision)
+        cand, freqs = lp.rel_docs, lp.freqs
+        if live is not None:  # mask deleted docs before scoring
+            keep = live[cand]
+            cand, freqs = cand[keep], freqs[keep]
+        nb = norms[cand]
+        sc = bm25.score(freqs, nb, weight, cache, precision)
         DECODE_STATS["segments_scored"] += int((counts_tot > 0).sum())
-        return lp.rel_docs, lp.freqs, nb, np.asarray(sc, dtype=np.float64)
+        return cand, freqs, nb, np.asarray(sc, dtype=np.float64)
 
     best_byte = int(np.argmax(cache))
-    live = np.flatnonzero(counts_tot > 0)
-    ub = np.asarray(bm25.score(max_tf[live],
-                               np.full(live.size, best_byte, dtype=np.int64),
+    seg_live = np.flatnonzero(counts_tot > 0)
+    ub = np.asarray(bm25.score(max_tf[seg_live],
+                               np.full(seg_live.size, best_byte,
+                                       dtype=np.int64),
                                weight, cache, precision), dtype=np.float64)
     o = np.argsort(-ub, kind="stable")
-    order, ub_sorted = live[o], ub[o]
+    order, ub_sorted = seg_live[o], ub[o]
 
     parts: list[tuple] = []
     top_buf = np.empty(0, dtype=np.float64)  # running top-k (O(batch + k))
@@ -349,11 +356,15 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         mask = np.zeros(num_segments, dtype=bool)
         mask[order[i:j]] = True
         lp = _LazyPostings(rows, mask)
-        nb = norms[lp.rel_docs]
-        sc = np.asarray(bm25.score(lp.freqs, nb, weight, cache, precision),
+        cand_b, freqs_b = lp.rel_docs, lp.freqs
+        if live is not None:  # deleted docs must not occupy the bound
+            keep = live[cand_b]
+            cand_b, freqs_b = cand_b[keep], freqs_b[keep]
+        nb = norms[cand_b]
+        sc = np.asarray(bm25.score(freqs_b, nb, weight, cache, precision),
                         dtype=np.float64)
-        parts.append((lp.rel_docs, lp.freqs, nb, sc))
-        n_coll += lp.rel_docs.size
+        parts.append((cand_b, freqs_b, nb, sc))
+        n_coll += cand_b.size
         DECODE_STATS["segments_scored"] += int(j - i)
         top_buf = np.concatenate([top_buf, sc])
         if top_buf.size > k:
@@ -443,7 +454,8 @@ class _DecodeCtx:
 
 def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                 norms: np.ndarray,
-                by_term: dict[str, list] | None = None) -> pd.DataFrame:
+                by_term: dict[str, list] | None = None,
+                live: np.ndarray | None = None) -> pd.DataFrame:
     out_qid, out_doc, out_freq, out_norm, out_score = [], [], [], [], []
     P = payload["num_partitions"]
     k = payload["k"]
@@ -475,7 +487,7 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                 num_segments, ext_bound=ext,
                 cached=_probe_cached(t0),
                 cache_put=lambda lp, _t=t0: _publish(_t, lp),
-                prefer_full_bytes=cache_budget // 8)
+                prefer_full_bytes=cache_budget // 8, live=live)
             if cand.size == 0:
                 continue
         else:
@@ -503,6 +515,10 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                 idxs = [ix[ia] for ix in idxs] + [ib]
                 if cand.size == 0:
                     break
+            if live is not None and cand.size:
+                keep = live[cand]  # deleted docs leave the candidate set
+                cand = cand[keep]  # before any WAND bound accumulates
+                idxs = [ix[keep] for ix in idxs]
             if cand.size == 0:
                 continue
 
@@ -618,7 +634,10 @@ def _match_kernel(payload: dict):
             blob = pq.read_table(part_dir, columns=["norms"]) \
                 .column("norms")[0].as_py()
             norms = np.frombuffer(blob, dtype=np.uint8)
-            return _match_core(payload, pid, postings_pdf, norms)
+            live = live_mask_for(payload.get("deletes_path"), pid,
+                                 payload["num_partitions"], norms.size)
+            return _match_core(payload, pid, postings_pdf, norms,
+                               live=live)
         return fn
 
     def fn(key, postings_pdf: pd.DataFrame,
@@ -627,7 +646,9 @@ def _match_kernel(payload: dict):
         if len(postings_pdf) == 0 or len(norms_pdf) == 0:
             return _empty_result()
         norms = np.frombuffer(norms_pdf.iloc[0]["norms"], dtype=np.uint8)
-        return _match_core(payload, pid, postings_pdf, norms)
+        live = live_mask_for(payload.get("deletes_path"), pid,
+                             payload["num_partitions"], norms.size)
+        return _match_core(payload, pid, postings_pdf, norms, live=live)
     return fn
 
 
@@ -837,6 +858,8 @@ def search(spark: SparkSession, index: IndexManifest | str,
         "cache_key": (manifest.build_id or manifest.index_dir,
                       manifest.doc_count, manifest.sum_total_term_freq),
         "postings_cache_mb": int(postings_cache_mb),
+        "deletes_path": (manifest.deletes_path if manifest.delete_gen
+                         else None),
     }
 
     postings = (spark.read.parquet(*[manifest.chunk_path(c) for c in
@@ -977,10 +1000,27 @@ def _local_norms(manifest, ckey, pid: int) -> np.ndarray:
     return norms
 
 
+_LOCAL_LIVE: dict = {}
+
+
+def _local_live(manifest, ckey, pid: int,
+                n_docs: int) -> np.ndarray | None:
+    """Resident per-pid live mask for the serving path, keyed by the
+    delete generation so a new ``delete_docs`` call invalidates it."""
+    if not manifest.delete_gen:
+        return None
+    key = (ckey, manifest.delete_gen, pid)
+    if key not in _LOCAL_LIVE:
+        _LOCAL_LIVE[key] = live_mask_for(
+            manifest.deletes_path, pid, manifest.num_partitions, n_docs)
+    return _LOCAL_LIVE[key]
+
+
 def clear_local_cache() -> None:
     _LOCAL_ROWS.clear()
     _LOCAL_ROWS_STATE["bytes"] = 0
     _LOCAL_NORMS.clear()
+    _LOCAL_LIVE.clear()
 
 
 def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
@@ -1020,14 +1060,17 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
         "cache_key": (manifest.build_id or manifest.index_dir,
                       manifest.doc_count, manifest.sum_total_term_freq),
         "postings_cache_mb": int(postings_cache_mb),
+        "deletes_path": (manifest.deletes_path if manifest.delete_gen
+                         else None),
     }
     ckey = payload["cache_key"]
     by_pid = _local_rows(manifest, ckey, list(needed_terms), pids=pids)
     outs = []
     for pid in sorted(by_pid):
-        outs.append(_match_core(payload, int(pid), None,
-                                _local_norms(manifest, ckey, int(pid)),
-                                by_term=by_pid[pid]))
+        norms = _local_norms(manifest, ckey, int(pid))
+        live = _local_live(manifest, ckey, int(pid), norms.size)
+        outs.append(_match_core(payload, int(pid), None, norms,
+                                by_term=by_pid[pid], live=live))
     if not outs:
         return _empty_result()
     res = pd.concat(outs, ignore_index=True)

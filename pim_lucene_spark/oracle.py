@@ -144,11 +144,15 @@ def _phrase_freq_select(terms: list[str]) -> str:
 
 def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10,
                     tokenizer: str = "whitespace",
-                    round_scores: bool = True) -> str:
+                    round_scores: bool = True,
+                    exclude_pred: str | None = None) -> str:
     """Full BM25 top-k SQL for a query batch → (qid, doc_id, freq, score).
 
     ``round_scores=False`` emits raw doubles — required when the caller
     combines scores across queries/fields before its own final rounding.
+    ``exclude_pred`` (a predicate over ``f.doc_id``) drops matching docs
+    AFTER scoring and BEFORE the top-k cut — the delete-vector contract:
+    df/avgdl still count deleted docs until a merge purges them.
     """
     selects = []
     for qid, text in queries:
@@ -160,6 +164,7 @@ def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10,
         cache = _cache_sql(_quantized_dl("docl.dl"))
         score_exact = (f"({weight} - {weight} / "
                        f"(1.0 + CAST(f.freq AS DOUBLE) * {cache}))")
+        where = (f"WHERE NOT ({exclude_pred}) " if exclude_pred else "")
         qualify = (f"QUALIFY row_number() OVER "
                    f"(ORDER BY {score_exact} DESC, f.doc_id ASC) <= {k} "
                    if k is not None else "")
@@ -170,7 +175,7 @@ def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10,
             f"{score_out} AS score "
             f"FROM ({freq_sel}) f "
             f"JOIN docl ON docl.doc_id = f.doc_id, cstats "
-            f"{qualify}")
+            f"{where}{qualify}")
     body = " UNION ALL ".join(selects)
     return f"WITH {_tok_cte(tokenizer)} {body}"
 

@@ -262,7 +262,10 @@ def _compound_core(payload: dict, pid: int,
     clause_plan = payload["clauses"]  # sid -> (field, terms, weight)
 
     import pyarrow.parquet as pq
-    ctxs, norms = {}, {}
+
+    from pim_lucene_spark.operators.deletes import live_mask_for
+
+    ctxs, norms, live = {}, {}, {}
     for f, fmeta in fields.items():
         bt = per_field_by_term.get(f)
         if bt is None:
@@ -278,6 +281,8 @@ def _compound_core(payload: dict, pid: int,
         blob = (pq.read_table(part_dir, columns=["norms"])
                 .column("norms")[0].as_py())
         norms[f] = np.frombuffer(blob, dtype=np.uint8)
+        live[f] = live_mask_for(fmeta.get("deletes_path"), pid, P,
+                                norms[f].size)
 
     leaf_cache: dict[int, tuple] = {}
 
@@ -295,6 +300,9 @@ def _compound_core(payload: dict, pid: int,
             else:
                 res = _leaf_match(ctxs[f], norms[f], terms, weight,
                                   fields[f]["cache"], precision)
+                if live.get(f) is not None and res[0].size:
+                    keep = live[f][res[0]]
+                    res = (res[0][keep], res[1][keep])
         leaf_cache[sid] = res
         return res
 
@@ -484,6 +492,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
             "cache_key": (m.build_id or m.index_dir, m.doc_count,
                           m.sum_total_term_freq),
             "norms_path": m.norms_path,
+            "deletes_path": (m.deletes_path if m.delete_gen else None),
         }
         scans.append(
             spark.read.parquet(*[m.chunk_path(c)
@@ -538,8 +547,11 @@ def _bm25f_core(payload: dict, pid: int,
     precision = payload["precision"]
     cache = payload["cache"]
 
+    from pim_lucene_spark.operators.deletes import live_mask_for
+
     ctxs = {}
     norms: dict[str, np.ndarray] = {}
+    live_any: np.ndarray | None = None
     # every field's norms participate in the combined norm even where the
     # field has no postings rows in this partition
     for f, fmeta in payload["fields"].items():
@@ -547,6 +559,10 @@ def _bm25f_core(payload: dict, pid: int,
         blob = (pq.read_table(part_dir, columns=["norms"])
                 .column("norms")[0].as_py())
         norms[f] = np.frombuffer(blob, dtype=np.uint8)
+        lv = live_mask_for(fmeta.get("deletes_path"), pid, P,
+                           norms[f].size)
+        if lv is not None:  # doc ids are shared: any field's deletion
+            live_any = lv if live_any is None else (live_any & lv)
         bt = per_field_by_term.get(f)
         if bt is not None:
             ctxs[f] = _DecodeCtx(bt, payload, pid, ckey=fmeta["cache_key"])
@@ -563,6 +579,10 @@ def _bm25f_core(payload: dict, pid: int,
         if not parts:
             continue
         union = np.unique(np.concatenate([lp.rel_docs for lp, _ in parts]))
+        if live_any is not None and union.size:
+            union = union[live_any[union]]
+            if union.size == 0:
+                continue
         freq = np.zeros(union.size, dtype=np.float64)
         for lp, w in parts:
             pos = np.searchsorted(union, lp.rel_docs)
@@ -626,6 +646,7 @@ def eval_bm25f(spark: SparkSession, manifests: dict[str, IndexManifest],
             "cache_key": (m.build_id or m.index_dir, m.doc_count,
                           m.sum_total_term_freq),
             "norms_path": m.norms_path,
+            "deletes_path": (m.deletes_path if m.delete_gen else None),
         }
         scans.append(
             spark.read.parquet(*[m.chunk_path(c)

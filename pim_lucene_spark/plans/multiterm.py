@@ -286,17 +286,22 @@ def expand_terms(spark: SparkSession, manifest: IndexManifest, q,
     return out
 
 
-def _decode_doc_ids_kernel(P: int):
+def _decode_doc_ids_kernel(P: int, deletes_path: str | None = None,
+                           rel_span: int = 0):
     """Arrow batch map: posting rows → (qid, doc_id) with no scoring.
 
     Per row: varint-decode doc gaps, prefix-sum within each segment
     (delta chain resets at segment starts), map relative → global via
-    ``rel * P + pid`` — the round-robin routing inverse.
+    ``rel * P + pid`` — the round-robin routing inverse.  With a delete
+    vector, each pid's live mask filters decoded docs (lazily read once
+    per pid per task).
     """
     from pim_lucene_spark.functions.postings import (decode_uvarints,
                                                      segmented_cumsum)
+    from pim_lucene_spark.operators.deletes import live_mask_for
 
     def fn(batches):
+        live_by_pid: dict[int, np.ndarray | None] = {}
         for batch in batches:
             qids = batch.column("qid").to_pylist()
             pids = batch.column("pid").to_pylist()
@@ -311,6 +316,15 @@ def _decode_doc_ids_kernel(P: int):
                 starts = np.concatenate(
                     [[0], np.cumsum(counts[:-1])])[counts > 0]
                 rel = segmented_cumsum(gaps, starts)
+                if deletes_path is not None:
+                    if pid not in live_by_pid:
+                        live_by_pid[pid] = live_mask_for(
+                            deletes_path, int(pid), P, rel_span)
+                    lv = live_by_pid[pid]
+                    if lv is not None:
+                        rel = rel[lv[rel]]
+                        if rel.size == 0:
+                            continue
                 out_q.append(np.full(rel.size, qid, dtype=np.int64))
                 out_d.append(rel * P + pid)
             if out_q:
@@ -377,7 +391,11 @@ def search_multiterm(spark: SparkSession, index: IndexManifest | str,
         T.StructField("qid", T.LongType(), False),
         T.StructField("doc_id", T.LongType(), False)])
     docs = (joined.mapInArrow(
-        _decode_doc_ids_kernel(manifest.num_partitions), pairs_schema)
+        _decode_doc_ids_kernel(
+            manifest.num_partitions,
+            manifest.deletes_path if manifest.delete_gen else None,
+            -(-manifest.span // manifest.num_partitions)),
+        pairs_schema)
         .distinct())
     boost_df = spark.createDataFrame(
         [(q, b) for q, b in boosts.items()], "qid long, boost double")

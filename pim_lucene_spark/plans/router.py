@@ -72,7 +72,8 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                        id_col: str = "doc_id", tokenizer: str = "whitespace",
                        precision: str = "float32",
                        k1: float = 1.2, b: float = 0.75,
-                       slop: int | dict[int, int] = 0) -> DataFrame:
+                       slop: int | dict[int, int] = 0,
+                       exclude_ids: DataFrame | None = None) -> DataFrame:
     """Full-scan phrase BM25 (the CPU-fallback path, Q23).
 
     One distributed pass: global stats aggregates, then a mapInPandas
@@ -210,6 +211,13 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                     yield pd.concat(out, ignore_index=True)
 
         hits = base.mapInPandas(kernel, out_schema)
+        if exclude_ids is not None:
+            # live-docs exclusion AFTER match/stat computation (deleted
+            # docs still count toward df/avgdl — Lucene's pre-merge
+            # scoring semantics) but BEFORE the top-k window
+            hits = (hits.join(exclude_ids.select("doc_id"), "doc_id",
+                              "left_anti")
+                    .select(*[f.name for f in out_schema.fields]))
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (hits.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k).drop("rank"))
@@ -240,6 +248,16 @@ def search_with_fallback(spark: SparkSession, index: IndexManifest | str | None,
                              "or an index whose docs table it can scan")
         manifest = IndexManifest.load(index) if isinstance(index, str) else index
         docs = spark.read.parquet(manifest.docs_path)
+        if manifest.delete_gen:
+            # live-docs filter (Lucene semantics): deleted docs never
+            # match, but collection/term stats still count them until a
+            # merge purges — so the anti-join happens AFTER the scan
+            # path computes its stats, via the kernel-level doc drop:
+            # simplest correct form here is stats-from-full-docs then
+            # result exclusion, which brute_force_search supports via
+            # ``exclude_ids``
+            from pim_lucene_spark.operators.deletes import deleted_ids
+            kw.setdefault("exclude_ids", deleted_ids(spark, manifest))
         kw.setdefault("tokenizer", manifest.tokenizer)
         kw.setdefault("k1", manifest.k1)
         kw.setdefault("b", manifest.b)

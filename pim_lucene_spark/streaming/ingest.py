@@ -89,6 +89,72 @@ def list_generations(index_root: str) -> list[str]:
     return gens
 
 
+def _gen_identity_col(schema_names: list[str], uid_col: str) -> str:
+    """The column holding USER identity in a generation's docs table:
+    update-built generations store it as ``src_doc_id`` when the user's
+    id column collides with the internal ``doc_id``; otherwise the user
+    column itself; a first generation built with ``id_col='doc_id'``
+    uses the internal ids directly."""
+    if uid_col == "doc_id" and "src_doc_id" in schema_names:
+        return "src_doc_id"
+    if uid_col in schema_names:
+        return uid_col
+    return "doc_id"
+
+
+def update_docs(spark: SparkSession, index_root: str, docs: DataFrame,
+                cfg: IndexConfig = IndexConfig(),
+                content_col: str = "content",
+                uid_col: str = "doc_id") -> IndexManifest:
+    """Document update = delete + generation append — the commit/update
+    lifecycle of ``TestPimIndexWriter.java:72-118`` expressed over
+    immutable generations:
+
+    1. every existing generation holding one of the incoming user ids
+       gets those docs marked deleted (live-docs vector; queries against
+       that generation stop returning the old version immediately);
+    2. the new versions become a fresh append-only generation with
+       dense internal doc ids; the user id survives as a payload column
+       (``src_doc_id`` when ``uid_col`` collides with the internal id).
+
+    ``uid_col`` is the stable USER identity column of ``docs`` (may be
+    new ids — pure insert — or existing — replace).  After the next
+    :func:`merge_generations` the old versions' postings are purged and
+    internal ids re-base — Lucene's ephemeral-docid contract: identity
+    lives in your id field, not in the internal id.
+
+    Returns the new generation's manifest.
+    """
+    from pyspark.sql import functions as F
+
+    from pim_lucene_spark.operators.deletes import write_deletes
+
+    gens = list_generations(index_root)
+    uids = docs.select(F.col(uid_col).cast("long").alias("_uid")).distinct()
+    for gen_dir in gens:
+        m = IndexManifest.load(gen_dir)
+        gdocs = spark.read.parquet(m.docs_path)
+        ident = _gen_identity_col(gdocs.columns, uid_col)
+        hit = (gdocs.select("doc_id",
+                            F.col(ident).cast("long").alias("_uid"))
+               .join(uids, "_uid").select("doc_id"))
+        if m.delete_gen:  # don't re-delete already-deleted ids
+            prev = spark.read.parquet(m.deletes_path).select("doc_id")
+            hit = hit.join(prev, "doc_id", "left_anti")
+        if hit.take(1):
+            write_deletes(spark, m, hit)
+    nxt = 0
+    if gens:
+        nxt = max(int(os.path.basename(g).split("=")[1]) for g in gens) + 1
+    meta = uid_col
+    if uid_col == "doc_id":
+        meta = "src_doc_id"
+        docs = docs.withColumnRenamed("doc_id", meta)
+    return build_index(spark, docs, _gen_dir(index_root, nxt), cfg,
+                       content_col=content_col, id_col=None,
+                       meta_cols=[meta], source=f"update-batch-{nxt}")
+
+
 def merge_generations(spark: SparkSession, index_root: str,
                       out_dir: str | None = None,
                       num_segments: int | None = None) -> IndexManifest:
