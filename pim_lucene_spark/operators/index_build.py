@@ -317,6 +317,40 @@ def encode_partition_postings(pid: int, codes: np.ndarray, tok_doc: np.ndarray,
     })
 
 
+def _token_sort(codes: np.ndarray, tok_doc: np.ndarray,
+                tok_pos: np.ndarray, num_partitions: int) -> np.ndarray:
+    """(term, doc, pos) token ordering for the encode kernel.
+
+    Default: ``np.lexsort`` (3 stable keysort passes).  Two measured
+    alternatives, both committed NEGATIVE results (the sort is a small
+    slice of a tokenize-dominated kernel):
+
+    - round 3: doc-regroup + per-doc stable argsort — SLOWER on the real
+      corpus (post-shuffle doc order is near-sorted, so the stable
+      doc/pos passes are near-free).
+    - round 4 (``PIM_TOKEN_SORT=packed``): pack ``(code, rel_doc, pos)``
+      into ONE int64 (keys unique — one term occupies one (doc, pos)
+      slot) and run a single unstable introsort.  3× faster than lexsort
+      in an isolated microbench on 20M synthetic tokens, but a WASH on
+      the real 500k-doc build: kernel phase 12.20 s vs 12.37 s best-of-3
+      alternating (``scripts/bench_sort_ab.py`` → ``BENCH_SORT_AB.json``)
+      — tokenize, not the sort, owns this kernel.  Kept behind the env
+      flag; falls back to lexsort when the packed ranges exceed 63 bits.
+    """
+    mode = os.environ.get("PIM_TOKEN_SORT", "lexsort")
+    if mode == "lexsort" or codes.size == 0:
+        return np.lexsort((tok_pos, tok_doc, codes))
+    rel = tok_doc // num_partitions
+    bits_c = max(1, int(codes.max()).bit_length())
+    bits_d = max(1, int(rel.max()).bit_length())
+    bits_p = max(1, int(tok_pos.max()).bit_length())
+    if bits_c + bits_d + bits_p > 63:
+        return np.lexsort((tok_pos, tok_doc, codes))
+    key = (codes << np.int64(bits_d + bits_p)) \
+        | (rel << np.int64(bits_p)) | tok_pos
+    return np.argsort(key)
+
+
 def _build_postings_kernel(num_partitions: int, num_segments: int,
                            nb_doc_per_segment: int, tokenizer: str,
                            stripe_cap: int):
@@ -338,13 +372,7 @@ def _build_postings_kernel(num_partitions: int, num_segments: int,
         if codes.size == 0:
             return PA_POSTINGS_SCHEMA.empty_table()
         tok_doc = doc_ids[doc_idx].astype(np.int64)
-        # shuffle order is arbitrary → full (term, doc, pos) lexsort
-        # (positions are already ascending per doc, kept by stability).
-        # NOTE: a doc-regroup + single-key stable argsort was tried and
-        # measured SLOWER on the real corpus — post-shuffle doc order is
-        # usually near-sorted, so the doc/pos passes are near-free runs
-        # for timsort, and tokenize (not this sort) dominates the kernel.
-        order = np.lexsort((tok_pos, tok_doc, codes))
+        order = _token_sort(codes, tok_doc, tok_pos, num_partitions)
         pdf = encode_partition_postings(
             pid, codes[order], tok_doc[order], tok_pos[order],
             uniques, num_partitions, num_segments,

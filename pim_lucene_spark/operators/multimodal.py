@@ -58,10 +58,52 @@ def fake_decoder(payload: bytes, media_type: str) -> np.ndarray:
 
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
-    """Real decode step — deliberately stubbed in this environment."""
+    """Real decode step, gated on OPTIONAL codec imports:
+
+    - ``image/*`` → PIL: grayscale pixel histogram (16 bins over 0..255),
+      L1-normalized float32;
+    - ``audio/*`` → soundfile: sample-amplitude histogram (16 bins over
+      [-1, 1]), L1-normalized float32.
+
+    Where the codec library is absent (this container ships neither) the
+    stub contract holds: ``NotImplementedError`` with an injection hint —
+    the Spark-side plumbing stays identical either way, so deployments
+    with PIL/soundfile get real features with zero code change.
+    """
+    import io
+
+    if media_type.startswith("image/"):
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decode needs the optional Pillow dependency; "
+                "install PIL or inject a decoder into "
+                "extract_features(decoder=...)") from exc
+        arr = np.asarray(Image.open(io.BytesIO(payload)).convert("L"),
+                         dtype=np.float64)
+        hist = np.histogram(arr, bins=FEATURE_DIM,
+                            range=(0, 256))[0].astype(np.float64)
+        s = hist.sum()
+        return ((hist / s) if s else hist).astype(np.float32)
+    if media_type.startswith("audio/"):
+        try:
+            import soundfile as sf
+        except ImportError as exc:
+            raise NotImplementedError(
+                "audio decode needs the optional soundfile dependency; "
+                "install it or inject a decoder into "
+                "extract_features(decoder=...)") from exc
+        data, _sr = sf.read(io.BytesIO(payload))
+        x = np.asarray(data, dtype=np.float64).ravel()
+        if x.size == 0:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        hist = np.histogram(np.clip(x, -1.0, 1.0), bins=FEATURE_DIM,
+                            range=(-1, 1))[0].astype(np.float64)
+        return (hist / max(hist.sum(), 1)).astype(np.float32)
     raise NotImplementedError(
-        "media codecs (PIL/av/librosa) are not available in this container; "
-        "inject a decoder into extract_features(decoder=...)")
+        f"no decoder wired for media_type {media_type!r}; inject one via "
+        "extract_features(decoder=...)")
 
 
 def extract_features(media: DataFrame,

@@ -133,23 +133,85 @@ def main() -> None:
 
     # differential: every Nth query also runs the brute-force scan; ranks
     # and float32 scores must be identical (results_diff.py analogue)
-    sample = queries[::diff_every]
     import numpy as np
-    idx_rows = {}
-    for r in rows:
-        idx_rows.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+
+    def rank_diff(a_rows, b_rows, qids) -> int:
+        a_by, b_by = {}, {}
+        for r in a_rows:
+            a_by.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+        for r in b_rows:
+            b_by.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+        n = 0
+        for qid in qids:
+            a = sorted(a_by.get(qid, []), key=lambda t: (-t[1], t[0]))
+            b = sorted(b_by.get(qid, []), key=lambda t: (-t[1], t[0]))
+            if [d for d, _ in a] != [d for d, _ in b] or any(
+                    np.float32(x) != np.float32(y)
+                    for (_, x), (_, y) in zip(a, b)):
+                n += 1
+        return n
+
+    sample = queries[::diff_every]
     scan = brute_force_search(docs, sample, k=k, tokenizer="standard")
-    scan_rows = {}
-    for r in scan.collect():
-        scan_rows.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
-    mismatches = 0
-    for qid, _ in sample:
-        a = sorted(idx_rows.get(qid, []), key=lambda t: (-t[1], t[0]))
-        b = sorted(scan_rows.get(qid, []), key=lambda t: (-t[1], t[0]))
-        if [d for d, _ in a] != [d for d, _ in b] or any(
-                np.float32(x) != np.float32(y)
-                for (_, x), (_, y) in zip(a, b)):
-            mismatches += 1
+    mismatches = rank_diff(rows, scan.collect(), [q for q, _ in sample])
+
+    # --- mixed query-set replay (requests.txt, 2445 variable-length
+    # lines + the one-word subset): the reference harness turns EVERY
+    # line into a PhraseQuery (SearchWikiDPUMultiThread.java:219-226) —
+    # single words are 1-term phrases, i.e. term queries in this engine
+    mixed_path = os.environ.get(
+        "WIKI_MIXED_QUERIES", f"{REF_BASE}/queries/requests.txt")
+    oneword_path = os.environ.get(
+        "WIKI_ONEWORD_QUERIES",
+        f"{REF_BASE}/queries/requests_subset_one_word.txt")
+    base = 10_000
+    mixed = [(base + i, t) for i, (_, t) in
+             enumerate(load_queries(mixed_path))]
+    mixed += [(base + len(mixed) + i, t) for i, (_, t) in
+              enumerate(load_queries(oneword_path))]
+    t0 = time.time()
+    mixed_rows = search(spark, manifest, mixed, k=k).collect()
+    mixed_s = time.time() - t0
+    mixed_every = max(1, len(mixed) // 60)  # ≥50 sampled differentials
+    msample = mixed[::mixed_every]
+    mscan = brute_force_search(docs, msample, k=k, tokenizer="standard")
+    mixed_mm = rank_diff(mixed_rows, mscan.collect(),
+                         [q for q, _ in msample])
+
+    # --- parsed replay: the same mixed lines through the classic query
+    # parser (multi-word line → OR boolean of terms → the compound
+    # kernel; one word → term query).  Differential: kernel vs
+    # join-chain plan rank+float32-score identity on a sample.
+    from pim_lucene_spark.index import FullTextIndex
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    from pim_lucene_spark.plans.parser import parse_query
+
+    idx = FullTextIndex(spark, manifest)
+    pq = []
+    for qid, t in mixed:
+        s = " ".join(t.split())
+        if not s:
+            continue
+        try:  # raw wiki word streams may trip query syntax (rare)
+            parse_query(s)
+        except ValueError:
+            continue
+        pq.append((qid, s))
+    t0 = time.time()
+    parsed_rows = idx.parse_and_query(pq, k=k).collect()
+    parsed_s = time.time() - t0
+    psample = pq[::mixed_every]
+    typed = []
+    for qid, s in psample:
+        q = parse_query(s)
+        if not isinstance(q, BooleanQuery):
+            continue  # single-term lines have no join-plan counterpart
+        typed.append((qid, q))
+    joined = search_boolean(spark, manifest, typed, k=k,
+                            plan="join").collect()
+    parsed_mm = rank_diff(
+        [r for r in parsed_rows if r["qid"] in {q for q, _ in typed}],
+        joined, [q for q, _ in typed])
 
     out = {
         "metric": "wiki_subset reference benchmark (standard analyzer)",
@@ -167,6 +229,13 @@ def main() -> None:
         "serve_batch": bsz,
         "diff_sampled": len(sample),
         "diff_mismatches": mismatches,
+        "n_mixed": len(mixed),
+        "qps_mixed": round(len(mixed) / mixed_s, 2),
+        "mixed_diff_sampled": len(msample),
+        "mixed_diff_mismatches": mixed_mm,
+        "qps_parsed_boolean": round(len(pq) / parsed_s, 2),
+        "parsed_diff_sampled": len(typed),
+        "parsed_diff_mismatches": parsed_mm,
         "cpus": cpus,
         "partitions": parts,
     }
