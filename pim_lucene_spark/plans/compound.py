@@ -73,19 +73,32 @@ _EMPTY_F64 = np.empty(0, dtype=np.float64)
 # ---------------------------------------------------------------------------
 
 def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
-                weight: float, cache: np.ndarray,
-                precision: str) -> tuple[np.ndarray, np.ndarray]:
-    """One term/phrase clause's FULL partition-local match set →
+                weight: float, cache: np.ndarray, precision: str,
+                cand_segs: np.ndarray | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """One term/phrase clause's partition-local match set →
     (docs ascending-unique, float64 scores).  Same decode machinery as
     the search kernel (co-presence segment masks, lazy positions), no
     top-k cut — composition needs every matching doc of this partition,
-    but nothing ever leaves the partition."""
+    but nothing ever leaves the partition.
+
+    ``cand_segs`` (a boolean per-segment mask) restricts decode to the
+    segments holding a known candidate set — the MAXSCORE-flavored
+    lookup mode: a SHOULD/MUST_NOT clause under a MUST/FILTER base never
+    decodes a stopword's full postings, only the base docs' segments.
+    The result is then a SUPERSET of the clause∩candidates match set
+    (whole segments decode, and every doc inside a decoded segment gets
+    its exact score), which is exactly what lookup composition needs.
+    """
     by_term = ctx.by_term
     if any(t not in by_term for t in terms):
         return _EMPTY_I64, _EMPTY_F64
     uniq = list(dict.fromkeys(terms))
     if len(terms) == 1:
-        lp = ctx.get(terms[0])
+        seg_mask = None
+        if cand_segs is not None and not cand_segs.all():
+            seg_mask = cand_segs
+        lp = ctx.get(terms[0], seg_mask)
         docs = lp.rel_docs
         sc = np.asarray(bm25.score(lp.freqs, norms[docs], weight, cache,
                                    precision), dtype=np.float64)
@@ -102,6 +115,8 @@ def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
             c = np.asarray(r.seg_doc_counts) > 0
             p = c if p is None else (p | c)
         pres = p if pres is None else (pres & p)
+    if cand_segs is not None:
+        pres = pres & cand_segs
     if not pres.any():
         return _EMPTY_I64, _EMPTY_F64
     seg_mask = None if pres.all() else pres
@@ -139,9 +154,18 @@ def _lookup(docs: np.ndarray, base: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return pos, present
 
 
-def _compose_bool(spec: dict, clause_res: dict,
-                  precision: str) -> tuple[np.ndarray, np.ndarray]:
-    """BooleanWeight composition over evaluated clause results.
+def _eval_spec(spec: dict, eval_leaf, precision: str,
+               cand: np.ndarray | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Recursive staged spec evaluation with lookup-mode decode saving.
+
+    ``cand`` (ascending rel-doc array) restricts a sub-tree to a known
+    candidate set: its leaves decode only the segments holding those
+    docs.  The staging applies the same trick inside one boolean —
+    after the first MUST clause establishes a base, every later
+    MUST/FILTER/SHOULD/MUST_NOT clause evaluates in lookup mode (a
+    stopword SHOULD under a rare MUST never decodes its full postings,
+    the MAXSCORE essential/non-essential split for the based case).
 
     Float order matches the join-chain plan exactly: the old plan's
     Catalyst sum runs over coalesced clause columns left-to-right (MUST
@@ -149,44 +173,74 @@ def _compose_bool(spec: dict, clause_res: dict,
     coalesced 0.0 is the float identity, so accumulating only the
     present clauses in the same order is bit-equal.
     """
-    must = [clause_res[id(c)] for c in spec.get("must", ())]
-    filt = [clause_res[id(c)] for c in spec.get("filter", ())]
-    should = [clause_res[id(c)] for c in spec.get("should", ())]
-    must_not = [clause_res[id(c)] for c in spec.get("must_not", ())]
-    msm = int(spec.get("msm", 0))
+    def ev(cl, c):
+        if cl["kind"] == "scored":
+            return eval_leaf(cl["sid"], c)
+        return _eval_spec(cl["spec"], eval_leaf, precision, c)
 
-    base = None
-    for docs, _ in must:
-        base = docs if base is None else np.intersect1d(
-            base, docs, assume_unique=True)
-    for docs, _ in filt:
-        base = docs if base is None else np.intersect1d(
-            base, docs, assume_unique=True)
+    if spec["op"] == "dismax":
+        clauses = [ev(cl, cand) for cl in spec.get("clauses", ())]
+        non_empty = [d for d, _ in clauses if d.size]
+        if not non_empty:
+            return _EMPTY_I64, _EMPTY_F64
+        base = np.unique(np.concatenate(non_empty))
+        mx = np.zeros(base.size, dtype=np.float64)  # BM25 scores are > 0
+        total = np.zeros(base.size, dtype=np.float64)
+        for docs, sc in clauses:
+            if docs.size == 0:
+                continue
+            pos = np.searchsorted(base, docs)  # docs ⊆ base
+            np.maximum.at(mx, pos, sc)
+            total[pos] += sc
+        tie = float(spec.get("tie", 0.0))
+        boost = float(spec.get("boost", 1.0))
+        score = mx + tie * (total - mx)
+        if boost != 1.0:
+            score = score * boost
+        if precision == "float32":
+            score = score.astype(np.float32).astype(np.float64)
+        return base, score
+
+    msm = int(spec.get("msm", 0))
+    must_res, base = [], None
+    for cl in spec.get("must", ()):
+        r = ev(cl, cand if base is None else base)
+        must_res.append(r)
+        base = r[0] if base is None else np.intersect1d(
+            base, r[0], assume_unique=True)
+    for cl in spec.get("filter", ()):
+        r = ev(cl, cand if base is None else base)
+        base = r[0] if base is None else np.intersect1d(
+            base, r[0], assume_unique=True)
     had_base = base is not None
+    should = spec.get("should", ())
 
     if had_base:
         acc = np.zeros(base.size, dtype=np.float64)
-        for docs, sc in must:  # base ⊆ docs
+        for docs, sc in must_res:  # base ⊆ docs
             if base.size == 0:
                 break
             pos = np.searchsorted(docs, base)
             acc += sc[pos]
         cnt = np.zeros(base.size, dtype=np.int64)
-        for docs, sc in should:
+        for cl in should:  # lookup mode: only the base's segments decode
             if base.size == 0:
                 break
+            docs, sc = ev(cl, base)
             pos, present = _lookup(docs, base)
             acc[present] += sc[pos[present]]
             cnt[present] += 1
     else:
-        # pure-should: union of clause match sets
-        if should:
-            base = np.unique(np.concatenate([d for d, _ in should]))
+        # pure-should: union of clause match sets (full evaluation — the
+        # parent's cand restriction, if any, passes through)
+        should_res = [ev(cl, cand) for cl in should]
+        if should_res:
+            base = np.unique(np.concatenate([d for d, _ in should_res]))
         else:
             base = _EMPTY_I64
         acc = np.zeros(base.size, dtype=np.float64)
         cnt = np.zeros(base.size, dtype=np.int64)
-        for docs, sc in should:
+        for docs, sc in should_res:
             pos = np.searchsorted(base, docs)  # docs ⊆ base
             acc[pos] += sc
             cnt[pos] += 1
@@ -195,62 +249,16 @@ def _compose_bool(spec: dict, clause_res: dict,
     if (should and required > 1) or (had_base and required > 0):
         keep = cnt >= required
         base, acc = base[keep], acc[keep]
-    for docs, _ in must_not:
+    for cl in spec.get("must_not", ()):
         if base.size == 0:
             break
+        docs, _ = ev(cl, base)  # lookup mode
         keep = ~np.isin(base, docs, assume_unique=True)
         base, acc = base[keep], acc[keep]
     if precision == "float32":
         # BooleanWeight sums clause floats in double, returns float
         acc = acc.astype(np.float32).astype(np.float64)
     return base, acc
-
-
-def _compose_dismax(spec: dict, clause_res: dict,
-                    precision: str) -> tuple[np.ndarray, np.ndarray]:
-    """DisjunctionMaxScorer: max + tie*(sum-max); boost at the top."""
-    clauses = [clause_res[id(c)] for c in spec.get("clauses", ())]
-    if not clauses:
-        return _EMPTY_I64, _EMPTY_F64
-    non_empty = [d for d, _ in clauses if d.size]
-    if not non_empty:
-        return _EMPTY_I64, _EMPTY_F64
-    base = np.unique(np.concatenate(non_empty))
-    mx = np.zeros(base.size, dtype=np.float64)  # BM25 scores are > 0
-    total = np.zeros(base.size, dtype=np.float64)
-    for docs, sc in clauses:
-        if docs.size == 0:
-            continue
-        pos = np.searchsorted(base, docs)
-        np.maximum.at(mx, pos, sc)
-        total[pos] += sc
-    tie = float(spec.get("tie", 0.0))
-    boost = float(spec.get("boost", 1.0))
-    score = mx + tie * (total - mx)
-    if boost != 1.0:
-        score = score * boost
-    if precision == "float32":
-        score = score.astype(np.float32).astype(np.float64)
-    return base, score
-
-
-def _eval_spec(spec: dict, eval_leaf, precision: str
-               ) -> tuple[np.ndarray, np.ndarray]:
-    """Recursive spec evaluation: resolve every clause (leaf sid or
-    nested group) then compose."""
-    clause_res: dict[int, tuple] = {}
-    roles = (("clauses",) if spec["op"] == "dismax"
-             else ("must", "filter", "should", "must_not"))
-    for role in roles:
-        for cl in spec.get(role, ()):
-            if cl["kind"] == "scored":
-                clause_res[id(cl)] = eval_leaf(cl["sid"])
-            else:  # nested group: composed score IS the clause score
-                clause_res[id(cl)] = _eval_spec(cl["spec"], eval_leaf,
-                                                precision)
-    if spec["op"] == "dismax":
-        return _compose_dismax(spec, clause_res, precision)
-    return _compose_bool(spec, clause_res, precision)
 
 
 def _compound_core(payload: dict, pid: int,
@@ -284,26 +292,31 @@ def _compound_core(payload: dict, pid: int,
         live[f] = live_mask_for(fmeta.get("deletes_path"), pid, P,
                                 norms[f].size)
 
-    leaf_cache: dict[int, tuple] = {}
-
-    def eval_leaf(sid: int) -> tuple[np.ndarray, np.ndarray]:
-        hit = leaf_cache.get(sid)
-        if hit is not None:
-            return hit
+    def eval_leaf(sid: int, cand: np.ndarray | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
         ent = clause_plan.get(sid)
         if ent is None:  # term absent index-wide (df=0): empty clause
-            res = (_EMPTY_I64, _EMPTY_F64)
-        else:
-            f, terms, weight = ent
-            if f not in ctxs:  # no postings rows for this field here
-                res = (_EMPTY_I64, _EMPTY_F64)
-            else:
-                res = _leaf_match(ctxs[f], norms[f], terms, weight,
-                                  fields[f]["cache"], precision)
-                if live.get(f) is not None and res[0].size:
-                    keep = live[f][res[0]]
-                    res = (res[0][keep], res[1][keep])
-        leaf_cache[sid] = res
+            return _EMPTY_I64, _EMPTY_F64
+        f, terms, weight = ent
+        if f not in ctxs:  # no postings rows for this field here
+            return _EMPTY_I64, _EMPTY_F64
+        cand_segs = None
+        if cand is not None:
+            if cand.size == 0:
+                return _EMPTY_I64, _EMPTY_F64
+            # candidate rel docs → this field's segment mask (segments
+            # partition the GLOBAL doc-id space per the field's layout)
+            nseg = fields[f]["num_segments"]
+            segs = np.unique((cand * P + pid)
+                             // fields[f]["nb_doc_per_segment"])
+            cand_segs = np.zeros(nseg, dtype=bool)
+            cand_segs[segs[segs < nseg]] = True
+        res = _leaf_match(ctxs[f], norms[f], terms, weight,
+                          fields[f]["cache"], precision,
+                          cand_segs=cand_segs)
+        if live.get(f) is not None and res[0].size:
+            keep = live[f][res[0]]
+            res = (res[0][keep], res[1][keep])
         return res
 
     out_qid, out_doc, out_score = [], [], []
@@ -493,6 +506,8 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
                           m.sum_total_term_freq),
             "norms_path": m.norms_path,
             "deletes_path": (m.deletes_path if m.delete_gen else None),
+            "num_segments": m.num_segments,
+            "nb_doc_per_segment": m.nb_doc_per_segment,
         }
         scans.append(
             spark.read.parquet(*[m.chunk_path(c)

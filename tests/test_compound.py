@@ -184,3 +184,92 @@ def test_bm25f_kernel_matches_join(spark, mfidx, precision):
     b = mfidx.search_bm25f(qs, k=10, field_weights=w, precision=precision,
                            plan="join")
     _cmp(a, b)
+
+
+def _run_compound_core(spark, m, bq, k=10):
+    """Drive the compound kernel in-process over every pid, returning
+    (doc_bytes decoded, result frame) — DECODE_STATS plan evidence."""
+    import pyarrow.parquet as pq
+
+    from pim_lucene_spark.functions import bm25
+    from pim_lucene_spark.operators.search import (_assemble_by_term,
+                                                   plan_queries,
+                                                   reset_decode_stats)
+    from pim_lucene_spark.plans.compound import _compound_core, _SpecBuilder
+
+    b = _SpecBuilder(spark, {"": m}, "")
+    spec = b.bool_spec(0, bq, "")
+    planned, needed = plan_queries(None, m, b.leaves[""], k, "float32")
+    avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
+                                  "float32")
+    payload = {
+        "specs": [spec],
+        "clauses": {sid: ("", tuple(ts), float(w))
+                    for sid, ts, w in planned},
+        "fields": {"": {
+            "cache": bm25.score_cache(avgdl, m.k1, m.b, "float32"),
+            "cache_key": ("t", 0, 0),
+            "norms_path": m.norms_path,
+            "deletes_path": None,
+            "num_segments": m.num_segments,
+            "nb_doc_per_segment": m.nb_doc_per_segment,
+        }},
+        "k": k, "precision": "float32",
+        "num_partitions": m.num_partitions,
+        "postings_cache_mb": 0,
+    }
+    total, outs = 0, []
+    for pid in range(m.num_partitions):
+        pdf = pq.read_table(
+            m.chunk_path(0),
+            filters=[("term", "in", list(needed)),
+                     ("pid", "=", pid)]).to_pandas()
+        if not len(pdf):
+            continue
+        reset_decode_stats()
+        outs.append(_compound_core(payload, pid,
+                                   {"": _assemble_by_term(pdf)}))
+        total += reset_decode_stats()["doc_bytes"]
+    return total, pd.concat(outs, ignore_index=True)
+
+
+def test_based_should_clause_decodes_fewer_bytes(spark, tmp_path):
+    """MAXSCORE-flavored lookup mode: a stopword SHOULD under a rare,
+    segment-localized MUST decodes only the base docs' segments, never
+    the stopword's full postings (DECODE_STATS evidence, kernel driven
+    in-process) — and the lookup-mode result still matches the join
+    plan bit-exactly."""
+    rng = np.random.default_rng(3)
+    n = 480
+    rows = []
+    for i in range(n):
+        words = list(rng.choice(VOCAB[3:], size=rng.integers(6, 16)))
+        words.append("the")
+        if i < 12:  # the rare term lives ONLY in the first segment(s)
+            words.append("needle")
+        rows.append(" ".join(words))
+    cfg = IndexConfig(num_partitions=2, num_segments=8, build_chunks=1)
+    m = build_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"doc_id": range(n),
+                                            "content": rows})),
+        str(tmp_path / "segidx"), cfg, content_col="content",
+        id_col="doc_id")
+
+    based_bytes, based_out = _run_compound_core(
+        spark, m, BooleanQuery(must=["needle"], should=["the"]))
+    pure_bytes, _ = _run_compound_core(
+        spark, m, BooleanQuery(should=["needle", "the"]))
+    # the stopword decodes only the needle docs' segments (1 of 8)
+    assert based_bytes < pure_bytes * 0.6
+
+    exp = search_boolean(
+        spark, m, [(0, BooleanQuery(must=["needle"], should=["the"]))],
+        k=10, plan="join").toPandas()
+    got = (based_out.sort_values(["qid", "score", "doc_id"],
+                                 ascending=[True, False, True])
+           .groupby("qid").head(10))
+    pd.testing.assert_frame_equal(
+        got.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+        .astype({"qid": "int64", "doc_id": "int64"}),
+        exp.sort_values(["qid", "doc_id"]).reset_index(drop=True))
