@@ -580,6 +580,19 @@ class MultiFieldIndex:
             m *= 8
         return self.spark.createDataFrame(final_rows or [], out_schema)
 
+    def delete_docs(self, doc_ids) -> int:
+        """Mark docs deleted across EVERY field's sub-index (doc ids are
+        shared, so a document disappears from all fielded/BM25F/combined
+        query paths at once); same live-docs semantics as
+        :meth:`FullTextIndex.delete_docs`."""
+        from pim_lucene_spark.operators.deletes import write_deletes
+        total = 0
+        for name in self.fields:
+            self.manifests[name] = write_deletes(
+                self.spark, self.manifests[name], doc_ids)
+            total = self.manifests[name].deleted_count
+        return total
+
     def search_bm25f(self, queries: list[tuple[int, str]], k: int = 10,
                      field_weights: dict[str, float] | None = None,
                      precision: str = "float32",

@@ -68,8 +68,9 @@ def write_deletes(spark: SparkSession, manifest: IndexManifest,
      .repartition("pid")
      .write.mode("overwrite").partitionBy("pid").parquet(out))
     total = spark.read.parquet(out).count()
-    if total >= manifest.doc_count + (manifest.deleted_count or 0):
-        raise ValueError("cannot delete every document in the index")
+    # deleting EVERY doc is legitimate (Lucene IndexWriter.deleteAll;
+    # update_docs replacing a whole generation): searches over a fully
+    # deleted index simply return nothing, and the next merge drops it
     manifest.delete_gen = new_gen
     manifest.deleted_count = int(total)
     manifest.save()

@@ -253,6 +253,10 @@ def merge_indexes(spark: SparkSession, sources: list,
         # purged merge: collection stats shrink to the live corpus (the
         # moment Lucene's deleted-doc statistics catch up is the merge)
         doc_count = spark.read.parquet(manifest.docs_path).count()
+        if doc_count == 0:
+            raise ValueError(
+                "merge produced an empty index: every source document "
+                "is deleted — nothing to compact")
         sum_ttf = int(merged.agg(F.sum("ttf")).collect()[0][0] or 0)
         manifest.doc_count, manifest.sum_total_term_freq = \
             int(doc_count), sum_ttf

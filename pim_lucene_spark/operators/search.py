@@ -1006,11 +1006,17 @@ _LOCAL_LIVE: dict = {}
 def _local_live(manifest, ckey, pid: int,
                 n_docs: int) -> np.ndarray | None:
     """Resident per-pid live mask for the serving path, keyed by the
-    delete generation so a new ``delete_docs`` call invalidates it."""
+    delete generation so a new ``delete_docs`` call invalidates it;
+    superseded generations' masks are dropped on load (a long-lived
+    server with periodic deletes must not accumulate one mask set per
+    generation)."""
     if not manifest.delete_gen:
         return None
     key = (ckey, manifest.delete_gen, pid)
     if key not in _LOCAL_LIVE:
+        for old in [k for k in _LOCAL_LIVE
+                    if k[0] == ckey and k[1] < manifest.delete_gen]:
+            del _LOCAL_LIVE[old]
         _LOCAL_LIVE[key] = live_mask_for(
             manifest.deletes_path, pid, manifest.num_partitions, n_docs)
     return _LOCAL_LIVE[key]

@@ -590,18 +590,22 @@ def _bm25f_core(payload: dict, pid: int,
             if ctx is None or t not in ctx.by_term:
                 continue
             lp = ctx.get(t)
-            parts.append((lp, np.float64(w)))
+            rel, tfs = lp.rel_docs, lp.freqs
+            if live_any is not None and rel.size:
+                # mask each pair's OWN docs — postings still contain
+                # deleted docs, and mapping unfiltered rel_docs into a
+                # filtered union would credit their tf to live docs
+                keep = live_any[rel]
+                rel, tfs = rel[keep], tfs[keep]
+            if rel.size:
+                parts.append((rel, tfs, np.float64(w)))
         if not parts:
             continue
-        union = np.unique(np.concatenate([lp.rel_docs for lp, _ in parts]))
-        if live_any is not None and union.size:
-            union = union[live_any[union]]
-            if union.size == 0:
-                continue
+        union = np.unique(np.concatenate([rel for rel, _, _ in parts]))
         freq = np.zeros(union.size, dtype=np.float64)
-        for lp, w in parts:
-            pos = np.searchsorted(union, lp.rel_docs)
-            freq[pos] += lp.freqs.astype(np.float64) * w
+        for rel, tfs, w in parts:
+            pos = np.searchsorted(union, rel)  # rel ⊆ union
+            freq[pos] += tfs.astype(np.float64) * w
         acc = np.zeros(union.size, dtype=np.float32)
         for f, w32 in payload["norm_weights"]:
             dec = byte4_to_int(norms[f][union].astype(np.int64))

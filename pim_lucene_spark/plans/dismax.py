@@ -84,16 +84,37 @@ def search_dismax(spark: SparkSession, index, queries, k: int = 10,
         raise ValueError(f"unknown plan {plan!r}")
     if plan != "join":
         from pim_lucene_spark.manifest import IndexManifest
-        from pim_lucene_spark.plans.compound import (kernel_hostable,
+        from pim_lucene_spark.plans.compound import (clause_kernelable,
+                                                     kernel_hostable,
                                                      search_compound)
         manifest = (IndexManifest.load(index) if isinstance(index, str)
                     else index)
+        kq, jq = [], []
         if kernel_hostable({"": manifest}) and k is not None:
-            return search_compound(spark, {"": manifest}, "", queries,
-                                   k=k, precision=precision)
-        if plan == "kernel":
-            raise ValueError("index needs cogroup norms (or k=None); the "
-                             "compound kernel cannot host this batch")
+            for qid, dq in queries:
+                # sloppy phrase clauses route to the join plan (their
+                # match sets come from the scan path)
+                (kq if all(clause_kernelable(c) for c in dq.clauses)
+                 else jq).append((qid, dq))
+        else:
+            jq = list(queries)
+        if plan == "kernel" and jq:
+            raise ValueError("batch contains sloppy-phrase clauses or "
+                             "the index needs cogroup norms; the "
+                             "compound kernel cannot host it")
+        parts = []
+        if kq:
+            parts.append(search_compound(spark, {"": manifest}, "", kq,
+                                         k=k, precision=precision))
+        if jq:
+            parts.append(_search_dismax_join(spark, manifest, jq, k,
+                                             precision))
+        if not parts:
+            return spark.createDataFrame([], DISMAX_RESULT_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     return _search_dismax_join(spark, index, queries, k, precision)
 
 
@@ -101,24 +122,48 @@ def _search_dismax_join(spark: SparkSession, index, queries, k,
                         precision: str) -> DataFrame:
     from pim_lucene_spark.plans.boolean import _clause_text_boost
     from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.query import PhraseQuery
+    from pim_lucene_spark.plans.router import search_with_fallback
 
-    sub, meta = [], []
+    sub, sloppy, slops, meta, next_sid = [], [], {}, [], 0
     for qid, dq in queries:
         if not isinstance(dq, DisMaxQuery):
             raise TypeError("queries must be (qid, DisMaxQuery) pairs")
         sids = []
         for clause in dq.clauses:
             text, cboost = _clause_text_boost(clause)
-            sid = len(sub)
-            sub.append((sid, text, cboost))
+            sid = next_sid
+            next_sid += 1
+            if isinstance(clause, PhraseQuery) and int(clause.slop) != 0:
+                # sloppy clause: match set + sloppy-weight scores come
+                # from the scan path (the reference's slop contract),
+                # exactly as in the boolean join plan
+                sloppy.append((sid, text, cboost))
+                slops[sid] = int(clause.slop)
+            else:
+                sub.append((sid, text, cboost))
             sids.append(sid)
         meta.append((qid, sids, float(dq.tie), float(dq.boost)))
 
     empty = spark.createDataFrame([], DISMAX_RESULT_SCHEMA)
-    if not sub:
+    if not sub and not sloppy:
         return empty
-    res = search(spark, index, sub, k=10 ** 9, precision=precision)
-    res = res.select(F.col("qid").alias("sid"), "doc_id", "score").persist()
+    frames = []
+    if sub:
+        frames.append(search(spark, index, sub, k=10 ** 9,
+                             precision=precision)
+                      .select(F.col("qid").alias("sid"), "doc_id",
+                              "score"))
+    if sloppy:
+        frames.append(search_with_fallback(spark, index, None, sloppy,
+                                           k=10 ** 9, slop=slops,
+                                           precision=precision)
+                      .select(F.col("qid").alias("sid"), "doc_id",
+                              "score"))
+    res = frames[0]
+    for fr in frames[1:]:
+        res = res.unionByName(fr)
+    res = res.persist()
     try:
         res.count()  # materialize once; every clause frame filters this
 

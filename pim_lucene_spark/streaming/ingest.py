@@ -89,17 +89,24 @@ def list_generations(index_root: str) -> list[str]:
     return gens
 
 
-def _gen_identity_col(schema_names: list[str], uid_col: str) -> str:
+def _gen_identity_col(schema_names: list[str], uid_col: str,
+                      gen_dir: str) -> str:
     """The column holding USER identity in a generation's docs table:
     update-built generations store it as ``src_doc_id`` when the user's
     id column collides with the internal ``doc_id``; otherwise the user
-    column itself; a first generation built with ``id_col='doc_id'``
-    uses the internal ids directly."""
-    if uid_col == "doc_id" and "src_doc_id" in schema_names:
-        return "src_doc_id"
+    column itself.  ``uid_col='doc_id'`` with no ``src_doc_id`` payload
+    means the generation was built with the user ids AS the internal
+    ids — the only case where matching on ``doc_id`` is identity.  Any
+    OTHER absent uid column is an error: falling back to internal dense
+    ids would silently delete arbitrary unrelated documents."""
+    if uid_col == "doc_id":
+        return "src_doc_id" if "src_doc_id" in schema_names else "doc_id"
     if uid_col in schema_names:
         return uid_col
-    return "doc_id"
+    raise ValueError(
+        f"generation {gen_dir} has no {uid_col!r} column — it was built "
+        "without the user identity payload, so update_docs cannot match "
+        "its documents (internal doc ids are NOT user ids)")
 
 
 def update_docs(spark: SparkSession, index_root: str, docs: DataFrame,
@@ -134,15 +141,19 @@ def update_docs(spark: SparkSession, index_root: str, docs: DataFrame,
     for gen_dir in gens:
         m = IndexManifest.load(gen_dir)
         gdocs = spark.read.parquet(m.docs_path)
-        ident = _gen_identity_col(gdocs.columns, uid_col)
+        ident = _gen_identity_col(gdocs.columns, uid_col, gen_dir)
         hit = (gdocs.select("doc_id",
                             F.col(ident).cast("long").alias("_uid"))
                .join(uids, "_uid").select("doc_id"))
         if m.delete_gen:  # don't re-delete already-deleted ids
             prev = spark.read.parquet(m.deletes_path).select("doc_id")
             hit = hit.join(prev, "doc_id", "left_anti")
-        if hit.take(1):
-            write_deletes(spark, m, hit)
+        # one evaluation of the join: update batches are small (they
+        # fit the incoming docs frame), so collect the ids instead of
+        # re-running the join inside write_deletes' validate/write/count
+        hit_ids = [r["doc_id"] for r in hit.collect()]
+        if hit_ids:
+            write_deletes(spark, m, hit_ids)
     nxt = 0
     if gens:
         nxt = max(int(os.path.basename(g).split("=")[1]) for g in gens) + 1

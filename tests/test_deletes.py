@@ -198,3 +198,83 @@ def test_update_docs_lifecycle(spark, tmp_path):
     merged_docs = spark.read.parquet(compacted.docs_path).toPandas()
     assert set(merged_docs.get("src_doc_id", pd.Series()).dropna()
                .astype(int)) == {5, 41}
+
+
+def test_bm25f_and_dismax_honor_deletes(spark, tmp_path):
+    """Review regressions: (a) the BM25F kernel must mask each pair's
+    OWN postings, not just the union (a deleted doc's tf used to be
+    credited to a live doc); (b) dismax with a sloppy clause routes to
+    the scan path instead of silently scoring slop=0."""
+    from pim_lucene_spark.index import MultiFieldIndex
+    from pim_lucene_spark.plans.dismax import DisMaxQuery, search_dismax
+    from pim_lucene_spark.plans.query import PhraseQuery
+    from pim_lucene_spark.plans.router import search_with_fallback
+
+    rng = np.random.default_rng(13)
+    n = 70
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "title": [" ".join(rng.choice(VOCAB[:6], size=rng.integers(2, 5)))
+                  for _ in range(n)],
+        "body": [" ".join(rng.choice(VOCAB, size=rng.integers(6, 18)))
+                 for _ in range(n)],
+    })
+    cfg = IndexConfig(num_partitions=3, num_segments=2, build_chunks=1)
+    mf = MultiFieldIndex.build(spark, spark.createDataFrame(pdf),
+                               str(tmp_path / "mfdel"),
+                               fields={"title": "title", "body": "body"},
+                               cfg=cfg, id_col="doc_id")
+    qs = [(0, "red apple"), (1, "green")]
+    pre = mf.search_bm25f(qs, k=10 ** 6).toPandas()
+    deleted = sorted(set(pre.doc_id))[:6]
+    mf.delete_docs(deleted)
+    for plan in ("kernel", "join"):
+        got = (mf.search_bm25f(qs, k=10 ** 6, plan=plan).toPandas()
+               .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        exp = (pre[~pre.doc_id.isin(deleted)]
+               .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
+
+    # dismax sloppy clause == the scan-path clause score (single clause:
+    # dismax score IS the clause score), auto plan routes it correctly
+    m = mf.manifests["body"]
+    dq = [(5, DisMaxQuery(clauses=[PhraseQuery("red apple", slop=2)]))]
+    got = (search_dismax(spark, m, dq, k=10 ** 6).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = (search_with_fallback(spark, m, None,
+                                [(5, "red apple")], k=10 ** 6, slop=2)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(got.doc_id) == list(ref.doc_id)
+    assert np.allclose(got.score, ref.score)
+
+
+def test_delete_all_docs_is_legal(spark, didx):
+    """Lucene IndexWriter.deleteAll semantics: a fully deleted index
+    searches empty everywhere instead of raising."""
+    from pim_lucene_spark.index import FullTextIndex
+    idx = FullTextIndex(spark, didx)
+    all_ids = [int(r["doc_id"]) for r in
+               spark.read.parquet(didx.docs_path).select("doc_id")
+               .collect()]
+    assert idx.delete_docs(all_ids) == len(all_ids)
+    assert search(spark, didx, QUERIES, k=10).count() == 0
+    clear_local_cache()
+    assert len(search_local(didx, QUERIES, k=10)) == 0
+
+
+def test_update_docs_rejects_missing_uid_column(spark, tmp_path):
+    """A generation without the user identity payload must fail loudly —
+    matching user ids against internal dense ids would delete arbitrary
+    documents."""
+    from pim_lucene_spark.streaming.ingest import update_docs
+
+    cfg = IndexConfig(num_partitions=2, num_segments=2, build_chunks=1)
+    root = str(tmp_path / "gens2")
+    build_index(spark, spark.createDataFrame(_corpus(20, seed=4)),
+                f"{root}/gen=0000000000", cfg,
+                content_col="content", id_col="doc_id")
+    new = spark.createDataFrame(
+        pd.DataFrame({"uid": [3], "content": ["replacement text"]}))
+    with pytest.raises(ValueError, match="no 'uid' column"):
+        update_docs(spark, root, new, cfg, content_col="content",
+                    uid_col="uid")
