@@ -126,6 +126,20 @@ class FullTextIndex:
                             precision=precision,
                             postings_cache_mb=postings_cache_mb)
 
+    def query_local(self, queries, k: int = 10,
+                    precision: str = "float32",
+                    postings_cache_mb: int = 256):
+        """Serving-path typed queries — NO Spark job: ``(qid, text)``
+        tuples, Term/Phrase (slop 0), BooleanQuery and DisMaxQuery all
+        answer from the resident index (the reference's
+        ``PimSystemManager`` route); returns a pandas frame
+        (qid, doc_id, freq, norm, score) with NaN freq/norm on compound
+        rows.  Row-identical to the distributed plans
+        (differential-tested)."""
+        from pim_lucene_spark.serving import serve_local
+        return serve_local(self.manifest, queries, k, precision,
+                           postings_cache_mb, None)
+
     def query(self, queries, k: int = 10,
               precision: str = "float32") -> DataFrame:
         """Typed-query entry point (the ``PimPhraseQuery`` surface):

@@ -440,6 +440,11 @@ class _SpecBuilder:
             # Lucene's in-boolean fuzzy rewrite: scoring boolean over the
             # top expanded terms — a nested pure-SHOULD sum, float-cast
             # at the group boundary like the old clause frame
+            if self.spark is None:
+                raise NotImplementedError(
+                    "fuzzy clauses need the Spark expansion path; the "
+                    "serving-path compound search hosts term/phrase/"
+                    "nested clauses only")
             qboost = float(clause.boost) * eff_boost
             inner = [self._leaf(field, t, tb * qboost)
                      for t, tb in expand_terms(self.spark,
@@ -692,6 +697,74 @@ def eval_bm25f(spark: SparkSession, manifests: dict[str, IndexManifest],
     return (per_part.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .drop("rank"))
+
+
+def search_compound_local(index: IndexManifest | str, queries,
+                          k: int = 10, precision: str = "float32",
+                          postings_cache_mb: int = 256,
+                          pids: list[int] | None = None) -> pd.DataFrame:
+    """Serving-path boolean/dismax: the SAME compound kernel with NO
+    Spark job — resident postings rows (``term IN`` pyarrow pushdown,
+    shared with :func:`~pim_lucene_spark.operators.search.search_local`),
+    per-pid norms/live blobs, in-process composition, host top-k merge.
+    Returns a pandas frame (qid, doc_id, score); row-identical to
+    :func:`search_compound` (differential-tested).
+
+    Fuzzy clauses need the Spark expansion path and raise here; every
+    other kernel-able clause (term/phrase/nested) serves.  ``pids``
+    restricts residency to a shard subset (the sharded server's
+    placement; per-pid top-k merge is exact because composition is
+    per-doc and docs partition disjointly).
+    """
+    from pim_lucene_spark.operators.search import _local_rows, plan_queries
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+
+    manifest = IndexManifest.load(index) if isinstance(index, str) else index
+    b = _SpecBuilder(None, {"": manifest}, "")
+    specs = []
+    for qid, q in queries:
+        if isinstance(q, BooleanQuery):
+            specs.append(b.bool_spec(qid, q, ""))
+        else:
+            specs.append(b.dismax_spec(qid, q, ""))
+    planned, needed = plan_queries(None, manifest, b.leaves[""], k,
+                                   precision)
+    empty = pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+        {"qid": np.int64, "doc_id": np.int64, "score": np.float64})
+    if not planned:
+        return empty
+    avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
+                                  manifest.doc_count, precision)
+    ckey = (manifest.build_id or manifest.index_dir, manifest.doc_count,
+            manifest.sum_total_term_freq)
+    payload = {
+        "specs": specs,
+        "clauses": {sid: ("", tuple(ts), float(w))
+                    for sid, ts, w in planned},
+        "fields": {"": {
+            "cache": bm25.score_cache(avgdl, manifest.k1, manifest.b,
+                                      precision),
+            "cache_key": ckey,
+            "norms_path": manifest.norms_path,
+            "deletes_path": (manifest.deletes_path if manifest.delete_gen
+                             else None),
+            "num_segments": manifest.num_segments,
+            "nb_doc_per_segment": manifest.nb_doc_per_segment,
+        }},
+        "k": int(k),
+        "precision": precision,
+        "num_partitions": manifest.num_partitions,
+        "postings_cache_mb": int(postings_cache_mb),
+    }
+    by_pid = _local_rows(manifest, ckey, list(needed), pids=pids)
+    outs = [_compound_core(payload, int(pid), {"": by_pid[pid]})
+            for pid in sorted(by_pid)]
+    if not outs:
+        return empty
+    res = pd.concat(outs, ignore_index=True)
+    return (res.sort_values(["qid", "score", "doc_id"],
+                            ascending=[True, False, True])
+            .groupby("qid", sort=True).head(k).reset_index(drop=True))
 
 
 def search_compound(spark: SparkSession,

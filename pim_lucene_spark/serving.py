@@ -43,13 +43,62 @@ from pim_lucene_spark.manifest import IndexManifest
 _RESULT_COLS = ["qid", "doc_id", "freq", "norm", "score"]
 
 
+def serve_local(manifest: IndexManifest, queries, k: int,
+                precision: str, postings_cache_mb: int,
+                pids: list[int] | None) -> pd.DataFrame:
+    """One resident-process batch, mixed query types: ``(qid, text)`` /
+    typed Term/Phrase tuples go through the term/phrase serving kernel;
+    typed Boolean/DisMax queries through the compound serving kernel
+    (``plans/compound.py::search_compound_local``) — no Spark job on
+    either path.  Compound rows surface NaN freq/norm, mirroring the
+    distributed :meth:`FullTextIndex.query` union."""
+    from pim_lucene_spark.operators.search import search_local
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.compound import search_compound_local
+    from pim_lucene_spark.plans.dismax import DisMaxQuery
+    from pim_lucene_spark.plans.query import to_tuple
+
+    plain, typed = [], []
+    for qid, q in queries:
+        if isinstance(q, (BooleanQuery, DisMaxQuery)):
+            typed.append((qid, q))
+        elif isinstance(q, str):
+            plain.append((qid, q))
+        else:
+            if int(getattr(q, "slop", 0)) != 0:
+                raise NotImplementedError(
+                    "sloppy phrases need the scan path; the serving "
+                    "path hosts exact term/phrase/boolean/dismax")
+            plain.append(to_tuple(qid, q))
+    parts = []
+    if plain:
+        parts.append(search_local(manifest, plain, k=k,
+                                  precision=precision,
+                                  postings_cache_mb=postings_cache_mb,
+                                  pids=pids))
+    if typed:
+        c = search_compound_local(manifest, typed, k=k,
+                                  precision=precision,
+                                  postings_cache_mb=postings_cache_mb,
+                                  pids=pids)
+        c = c.assign(freq=float("nan"), norm=float("nan"))[
+            ["qid", "doc_id", "freq", "norm", "score"]]
+        parts.append(c)
+    if not parts:
+        return pd.DataFrame(columns=_RESULT_COLS)
+    if len(parts) == 1:
+        return parts[0]
+    return pd.concat([p.astype({"freq": "float64"})
+                      if "freq" in p else p for p in parts],
+                     ignore_index=True)
+
+
 def _worker_main(conn, index_dir: str, pids: list[int] | None,
                  precision: str, postings_cache_mb: int):
     """Worker loop: resident single-process server over ``pids``
     (``None`` = all pids — replica mode)."""
     from pim_lucene_spark.operators.search import (clear_local_cache,
-                                                   clear_postings_cache,
-                                                   search_local)
+                                                   clear_postings_cache)
     clear_local_cache()      # drop fork-inherited residency — each worker
     clear_postings_cache()   # builds its own shard-scoped caches
     manifest = IndexManifest.load(index_dir)
@@ -60,9 +109,9 @@ def _worker_main(conn, index_dir: str, pids: list[int] | None,
             return
         tag, queries, k = msg
         try:
-            res = search_local(manifest, queries, k=k, precision=precision,
-                               postings_cache_mb=postings_cache_mb,
-                               pids=pids)
+            res = serve_local(manifest, queries, k=k, precision=precision,
+                              postings_cache_mb=postings_cache_mb,
+                              pids=pids)
             conn.send((tag, res))
         except BaseException as exc:  # surface the failure, keep serving
             conn.send((tag, exc))

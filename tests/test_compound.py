@@ -273,3 +273,58 @@ def test_based_should_clause_decodes_fewer_bytes(spark, tmp_path):
         got.sort_values(["qid", "doc_id"]).reset_index(drop=True)
         .astype({"qid": "int64", "doc_id": "int64"}),
         exp.sort_values(["qid", "doc_id"]).reset_index(drop=True))
+
+
+def test_compound_local_matches_distributed(spark, cidx):
+    """Serving-path boolean/dismax (no Spark job) is row-identical to
+    the distributed compound kernel, including deletes and the warm
+    residency caches."""
+    from pim_lucene_spark.operators.search import clear_local_cache
+    from pim_lucene_spark.plans.compound import search_compound_local
+
+    batch = [(qid, q) for qid, q in BOOL_BATCH
+             if qid != 8] + [  # fuzzy clause: spark-expansion only
+        (20, DisMaxQuery(clauses=["red", "the fast"], tie=0.25)),
+    ]
+    clear_local_cache()
+    for _ in range(2):  # second pass serves from residency caches
+        a = (search_compound_local(cidx, batch, k=10)
+             .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        b = (search_boolean(spark, cidx, [x for x in batch if x[0] != 20],
+                            k=10, plan="kernel").toPandas())
+        c = (search_dismax(spark, cidx, [x for x in batch if x[0] == 20],
+                           k=10, plan="kernel").toPandas())
+        exp = (pd.concat([b, c], ignore_index=True)
+               .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a.astype(exp.dtypes.to_dict()), exp)
+
+    with pytest.raises(NotImplementedError, match="fuzzy"):
+        search_compound_local(
+            cidx, [(8, BooleanQuery(should=[FuzzyQuery("aple")]))], k=10)
+
+
+def test_sharded_server_serves_boolean_batches(spark, cidx):
+    """ShardedServer batches may mix text and typed Boolean/DisMax
+    queries; both placements match the distributed plans (per-pid top-k
+    merge is exact: composition is per-doc, docs partition disjointly)."""
+    from pim_lucene_spark.serving import ShardedServer
+
+    batch = [(0, "red apple"),
+             (1, BooleanQuery(must=["red"], should=["the fast", "pie"])),
+             (2, DisMaxQuery(clauses=["sky", "grass"], tie=0.5))]
+    exp_b = search_boolean(spark, cidx, [batch[1]], k=5).toPandas()
+    exp_d = search_dismax(spark, cidx, [batch[2]], k=5).toPandas()
+    for mode in ("replica", "shard"):
+        with ShardedServer(cidx, num_workers=2, mode=mode) as srv:
+            got = srv.search(batch, k=5)
+        gb = (got[got.qid == 1][["qid", "doc_id", "score"]]
+              .sort_values("doc_id").reset_index(drop=True))
+        gd = (got[got.qid == 2][["qid", "doc_id", "score"]]
+              .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            gb.astype(exp_b.dtypes.to_dict()),
+            exp_b.sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            gd.astype(exp_d.dtypes.to_dict()),
+            exp_d.sort_values("doc_id").reset_index(drop=True))
+        assert len(got[got.qid == 0]) > 0  # text query still served
