@@ -213,6 +213,27 @@ def main() -> None:
         [r for r in parsed_rows if r["qid"] in {q for q, _ in typed}],
         joined, [q for q, _ in typed])
 
+    # --- resident serving of the parsed mixed batch: typed queries
+    # (term + boolean) through the sharded server's compound serving
+    # kernel — no Spark job per batch
+    typed_all = [(qid, parse_query(s)) for qid, s in pq]
+    tb = [typed_all[i:i + bsz] for i in range(0, len(typed_all), bsz)]
+    with ShardedServer(manifest, num_workers=workers,
+                       mode="replica") as srv:
+        srv.map(tb[:2], k=k)  # warm residency
+        t0 = time.time()
+        served = srv.map(tb, k=k)
+        serve_parsed_s = time.time() - t0
+    # sampled identity vs the distributed parsed run
+    served_rows = [
+        {"qid": int(r.qid), "doc_id": int(r.doc_id),
+         "score": float(r.score)}
+        for b in served for r in b.itertuples(index=False)]
+    serve_mm = rank_diff(served_rows,
+                         [r for r in parsed_rows
+                          if r["qid"] in {q for q, _ in psample}],
+                         [q for q, _ in psample])
+
     out = {
         "metric": "wiki_subset reference benchmark (standard analyzer)",
         "n_docs": n_docs,
@@ -236,6 +257,9 @@ def main() -> None:
         "qps_parsed_boolean": round(len(pq) / parsed_s, 2),
         "parsed_diff_sampled": len(typed),
         "parsed_diff_mismatches": parsed_mm,
+        "qps_parsed_serving_replica": round(len(typed_all)
+                                            / serve_parsed_s, 2),
+        "parsed_serving_diff_mismatches": serve_mm,
         "cpus": cpus,
         "partitions": parts,
     }
