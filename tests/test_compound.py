@@ -328,3 +328,47 @@ def test_sharded_server_serves_boolean_batches(spark, cidx):
             gd.astype(exp_d.dtypes.to_dict()),
             exp_d.sort_values("doc_id").reset_index(drop=True))
         assert len(got[got.qid == 0]) > 0  # text query still served
+
+
+def test_random_boolean_trees_kernel_matches_join(spark, cidx):
+    """Property fuzz: random boolean trees (roles, msm, boosts, phrases,
+    nesting) — kernel and join plans must agree bit-for-bit at float32.
+
+    Kept small (16 trees, nesting depth ≤ 1, batches of 8): the JOIN
+    side's Catalyst tree grows combinatorially with batch size and
+    nesting — a 40-query deep-nested batch OOMs a 4g driver merely
+    STRINGIFYING the plan, and 12-query batches plan for minutes
+    (measured; the kernel plan is one groupBy regardless of batch
+    shape) — which is the scale story in miniature."""
+    rng = np.random.default_rng(42)
+
+    def rand_clause(depth):
+        r = rng.random()
+        if depth < 1 and r < 0.15:
+            return rand_bool(depth + 1)
+        if r < 0.55:
+            return str(rng.choice(VOCAB))
+        if r < 0.8:
+            return " ".join(rng.choice(VOCAB, size=2))
+        return PhraseQuery(str(rng.choice(VOCAB)),
+                           boost=float(rng.choice([0.5, 1.0, 2.0])))
+
+    def rand_bool(depth=0):
+        roles = {"must": [], "should": [], "must_not": [], "filter": []}
+        n = rng.integers(1, 5)
+        for _ in range(n):
+            role = str(rng.choice(["must", "should", "should",
+                                   "must_not", "filter"]))
+            roles[role].append(rand_clause(depth))
+        if not (roles["must"] or roles["should"] or roles["filter"]):
+            roles["should"].append(str(rng.choice(VOCAB)))
+        msm = (int(rng.integers(0, len(roles["should"]) + 1))
+               if roles["should"] and rng.random() < 0.3 else 0)
+        return BooleanQuery(boost=float(rng.choice([1.0, 1.0, 2.0])),
+                            min_should_match=msm, **roles)
+
+    trees = [(i, rand_bool()) for i in range(16)]
+    for lo in range(0, 16, 8):
+        batch = trees[lo:lo + 8]
+        _cmp(search_boolean(spark, cidx, batch, k=10, plan="kernel"),
+             search_boolean(spark, cidx, batch, k=10, plan="join"))
