@@ -587,6 +587,58 @@ def _q_ann(spark, sf_dir):
     return res.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+# hybrid retrieval: (qid, full-text query, dense query vec_id) — the
+# documents/embeddings tables share the id space (doc_id == vec_id)
+HYBRID_SPECS = [(0, "merge", 0), (1, "the fast", 1), (2, "vector spark", 2)]
+
+
+def _q_hybrid(spark, sf_dir):
+    """BM25 top-20 ∪ cosine top-20 fused by reciprocal-rank fusion
+    (operators/fusion.py) — the standard hybrid-retrieval stack."""
+    from pim_lucene_spark.operators import fusion
+    m = _get_index(spark, sf_dir)
+    res = fusion.hybrid_search(spark, m, _emb(spark, sf_dir),
+                               HYBRID_SPECS, k=10, n_candidates=20)
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _hybrid_sql() -> str:
+    ft_inner = oracle.phrase_bm25_sql(
+        [(q, t) for q, t, _ in HYBRID_SPECS], k=20, round_scores=False)
+    ids = ",".join(str(v) for _, _, v in HYBRID_SPECS)
+    return f"""
+    WITH ft AS (SELECT qid, doc_id, row_number() OVER
+            (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS r
+          FROM ({ft_inner})),
+    ann AS (SELECT qid, vec_id AS doc_id, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS r
+          FROM (
+            WITH base AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM base
+                  WHERE vec_id IN ({ids}))
+            SELECT q.qid, b.vec_id,
+                   list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(v, v))) AS cosine
+            FROM q CROSS JOIN base b WHERE b.vec_id <> q.qid
+            QUALIFY row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, vec_id ASC) <= 20)),
+    j AS (SELECT coalesce(ft.qid, ann.qid) AS qid,
+                 coalesce(ft.doc_id, ann.doc_id) AS doc_id,
+                 (CASE WHEN ft.r IS NOT NULL
+                       THEN 1.0 / (60 + ft.r) ELSE 0.0 END
+                  + CASE WHEN ann.r IS NOT NULL
+                         THEN 1.0 / (60 + ann.r) ELSE 0.0 END) AS s
+          FROM ft FULL JOIN ann
+            ON ft.qid = ann.qid AND ft.doc_id = ann.doc_id)
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+           round(s, 6) AS score
+    FROM j QUALIFY row_number() OVER (PARTITION BY qid
+      ORDER BY s DESC, doc_id ASC) <= 10"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- engine: index build + BM25 phrase/term search ---------------
@@ -647,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .alias("hamming")),
         # --- similarity -----------------------------------------------------
         "ann_cosine_topk": _q_ann,
+        "hybrid_rrf_topk": _q_hybrid,
         "ann_lsh_topk":
             lambda s, d: similarity.lsh_bucketed_topk(
                 _emb(s, d), ANN_QUERY_IDS, k=10, num_planes=8, dim=EMB_DIM)
@@ -1070,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(num_hashes=32, bands=16,
                                           threshold=0.01),
         "ann_lsh_topk": _ann_lsh_sql(k=10, num_planes=8),
+        "hybrid_rrf_topk": _hybrid_sql(),
         "dedup_embedding_cosine": _emb_neardup_sql(threshold=0.3,
                                                    num_planes=8,
                                                    num_tables=4),

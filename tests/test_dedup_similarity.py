@@ -227,3 +227,29 @@ def test_ngram_jaccard_default_is_lsh_blocked_no_cartesian(spark):
     assert set(zip(high.doc_a, high.doc_b)) <= got_pairs
     merged = pdf.merge(ref, on=["doc_a", "doc_b"], suffixes=("", "_ref"))
     assert np.allclose(merged.jaccard, merged.jaccard_ref)
+
+
+def test_rrf_fusion_matches_manual(spark):
+    """rrf_fuse == manual pandas RRF over the same rankings (exact
+    doubles), absent-list contribution 0, ties broken doc asc."""
+    from pim_lucene_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 4.0), (0, 3, 3.0), (1, 7, 2.0)],
+        "qid long, doc_id long, score double")
+    b = spark.createDataFrame(
+        [(0, 2, 0.9), (0, 4, 0.8), (1, 7, 0.7), (1, 8, 0.6)],
+        "qid long, doc_id long, score double")
+    got = (rrf_fuse([a, b], k=10, k_rrf=60).toPandas()
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+
+    def rrf(pairs):
+        return sum(1.0 / (60.0 + r) for r in pairs)
+
+    exp = pd.DataFrame([
+        (0, 1, rrf([1])), (0, 2, rrf([2, 1])), (0, 3, rrf([3])),
+        (0, 4, rrf([2])), (1, 7, rrf([1, 1])), (1, 8, rrf([2])),
+    ], columns=["qid", "doc_id", "score"])
+    pd.testing.assert_frame_equal(
+        got.astype({"qid": "int64", "doc_id": "int64"}),
+        exp.sort_values(["qid", "doc_id"]).reset_index(drop=True))
