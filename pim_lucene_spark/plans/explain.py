@@ -24,13 +24,26 @@ from pim_lucene_spark.manifest import IndexManifest
 
 def explain(index: IndexManifest | str, query, doc_id: int,
             precision: str = "float32") -> dict:
-    """BM25 factor tree for one (query, doc) — see module docstring.
+    """Score factor tree for one (query, doc) — see module docstring.
 
-    ``query`` is a query text (multi-token = phrase) or a typed
-    ``PhraseQuery``/``TermQuery`` (slop=0 only).  Returns a dict with
+    ``query`` is a query text (multi-token = phrase), a typed
+    ``PhraseQuery``/``TermQuery`` (slop=0 only), or a compositional
+    ``BooleanQuery``/``DisMaxQuery`` (clause explains compose per
+    BooleanWeight sum / DisjunctionMaxScorer, bit-identical to
+    ``search_boolean``/``search_dismax``).  Returns a dict with
     ``score`` 0.0 and ``matches=False`` when the doc doesn't match.
     """
     import pyarrow.parquet as pq
+
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.dismax import DisMaxQuery
+
+    manifest0 = (IndexManifest.load(index) if isinstance(index, str)
+                 else index)
+    if isinstance(query, BooleanQuery):
+        return _explain_boolean(manifest0, query, doc_id, precision)
+    if isinstance(query, DisMaxQuery):
+        return _explain_dismax(manifest0, query, doc_id, precision)
 
     from pim_lucene_spark.functions import bm25
     from pim_lucene_spark.functions.tokenize import tokenize_one
@@ -107,3 +120,102 @@ def explain(index: IndexManifest | str, query, doc_id: int,
         "cache": float(cache[norm_byte]),
         "precision": precision,
     }
+
+
+def _boosted_clause(clause, mul: float):
+    """Materialize a clause with the enclosing boolean's boost folded in
+    (BooleanWeight passes its boost to scoring sub-weights)."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.query import PhraseQuery
+
+    if isinstance(clause, BooleanQuery):
+        from dataclasses import replace
+        return replace(clause, boost=float(clause.boost) * mul)
+    text = getattr(clause, "text", clause)
+    if not isinstance(text, str):
+        raise ValueError(
+            "explain composes term/phrase/nested-boolean clauses; "
+            f"unsupported clause {type(clause).__name__}")
+    if int(getattr(clause, "slop", 0)):
+        raise ValueError("explain covers exact (slop=0) clauses")
+    return PhraseQuery(text, boost=float(getattr(clause, "boost", 1.0))
+                       * mul)
+
+
+def _explain_boolean(manifest, bq, doc_id: int, precision: str) -> dict:
+    """BooleanWeight explain: "sum of:" over matching scoring clauses
+    (MUST then SHOULD, declaration order — the kernel's exact float
+    association), with the match gates (MUST/FILTER/MUST_NOT/msm)
+    reported."""
+    import numpy as np
+
+    eff = float(bq.boost)
+    out = {"doc_id": int(doc_id), "query": "BooleanQuery",
+           "description": "sum of matching scoring clauses "
+                          "(BooleanWeight)", "clauses": []}
+    gates_ok = True
+    should_hits = 0
+    acc = 0.0
+    for role in ("must", "filter", "should", "must_not"):
+        scoring = role in ("must", "should")
+        for cl in getattr(bq, role):
+            sub = explain(manifest, _boosted_clause(cl, eff if scoring
+                                                    else 1.0),
+                          doc_id, precision)
+            out["clauses"].append(dict(sub, occur=role))
+            if role in ("must", "filter") and not sub["matches"]:
+                gates_ok = False
+            if role == "must_not" and sub["matches"]:
+                gates_ok = False
+            if role == "should" and sub["matches"]:
+                should_hits += 1
+    has_base = bool(bq.must or bq.filter)
+    required = (int(bq.min_should_match) if has_base
+                else max(1, int(bq.min_should_match)))
+    if bq.should and should_hits < required:
+        gates_ok = False
+    if not has_base and not bq.should:
+        pass  # filter-only handled by gates above
+    if gates_ok:
+        for sub in out["clauses"]:  # MUST then SHOULD declaration order
+            if sub["occur"] in ("must", "should") and sub["matches"]:
+                acc += sub["score"]
+        score = (float(np.float32(acc)) if precision == "float32"
+                 else acc)
+        out.update(matches=True, score=score)
+    else:
+        out.update(matches=False, score=0.0)
+    out["min_should_match"] = int(bq.min_should_match)
+    out["should_matches"] = should_hits
+    return out
+
+
+def _explain_dismax(manifest, dq, doc_id: int, precision: str) -> dict:
+    """DisjunctionMaxScorer explain: max + tie·(sum − max), BoostQuery
+    boost at the top — bit-identical to ``search_dismax``."""
+    import numpy as np
+
+    out = {"doc_id": int(doc_id), "query": "DisMaxQuery",
+           "description": f"max plus {dq.tie} times others "
+                          "(DisjunctionMaxScorer)", "clauses": []}
+    scores = []
+    for cl in dq.clauses:
+        sub = explain(manifest, _boosted_clause(cl, 1.0), doc_id,
+                      precision)
+        out["clauses"].append(sub)
+        if sub["matches"]:
+            scores.append(sub["score"])
+    if not scores:
+        out.update(matches=False, score=0.0)
+        return out
+    mx, total = max(scores), 0.0
+    for s in scores:
+        total += s
+    score = mx + float(dq.tie) * (total - mx)
+    if float(dq.boost) != 1.0:
+        score = score * float(dq.boost)
+    if precision == "float32":
+        score = float(np.float32(score))
+    out.update(matches=True, score=score, tie=float(dq.tie),
+               boost=float(dq.boost))
+    return out

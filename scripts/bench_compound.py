@@ -34,17 +34,31 @@ REPS = int(os.environ.get("COMPOUND_REPS", "3"))
 K = 10
 
 # stopword-heavy SHOULD clauses: "the" matches nearly every synthetic
-# doc, which is exactly the clause the join plan shipped wholesale
-BOOL_SPECS = [
-    {"must": ["merge"], "should": ["the", "fast"]},
-    {"must": ["vector"], "should": ["the"]},
-    {"should": ["the", "merge", "table"]},
-    {"must": ["key", "order"], "should": ["the", "data"]},
-]
-DISMAX_SPECS = [
-    {"clauses": ["the", "merge table"], "tie": 0.3},
-    {"clauses": ["the fast", "the", "vector"], "tie": 0.1},
-]
+# doc, which is exactly the clause the join plan shipped wholesale.
+# COMPOUND_VOCAB=code swaps in the source-code corpus' hot keywords
+# (the 500k-doc scaling corpus: "def"/"import" play the stopword role).
+if os.environ.get("COMPOUND_VOCAB") == "code":
+    BOOL_SPECS = [
+        {"must": ["class"], "should": ["def", "self"]},
+        {"must": ["while"], "should": ["def"]},
+        {"should": ["def", "return", "class"]},
+        {"must": ["for", "if"], "should": ["def", "import"]},
+    ]
+    DISMAX_SPECS = [
+        {"clauses": ["def", "import return"], "tie": 0.3},
+        {"clauses": ["def self", "def", "class"], "tie": 0.1},
+    ]
+else:
+    BOOL_SPECS = [
+        {"must": ["merge"], "should": ["the", "fast"]},
+        {"must": ["vector"], "should": ["the"]},
+        {"should": ["the", "merge", "table"]},
+        {"must": ["key", "order"], "should": ["the", "data"]},
+    ]
+    DISMAX_SPECS = [
+        {"clauses": ["the", "merge table"], "tie": 0.3},
+        {"clauses": ["the fast", "the", "vector"], "tie": 0.1},
+    ]
 
 
 def main() -> None:
@@ -67,8 +81,13 @@ def main() -> None:
     from pim_lucene_spark.plans.compound import _SpecBuilder, eval_compound
     from pim_lucene_spark.plans.dismax import DisMaxQuery, search_dismax
 
-    docs = (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-            .withColumnRenamed("text", "content"))
+    src = os.path.join(SF_DIR, "documents.parquet")
+    if not os.path.exists(src):
+        src = SF_DIR  # a bare corpus parquet dir (e.g. the 500k-doc
+        # scaling corpus on /dev/shm) works too
+    docs = spark.read.parquet(src)
+    if "text" in docs.columns:
+        docs = docs.withColumnRenamed("text", "content")
     index_dir = f"/tmp/pim_compound_bench_{os.getpid()}"
     shutil.rmtree(index_dir, ignore_errors=True)
     cfg = IndexConfig(num_partitions=max(CPUS, 8), num_segments=4,
@@ -130,7 +149,8 @@ def main() -> None:
     }
     shutil.rmtree(index_dir, ignore_errors=True)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_COMPOUND.json"), "w") as f:
+    out_name = os.environ.get("COMPOUND_OUT", "BENCH_COMPOUND.json")
+    with open(os.path.join(root, out_name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -58,3 +58,49 @@ def test_explain_non_match_and_errors(spark, eidx):
     with pytest.raises(ValueError, match="slop"):
         from pim_lucene_spark.plans.query import PhraseQuery
         explain(eidx, PhraseQuery("red apple", slop=1), 0)
+
+
+def test_explain_boolean_and_dismax_bit_identity(spark, tmp_path):
+    """Compound explain scores are bit-identical to the search plans for
+    every returned doc; gates (must_not, msm) explain non-matches."""
+    import numpy as np
+    import pandas as pd
+
+    from pim_lucene_spark.config import IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    from pim_lucene_spark.plans.dismax import DisMaxQuery, search_dismax
+    from pim_lucene_spark.plans.explain import explain
+
+    rng = np.random.default_rng(21)
+    vocab = ["red", "green", "blue", "apple", "sky", "pie", "the"]
+    docs = pd.DataFrame({
+        "doc_id": range(50),
+        "content": [" ".join(rng.choice(vocab, size=rng.integers(4, 12)))
+                    for _ in range(50)],
+    })
+    m = build_index(spark, spark.createDataFrame(docs),
+                    str(tmp_path / "exidx"),
+                    IndexConfig(2, 2, build_chunks=1),
+                    content_col="content", id_col="doc_id")
+
+    bq = BooleanQuery(must=["red"], should=["apple", "the sky"],
+                      must_not=["pie"], boost=2.0, min_should_match=1)
+    got = search_boolean(spark, m, [(0, bq)], k=50).toPandas()
+    assert len(got)
+    for d, s in zip(got.doc_id, got.score):
+        ex = explain(m, bq, int(d))
+        assert ex["matches"] and np.float32(ex["score"]) == np.float32(s)
+    # a doc excluded by must_not explains as non-matching
+    pie_docs = docs[docs.content.str.contains("pie")
+                    & docs.content.str.contains("red")]
+    if len(pie_docs):
+        ex = explain(m, bq, int(pie_docs.doc_id.iloc[0]))
+        assert not ex["matches"] and ex["score"] == 0.0
+
+    dq = DisMaxQuery(clauses=["red", "the sky"], tie=0.3, boost=1.5)
+    got = search_dismax(spark, m, [(0, dq)], k=50).toPandas()
+    assert len(got)
+    for d, s in zip(got.doc_id, got.score):
+        ex = explain(m, dq, int(d))
+        assert ex["matches"] and np.float32(ex["score"]) == np.float32(s)
