@@ -57,14 +57,16 @@ def rrf_fuse(frames: list[DataFrame], k: int = 10, k_rrf: int = 60,
 
 
 def hybrid_search(spark, index, emb: DataFrame,
-                  queries: list[tuple[int, str, list[float] | int]],
+                  queries: list[tuple[int, str, int]],
                   k: int = 10, n_candidates: int = 50, k_rrf: int = 60,
                   precision: str = "float64") -> DataFrame:
     """Hybrid full-text + dense retrieval over a shared id space
     (``doc_id == vec_id``): BM25 top-``n_candidates`` fused with cosine
     top-``n_candidates`` by RRF.
 
-    Each query is ``(qid, text, query_vec_id)`` — the dense side reuses
+    Each query is ``(qid, text, query_vec_id)`` — an id into ``emb``
+    (raw query vectors: append them to ``emb`` first) — the dense side
+    reuses
     :func:`~pim_lucene_spark.operators.similarity.cosine_topk_bruteforce`
     with the embedding of ``query_vec_id`` as the query vector (swap in
     the LSH-bucketed variant at scale).

@@ -262,7 +262,11 @@ def _eval_spec(spec: dict, eval_leaf, precision: str,
 
 
 def _compound_core(payload: dict, pid: int,
-                   per_field_by_term: dict[str, dict]) -> pd.DataFrame:
+                   per_field_by_term: dict[str, dict],
+                   resident: dict | None = None) -> pd.DataFrame:
+    """``resident`` (serving path): ``{field: (norms, live)}`` resident
+    blobs — skips the per-call norms/delete-mask file reads a kernel
+    task performs."""
     P = payload["num_partitions"]
     k = payload["k"]
     precision = payload["precision"]
@@ -279,6 +283,9 @@ def _compound_core(payload: dict, pid: int,
         if bt is None:
             continue
         ctxs[f] = _DecodeCtx(bt, payload, pid, ckey=fmeta["cache_key"])
+        if resident is not None and f in resident:
+            norms[f], live[f] = resident[f]
+            continue
         part_dir = os.path.join(fmeta["norms_path"], f"pid={pid}")
         if not os.path.isdir(part_dir):
             raise FileNotFoundError(
@@ -454,6 +461,14 @@ class _SpecBuilder:
                     "spec": {"qid": -1, "op": "bool", "must": (),
                              "filter": (), "should": tuple(inner),
                              "must_not": (), "msm": 0}}
+        if int(getattr(clause, "slop", 0)) != 0:
+            # the distributed routers gate sloppy clauses to the scan
+            # path before spec building; reaching here means a path
+            # without that gate (the serving-path compound search) —
+            # fail loudly rather than silently scoring slop=0
+            raise NotImplementedError(
+                "sloppy phrase clauses evaluate on the scan path; the "
+                "compound kernel cannot host them")
         text, cboost = _clause_text_boost(clause)
         return self._leaf(field, text, cboost * eff_boost)
 
@@ -756,9 +771,16 @@ def search_compound_local(index: IndexManifest | str, queries,
         "num_partitions": manifest.num_partitions,
         "postings_cache_mb": int(postings_cache_mb),
     }
+    from pim_lucene_spark.operators.search import (_local_live,
+                                                   _local_norms)
     by_pid = _local_rows(manifest, ckey, list(needed), pids=pids)
-    outs = [_compound_core(payload, int(pid), {"": by_pid[pid]})
-            for pid in sorted(by_pid)]
+    outs = []
+    for pid in sorted(by_pid):
+        nb = _local_norms(manifest, ckey, int(pid))
+        resident = {"": (nb, _local_live(manifest, ckey, int(pid),
+                                         nb.size))}
+        outs.append(_compound_core(payload, int(pid),
+                                   {"": by_pid[pid]}, resident=resident))
     if not outs:
         return empty
     res = pd.concat(outs, ignore_index=True)

@@ -38,19 +38,17 @@ def explain(index: IndexManifest | str, query, doc_id: int,
     from pim_lucene_spark.plans.boolean import BooleanQuery
     from pim_lucene_spark.plans.dismax import DisMaxQuery
 
-    manifest0 = (IndexManifest.load(index) if isinstance(index, str)
-                 else index)
+    manifest = (IndexManifest.load(index) if isinstance(index, str)
+                else index)
     if isinstance(query, BooleanQuery):
-        return _explain_boolean(manifest0, query, doc_id, precision)
+        return _explain_boolean(manifest, query, doc_id, precision)
     if isinstance(query, DisMaxQuery):
-        return _explain_dismax(manifest0, query, doc_id, precision)
+        return _explain_dismax(manifest, query, doc_id, precision)
 
     from pim_lucene_spark.functions import bm25
     from pim_lucene_spark.functions.tokenize import tokenize_one
     from pim_lucene_spark.model import phrase_freq
     from pim_lucene_spark.operators.search import _local_norms
-
-    manifest = IndexManifest.load(index) if isinstance(index, str) else index
     slop = int(getattr(query, "slop", 0))
     if slop:
         raise ValueError("explain covers exact (slop=0) queries")
@@ -142,6 +140,23 @@ def _boosted_clause(clause, mul: float):
                        * mul)
 
 
+def _explain_clause(manifest, clause, doc_id: int, precision: str) -> dict:
+    """Leaf/nested clause explain with the search plans' empty-analysis
+    semantics: a clause that tokenizes to zero terms simply never
+    matches (plan_queries drops it), it is not an error."""
+    from pim_lucene_spark.functions.tokenize import tokenize_one
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+
+    if not isinstance(clause, BooleanQuery):
+        text = getattr(clause, "text", clause)
+        if isinstance(text, str) and \
+                not tokenize_one(text, manifest.tokenizer):
+            return {"doc_id": int(doc_id), "matches": False,
+                    "score": 0.0,
+                    "description": "clause analyzes to zero terms"}
+    return explain(manifest, clause, doc_id, precision)
+
+
 def _explain_boolean(manifest, bq, doc_id: int, precision: str) -> dict:
     """BooleanWeight explain: "sum of:" over matching scoring clauses
     (MUST then SHOULD, declaration order — the kernel's exact float
@@ -159,9 +174,10 @@ def _explain_boolean(manifest, bq, doc_id: int, precision: str) -> dict:
     for role in ("must", "filter", "should", "must_not"):
         scoring = role in ("must", "should")
         for cl in getattr(bq, role):
-            sub = explain(manifest, _boosted_clause(cl, eff if scoring
-                                                    else 1.0),
-                          doc_id, precision)
+            sub = _explain_clause(manifest,
+                                  _boosted_clause(cl, eff if scoring
+                                                  else 1.0),
+                                  doc_id, precision)
             out["clauses"].append(dict(sub, occur=role))
             if role in ("must", "filter") and not sub["matches"]:
                 gates_ok = False
@@ -174,8 +190,6 @@ def _explain_boolean(manifest, bq, doc_id: int, precision: str) -> dict:
                 else max(1, int(bq.min_should_match)))
     if bq.should and should_hits < required:
         gates_ok = False
-    if not has_base and not bq.should:
-        pass  # filter-only handled by gates above
     if gates_ok:
         for sub in out["clauses"]:  # MUST then SHOULD declaration order
             if sub["occur"] in ("must", "should") and sub["matches"]:
@@ -200,8 +214,8 @@ def _explain_dismax(manifest, dq, doc_id: int, precision: str) -> dict:
                           "(DisjunctionMaxScorer)", "clauses": []}
     scores = []
     for cl in dq.clauses:
-        sub = explain(manifest, _boosted_clause(cl, 1.0), doc_id,
-                      precision)
+        sub = _explain_clause(manifest, _boosted_clause(cl, 1.0), doc_id,
+                              precision)
         out["clauses"].append(sub)
         if sub["matches"]:
             scores.append(sub["score"])

@@ -126,7 +126,7 @@ def main() -> None:
     serve = {}
     for mode in ("replica", "shard"):
         with ShardedServer(manifest, num_workers=workers, mode=mode) as srv:
-            srv.map(batches[:2], k=k)  # warm per-worker residency
+            srv.map(batches[:workers], k=k)  # warm EVERY worker's residency
             t0 = time.time()
             srv.map(batches, k=k)
             serve[mode] = time.time() - t0
@@ -220,7 +220,7 @@ def main() -> None:
     tb = [typed_all[i:i + bsz] for i in range(0, len(typed_all), bsz)]
     with ShardedServer(manifest, num_workers=workers,
                        mode="replica") as srv:
-        srv.map(tb[:2], k=k)  # warm residency
+        srv.map(tb[:workers], k=k)  # warm EVERY worker's residency
         t0 = time.time()
         served = srv.map(tb, k=k)
         serve_parsed_s = time.time() - t0

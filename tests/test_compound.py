@@ -372,3 +372,29 @@ def test_random_boolean_trees_kernel_matches_join(spark, cidx):
         batch = trees[lo:lo + 8]
         _cmp(search_boolean(spark, cidx, batch, k=10, plan="kernel"),
              search_boolean(spark, cidx, batch, k=10, plan="join"))
+
+
+def test_compound_local_rejects_sloppy_clause(spark, cidx):
+    """The serving path must fail loudly on sloppy clauses (the
+    distributed router sends them to the scan path; silently scoring
+    slop=0 was the review finding)."""
+    from pim_lucene_spark.plans.compound import search_compound_local
+    with pytest.raises(NotImplementedError, match="sloppy"):
+        search_compound_local(
+            cidx, [(0, BooleanQuery(
+                must=[PhraseQuery("red apple", slop=2)]))], k=5)
+
+
+def test_explain_empty_analysis_clause_is_nonmatch(spark, cidx):
+    """A clause that analyzes to zero terms never matches (search drops
+    it) — explain must mirror that, not raise."""
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.explain import explain
+    bq = BooleanQuery(must=["red"], should=["."])  # '.' → zero tokens?
+    # whitespace tokenizer keeps '.', so use an empty-ish string clause
+    bq = BooleanQuery(must=["red"], should=["  "])
+    hits = search(spark, cidx, [(0, "red")], k=5).toPandas()
+    ex = explain(cidx, bq, int(hits.doc_id.iloc[0]))
+    assert ex["matches"]
+    assert any(c["occur"] == "should" and not c["matches"]
+               for c in ex["clauses"])
