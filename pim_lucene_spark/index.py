@@ -447,6 +447,33 @@ class MultiFieldIndex:
                                      self.default_field, typed, k=k,
                                      precision=precision)
 
+    def parse_and_query_local(self, query_strings, k: int = 10,
+                              default_operator: str = "or",
+                              precision: str = "float32",
+                              postings_cache_mb: int = 256):
+        """Serving-path fielded query strings — NO Spark job: parsed
+        exactly like :meth:`parse_and_query` (``'+title:merge body:x'``)
+        but evaluated by the resident compound kernel over every field's
+        sub-index (shared pid space).  Returns a pandas frame
+        (qid, doc_id, score); row-identical to the distributed fielded
+        plans (differential-tested).  Sloppy/fuzzy/multiterm clauses
+        need the distributed paths and raise."""
+        from pim_lucene_spark.plans.boolean import BooleanQuery
+        from pim_lucene_spark.plans.compound import search_compound_local
+        from pim_lucene_spark.plans.parser import parse_query
+
+        typed = []
+        for qid, s in query_strings:
+            q = parse_query(s, default_operator=default_operator,
+                            allow_fields=True)
+            if not isinstance(q, BooleanQuery):
+                q = BooleanQuery(must=[q])
+            typed.append((qid, q))
+        return search_compound_local(
+            self.manifests, typed, k=k, precision=precision,
+            postings_cache_mb=postings_cache_mb,
+            default_field=self.default_field)
+
     def search_combined(self, queries: list[tuple[int, str]], k: int = 10,
                         field_weights: dict[str, float] | None = None,
                         precision: str = "float32",

@@ -714,10 +714,11 @@ def eval_bm25f(spark: SparkSession, manifests: dict[str, IndexManifest],
             .drop("rank"))
 
 
-def search_compound_local(index: IndexManifest | str, queries,
+def search_compound_local(index, queries,
                           k: int = 10, precision: str = "float32",
                           postings_cache_mb: int = 256,
-                          pids: list[int] | None = None) -> pd.DataFrame:
+                          pids: list[int] | None = None,
+                          default_field: str = "") -> pd.DataFrame:
     """Serving-path boolean/dismax: the SAME compound kernel with NO
     Spark job — resident postings rows (``term IN`` pyarrow pushdown,
     shared with :func:`~pim_lucene_spark.operators.search.search_local`),
@@ -725,62 +726,98 @@ def search_compound_local(index: IndexManifest | str, queries,
     Returns a pandas frame (qid, doc_id, score); row-identical to
     :func:`search_compound` (differential-tested).
 
-    Fuzzy clauses need the Spark expansion path and raise here; every
-    other kernel-able clause (term/phrase/nested) serves.  ``pids``
-    restricts residency to a shard subset (the sharded server's
-    placement; per-pid top-k merge is exact because composition is
-    per-doc and docs partition disjointly).
+    ``index`` is one manifest/path, or a ``{field: manifest}`` dict
+    (``MultiFieldIndex.manifests`` — clauses may be ``FieldedQuery``;
+    every field must share ``num_partitions``, the co-location that
+    makes per-pid composition exact).  Fuzzy clauses need the Spark
+    expansion path and raise here; every other kernel-able clause
+    (term/phrase/nested/fielded) serves.  ``pids`` restricts residency
+    to a shard subset (the sharded server's placement; per-pid top-k
+    merge is exact because composition is per-doc and docs partition
+    disjointly).
     """
-    from pim_lucene_spark.operators.search import _local_rows, plan_queries
+    from pim_lucene_spark.operators.search import (_local_live,
+                                                   _local_norms,
+                                                   _local_rows,
+                                                   plan_queries)
     from pim_lucene_spark.plans.boolean import BooleanQuery
 
-    manifest = IndexManifest.load(index) if isinstance(index, str) else index
-    b = _SpecBuilder(None, {"": manifest}, "")
+    if isinstance(index, dict):
+        manifests = {f: (IndexManifest.load(m) if isinstance(m, str)
+                         else m) for f, m in index.items()}
+        if default_field not in manifests:
+            default_field = next(iter(manifests))
+    else:
+        manifests = {"": (IndexManifest.load(index)
+                          if isinstance(index, str) else index)}
+        default_field = ""
+    if len({m.num_partitions for m in manifests.values()}) != 1:
+        raise ValueError("fields disagree on num_partitions; the "
+                         "compound kernel needs one shared pid space")
+    b = _SpecBuilder(None, manifests, default_field)
     specs = []
     for qid, q in queries:
         if isinstance(q, BooleanQuery):
-            specs.append(b.bool_spec(qid, q, ""))
+            specs.append(b.bool_spec(qid, q, default_field))
         else:
-            specs.append(b.dismax_spec(qid, q, ""))
-    planned, needed = plan_queries(None, manifest, b.leaves[""], k,
-                                   precision)
+            specs.append(b.dismax_spec(qid, q, default_field))
     empty = pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
         {"qid": np.int64, "doc_id": np.int64, "score": np.float64})
-    if not planned:
+
+    clause_plan: dict[int, tuple] = {}
+    fields_payload: dict[str, dict] = {}
+    ckeys: dict[str, tuple] = {}
+    needed_by_field: dict[str, list] = {}
+    P = None
+    for f, m in manifests.items():
+        lv = b.leaves.get(f) or []
+        if not lv:
+            continue
+        planned, needed = plan_queries(None, m, lv, k, precision)
+        P = m.num_partitions
+        for sid, ts, w in planned:
+            clause_plan[sid] = (f, tuple(ts), float(w))
+        if not needed:
+            continue
+        avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
+                                      precision)
+        ckeys[f] = (m.build_id or m.index_dir, m.doc_count,
+                    m.sum_total_term_freq)
+        needed_by_field[f] = list(needed)
+        fields_payload[f] = {
+            "cache": bm25.score_cache(avgdl, m.k1, m.b, precision),
+            "cache_key": ckeys[f],
+            "norms_path": m.norms_path,
+            "deletes_path": (m.deletes_path if m.delete_gen else None),
+            "num_segments": m.num_segments,
+            "nb_doc_per_segment": m.nb_doc_per_segment,
+        }
+    if not clause_plan or not fields_payload:
         return empty
-    avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
-                                  manifest.doc_count, precision)
-    ckey = (manifest.build_id or manifest.index_dir, manifest.doc_count,
-            manifest.sum_total_term_freq)
     payload = {
         "specs": specs,
-        "clauses": {sid: ("", tuple(ts), float(w))
-                    for sid, ts, w in planned},
-        "fields": {"": {
-            "cache": bm25.score_cache(avgdl, manifest.k1, manifest.b,
-                                      precision),
-            "cache_key": ckey,
-            "norms_path": manifest.norms_path,
-            "deletes_path": (manifest.deletes_path if manifest.delete_gen
-                             else None),
-            "num_segments": manifest.num_segments,
-            "nb_doc_per_segment": manifest.nb_doc_per_segment,
-        }},
+        "clauses": clause_plan,
+        "fields": fields_payload,
         "k": int(k),
         "precision": precision,
-        "num_partitions": manifest.num_partitions,
+        "num_partitions": int(P),
         "postings_cache_mb": int(postings_cache_mb),
     }
-    from pim_lucene_spark.operators.search import (_local_live,
-                                                   _local_norms)
-    by_pid = _local_rows(manifest, ckey, list(needed), pids=pids)
+    # resident rows per field, regrouped per pid
+    per_pid: dict[int, dict[str, dict]] = {}
+    for f, needed in needed_by_field.items():
+        by_pid = _local_rows(manifests[f], ckeys[f], needed, pids=pids)
+        for pid, bt in by_pid.items():
+            per_pid.setdefault(int(pid), {})[f] = bt
     outs = []
-    for pid in sorted(by_pid):
-        nb = _local_norms(manifest, ckey, int(pid))
-        resident = {"": (nb, _local_live(manifest, ckey, int(pid),
-                                         nb.size))}
-        outs.append(_compound_core(payload, int(pid),
-                                   {"": by_pid[pid]}, resident=resident))
+    for pid in sorted(per_pid):
+        resident = {}
+        for f in per_pid[pid]:
+            nb = _local_norms(manifests[f], ckeys[f], pid)
+            resident[f] = (nb, _local_live(manifests[f], ckeys[f], pid,
+                                           nb.size))
+        outs.append(_compound_core(payload, pid, per_pid[pid],
+                                   resident=resident))
     if not outs:
         return empty
     res = pd.concat(outs, ignore_index=True)

@@ -398,3 +398,29 @@ def test_explain_empty_analysis_clause_is_nonmatch(spark, cidx):
     assert ex["matches"]
     assert any(c["occur"] == "should" and not c["matches"]
                for c in ex["clauses"])
+
+
+def test_fielded_compound_local_matches_distributed(spark, mfidx):
+    """Multi-field serving path (no Spark job): fielded query strings
+    through the resident compound kernel == the distributed fielded
+    plans, including a FieldedQuery in a typed batch."""
+    from pim_lucene_spark.plans.compound import search_compound_local
+
+    strings = [(0, "+title:red body:apple"),
+               (1, "title:green OR body:grass"),
+               (2, "+apple -title:blue")]
+    a = (mfidx.parse_and_query_local(strings, k=10)
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    b = (mfidx.parse_and_query(strings, k=10).toPandas()
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+
+    batch = [(5, BooleanQuery(must=[FieldedQuery("title", "red")],
+                              should=[FieldedQuery("body", "apple")]))]
+    c = (search_compound_local(mfidx.manifests, batch, k=10,
+                               default_field="body")
+         .sort_values("doc_id").reset_index(drop=True))
+    d = (search_boolean_fields(spark, mfidx.manifests, "body", batch,
+                               k=10).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(c.astype(d.dtypes.to_dict()), d)
