@@ -326,6 +326,17 @@ def _compound_core(payload: dict, pid: int,
             res = (res[0][keep], res[1][keep])
         return res
 
+    if payload.get("count_only"):
+        # IndexSearcher.count semantics: only per-(query, partition)
+        # match COUNTS leave the kernel — one long per query per pid
+        return pd.DataFrame({
+            "qid": np.asarray([s["qid"] for s in payload["specs"]],
+                              dtype=np.int64),
+            "n": np.asarray(
+                [_eval_spec(s, eval_leaf, precision)[0].size
+                 for s in payload["specs"]], dtype=np.int64),
+        })
+
     out_qid, out_doc, out_score = [], [], []
     for spec in payload["specs"]:
         docs, scores = _eval_spec(spec, eval_leaf, precision)
@@ -358,6 +369,81 @@ def _compound_kernel(payload: dict):
                 per_field[f] = _assemble_by_term(grp)
         return _compound_core(payload, pid, per_field)
     return fn
+
+
+COUNT_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("n", T.LongType(), False),
+])
+
+
+def count_compound(spark: SparkSession,
+                   manifests: dict[str, IndexManifest],
+                   default_field: str, queries) -> dict[int, int]:
+    """``IndexSearcher.count`` for boolean/dismax queries: the compound
+    kernel in count-only mode — per-partition match COUNTS are the only
+    rows that leave (one long per query per pid), summed driver-side.
+    Queries whose clauses all analyze to absent terms count 0."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+
+    b = _SpecBuilder(spark, manifests, default_field)
+    specs = []
+    for qid, q in queries:
+        if isinstance(q, BooleanQuery):
+            specs.append(b.bool_spec(qid, q, default_field))
+        else:
+            specs.append(b.dismax_spec(qid, q, default_field))
+    counts = {int(qid): 0 for qid, _ in queries}
+    clause_plan: dict[int, tuple] = {}
+    fields_payload, scans = {}, []
+    num_partitions = None
+    for f, m in manifests.items():
+        lv = b.leaves.get(f) or []
+        if not lv:
+            continue
+        planned, needed = plan_queries(spark, m, lv, 1, "float32")
+        num_partitions = m.num_partitions
+        for sid, ts, w in planned:
+            clause_plan[sid] = (f, tuple(ts), float(w))
+        if not needed:
+            continue
+        avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
+                                      "float32")
+        fields_payload[f] = {
+            "cache": bm25.score_cache(avgdl, m.k1, m.b, "float32"),
+            "cache_key": (m.build_id or m.index_dir, m.doc_count,
+                          m.sum_total_term_freq),
+            "norms_path": m.norms_path,
+            "deletes_path": (m.deletes_path if m.delete_gen else None),
+            "num_segments": m.num_segments,
+            "nb_doc_per_segment": m.nb_doc_per_segment,
+        }
+        scans.append(
+            spark.read.parquet(*[m.chunk_path(c)
+                                 for c in range(m.build_chunks)])
+            .filter(F.col("term").isin(list(needed)))
+            .withColumn("fld", F.lit(f)))
+    if not scans or not clause_plan:
+        return counts
+    payload = {
+        "specs": specs,
+        "clauses": clause_plan,
+        "fields": fields_payload,
+        "k": None,
+        "precision": "float32",
+        "num_partitions": int(num_partitions),
+        "postings_cache_mb": 0,
+        "count_only": True,
+    }
+    postings = scans[0]
+    for s in scans[1:]:
+        postings = postings.unionByName(s)
+    agg = (postings.groupBy("pid")
+           .applyInPandas(_compound_kernel(payload), COUNT_SCHEMA)
+           .groupBy("qid").agg(F.sum("n").alias("n")).collect())
+    for r in agg:
+        counts[int(r["qid"])] = int(r["n"])
+    return counts
 
 
 # ---------------------------------------------------------------------------

@@ -78,15 +78,19 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
     zero hits still appear (count 0).
     """
     from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.dismax import DisMaxQuery
     from pim_lucene_spark.plans.multiterm import (MultiTermQueryT,
                                                   search_multiterm)
     from pim_lucene_spark.plans.query import to_tuple
     from pim_lucene_spark.plans.router import search_with_fallback
 
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
-    plain, multi, sloppy, slops = [], [], [], {}
+    plain, multi, sloppy, slops, compound = [], [], [], {}, []
     for qid, q in queries:
-        if isinstance(q, MultiTermQueryT):
+        if isinstance(q, (BooleanQuery, DisMaxQuery)):
+            compound.append((qid, q))
+        elif isinstance(q, MultiTermQueryT):
             multi.append((qid, q))
         elif int(getattr(q, "slop", 0)) != 0:
             # sloppy phrases count via the scan path — the exact-match
@@ -111,6 +115,14 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
                                    k=10 ** 9, slop=slops)
         parts.append(res.groupBy("qid")
                      .agg(F.count("*").alias("n_hits")))
+    if compound:
+        # boolean/dismax count via the count-only compound kernel: only
+        # per-(query, pid) counts leave the partitions
+        from pim_lucene_spark.plans.compound import count_compound
+        counts = count_compound(spark, {"": manifest}, "", compound)
+        parts.append(spark.createDataFrame(
+            [(int(q), int(n)) for q, n in counts.items()],
+            "qid long, n_hits long"))
     all_qids = spark.createDataFrame([(int(q),) for q, _ in queries],
                                      "qid long")
     out = parts[0] if parts else None

@@ -76,3 +76,42 @@ def test_suggest_local_matches_spark(spark, sidx):
              .reset_index(drop=True))
         b = suggest_terms_local(sidx, prefix, k=5, by=by)
         pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_count_matches_boolean_and_dismax(spark, tmp_path):
+    """IndexSearcher.count over compound queries: the count-only kernel
+    equals len(full search result), only counts cross the exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from pim_lucene_spark.config import IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    from pim_lucene_spark.plans.dismax import DisMaxQuery, search_dismax
+
+    rng = np.random.default_rng(17)
+    vocab = ["red", "green", "blue", "apple", "sky", "pie"]
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "content": [" ".join(rng.choice(vocab, size=rng.integers(3, 10)))
+                    for _ in range(60)],
+    })
+    m = build_index(spark, spark.createDataFrame(docs),
+                    str(tmp_path / "cntidx"),
+                    IndexConfig(3, 2, build_chunks=1),
+                    content_col="content", id_col="doc_id")
+    batch = [
+        (0, BooleanQuery(must=["red"], should=["apple"])),
+        (1, BooleanQuery(should=["green", "sky"], min_should_match=2)),
+        (2, DisMaxQuery(clauses=["pie", "blue"], tie=0.5)),
+        (3, BooleanQuery(must=["red", "zzz_absent"])),
+    ]
+    got = dict(count_matches(spark, m, batch)
+               .toPandas()[["qid", "n_hits"]].itertuples(index=False))
+    assert got[0] == search_boolean(spark, m, [batch[0]],
+                                    k=10 ** 6).count()
+    assert got[1] == search_boolean(spark, m, [batch[1]],
+                                    k=10 ** 6).count()
+    assert got[2] == search_dismax(spark, m, [batch[2]],
+                                   k=10 ** 6).count()
+    assert got[3] == 0
