@@ -278,3 +278,50 @@ def test_update_docs_rejects_missing_uid_column(spark, tmp_path):
     with pytest.raises(ValueError, match="no 'uid' column"):
         update_docs(spark, root, new, cfg, content_col="content",
                     uid_col="uid")
+
+
+def test_random_deletes_compound_kernel_join_and_serving_agree(
+        spark, tmp_index_dir):
+    """Random delete sets × boolean/dismax batches: kernel plan, join
+    plan and the serving path must all agree bit-for-bit, and equal the
+    pre-delete result minus the deleted ids (stats-preserving)."""
+    from pim_lucene_spark.operators.search import clear_local_cache
+    from pim_lucene_spark.index import FullTextIndex
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    from pim_lucene_spark.plans.compound import search_compound_local
+    from pim_lucene_spark.plans.dismax import DisMaxQuery, search_dismax
+
+    cfg = IndexConfig(num_partitions=4, num_segments=3, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(_corpus(120, seed=8)),
+                    tmp_index_dir, cfg,
+                    content_col="content", id_col="doc_id")
+    rng = np.random.default_rng(3)
+    batch = [
+        (0, BooleanQuery(must=["red"], should=["apple", "sky sunset"])),
+        (1, BooleanQuery(should=["green", "grass", "pie"],
+                         min_should_match=2)),
+        (2, BooleanQuery(must=["blue"], must_not=["apple"])),
+    ]
+    dbatch = [(3, DisMaxQuery(clauses=["red apple", "sky"], tie=0.4))]
+    pre_b = search_boolean(spark, m, batch, k=10 ** 6).toPandas()
+    pre_d = search_dismax(spark, m, dbatch, k=10 ** 6).toPandas()
+    deleted = sorted(rng.choice(120, size=25, replace=False).tolist())
+    FullTextIndex(spark, m).delete_docs(deleted)
+    clear_local_cache()
+
+    def expect(pre, k=8):
+        return (pre[~pre.doc_id.isin(deleted)]
+                .sort_values(["qid", "score", "doc_id"],
+                             ascending=[True, False, True])
+                .groupby("qid").head(k)
+                .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+
+    for plan in ("kernel", "join"):
+        got = _frame(search_boolean(spark, m, batch, k=8, plan=plan))
+        pd.testing.assert_frame_equal(got, expect(pre_b))
+        gotd = _frame(search_dismax(spark, m, dbatch, k=8, plan=plan))
+        pd.testing.assert_frame_equal(gotd, expect(pre_d))
+    loc = _frame(search_compound_local(m, batch + dbatch, k=8))
+    exp = (pd.concat([expect(pre_b), expect(pre_d)])
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(loc.astype(exp.dtypes.to_dict()), exp)
