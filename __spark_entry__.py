@@ -387,6 +387,27 @@ def _q_dismax(spark, sf_dir):
     return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_compound_count(spark, sf_dir):
+    """IndexSearcher.count over the boolean specs — the count-only
+    compound kernel (only per-partition counts cross the exchange)."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.suggest import count_matches
+    m = _get_index(spark, sf_dir)
+    bqs = [(qid, BooleanQuery(**spec)) for qid, spec in BOOL_SPECS]
+    return count_matches(spark, m, bqs)
+
+
+def _compound_count_sql() -> str:
+    inner = oracle.boolean_bm25_sql(BOOL_SPECS, k=None)
+    qids = ", ".join(f"({qid})" for qid, _ in BOOL_SPECS)
+    return f"""
+    WITH res AS ({inner}),
+    counts AS (SELECT qid, COUNT(*) AS n FROM res GROUP BY qid)
+    SELECT CAST(q.qid AS BIGINT) AS qid,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_hits
+    FROM (VALUES {qids}) q(qid) LEFT JOIN counts ON counts.qid = q.qid"""
+
+
 def _q_boolean(spark, sf_dir):
     """Boolean composition over engine clauses (BooleanWeight semantics:
     MUST intersects+sums, SHOULD adds, FILTER gates scoreless, MUST_NOT
@@ -661,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_local_serving": _q_local_serving,
         "engine_sharded_serving": _q_sharded_serving,
         "engine_boolean_bm25": _q_boolean,
+        "engine_compound_count": _q_compound_count,
         "engine_dismax_topk": _q_dismax,
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
@@ -941,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_sharded_serving": oracle.phrase_bm25_sql(PHRASE_QUERIES,
                                                          k=10),
         "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
+        "engine_compound_count": _compound_count_sql(),
         "engine_dismax_topk": oracle.dismax_bm25_sql(DISMAX_SPECS, k=10),
         "engine_suggest": oracle.suggest_sql("s", k=10),
         "engine_suggest_local": oracle.suggest_sql("s", k=10),
