@@ -643,7 +643,7 @@ def _hybrid_sql() -> str:
                    list_dot_product(qv, v) /
                    (sqrt(list_dot_product(qv, qv)) *
                     sqrt(list_dot_product(v, v))) AS cosine
-            FROM q CROSS JOIN base b WHERE b.vec_id <> q.qid
+            FROM q CROSS JOIN base b WHERE b.vec_id NOT IN ({ids})
             QUALIFY row_number() OVER (PARTITION BY qid
               ORDER BY cosine DESC, vec_id ASC) <= 20)),
     j AS (SELECT coalesce(ft.qid, ann.qid) AS qid,

@@ -627,6 +627,12 @@ class MultiFieldIndex:
         query paths at once); same live-docs semantics as
         :meth:`FullTextIndex.delete_docs`."""
         from pim_lucene_spark.operators.deletes import write_deletes
+        # Materialize once: the contract accepts any iterable (including a
+        # one-shot generator), and every field must see the SAME id set —
+        # a generator exhausted by the first field would silently write
+        # empty delete generations for the rest.
+        if not isinstance(doc_ids, (list, tuple, set, frozenset)):
+            doc_ids = list(doc_ids)
         total = 0
         for name in self.fields:
             self.manifests[name] = write_deletes(

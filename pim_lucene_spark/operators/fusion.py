@@ -59,29 +59,65 @@ def rrf_fuse(frames: list[DataFrame], k: int = 10, k_rrf: int = 60,
 def hybrid_search(spark, index, emb: DataFrame,
                   queries: list[tuple[int, str, int]],
                   k: int = 10, n_candidates: int = 50, k_rrf: int = 60,
-                  precision: str = "float64") -> DataFrame:
+                  precision: str = "float64", ann: str = "auto",
+                  lsh_threshold: int = 100_000, num_planes: int = 12,
+                  num_tables: int = 4, seed: int = 42,
+                  dim: int | None = None) -> DataFrame:
     """Hybrid full-text + dense retrieval over a shared id space
     (``doc_id == vec_id``): BM25 top-``n_candidates`` fused with cosine
     top-``n_candidates`` by RRF.
 
     Each query is ``(qid, text, query_vec_id)`` — an id into ``emb``
-    (raw query vectors: append them to ``emb`` first) — the dense side
-    reuses
-    :func:`~pim_lucene_spark.operators.similarity.cosine_topk_bruteforce`
-    with the embedding of ``query_vec_id`` as the query vector (swap in
-    the LSH-bucketed variant at scale).
+    (raw query vectors: append them to ``emb`` first).  The dense side
+    is selected by ``ann``:
+
+    - ``"bruteforce"`` — exact cosine, one full corpus pass per batch
+      (:func:`~pim_lucene_spark.operators.similarity
+      .cosine_topk_bruteforce`); the verify-quality path.
+    - ``"lsh"`` — multi-table sign-LSH bucketed candidates + exact
+      rerank (:func:`~pim_lucene_spark.operators.similarity
+      .lsh_bucketed_topk`); the scale path — the dense join touches only
+      same-bucket rows, never the corpus × queries product.
+    - ``"auto"`` (default) — LSH when ``emb`` has more than
+      ``lsh_threshold`` rows (one count-star, answered from Parquet
+      metadata), else brute force.  At 100 TB the corpus is always past
+      the threshold, so auto is the scale plan by default.
+
+    Every query pseudo-doc vector (the whole ``query_vec_id`` set, not
+    just each query's own id) is excluded from the dense candidates, so
+    one query's vector can never rank in another query's fused results.
     """
     from pim_lucene_spark.operators.search import search
     from pim_lucene_spark.operators.similarity import (
         cosine_topk_bruteforce,
+        lsh_bucketed_topk,
     )
 
+    if ann not in ("auto", "bruteforce", "lsh"):
+        raise ValueError("ann must be 'auto', 'bruteforce' or 'lsh'")
     ft = (search(spark, index, [(qid, text) for qid, text, _ in queries],
                  k=n_candidates, precision=precision)
           .select("qid", "doc_id", "score"))
     qvec_ids = {int(v) for _, _, v in queries}
-    ann_raw = cosine_topk_bruteforce(emb, sorted(qvec_ids),
-                                     k=n_candidates)
+    if ann == "auto":
+        ann = "lsh" if emb.count() > lsh_threshold else "bruteforce"
+    if ann == "lsh":
+        ann_raw = lsh_bucketed_topk(emb, sorted(qvec_ids),
+                                    k=n_candidates + len(qvec_ids),
+                                    num_planes=num_planes,
+                                    num_tables=num_tables, seed=seed,
+                                    dim=dim)
+    else:
+        ann_raw = cosine_topk_bruteforce(emb, sorted(qvec_ids),
+                                         k=n_candidates + len(qvec_ids))
+    # anti-join the full query-vector id set (pseudo-docs are not
+    # documents); k was over-fetched by |qvec_ids| above so the bound
+    # still yields n_candidates real docs
+    ann_raw = ann_raw.filter(~F.col("vec_id").isin(sorted(qvec_ids)))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                          F.asc("vec_id"))
+    ann_raw = (ann_raw.withColumn("_r", F.row_number().over(w))
+               .filter(F.col("_r") <= n_candidates).drop("_r"))
     # map vector-query ids back onto the caller's qids
     remap = spark.createDataFrame(
         [(int(v), int(qid)) for qid, _, v in queries],

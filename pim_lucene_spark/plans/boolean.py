@@ -356,11 +356,12 @@ def _compose_boolean(spark, res: DataFrame, meta, k: int,
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        win = Window.partitionBy("qid").orderBy(F.desc("score"),
-                                                F.asc("doc_id"))
-        out = (out.withColumn("rank", F.row_number().over(win))
-               .filter(F.col("rank") <= k).drop("rank"))
-        if k * len(meta) <= 200_000:
+        if k is not None:
+            win = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                                    F.asc("doc_id"))
+            out = (out.withColumn("rank", F.row_number().over(win))
+                   .filter(F.col("rank") <= k).drop("rank"))
+        if k is not None and k * len(meta) <= 200_000:
             # ≤ |queries|·k rows: materialize to the driver while res is
             # live and return an in-memory frame — no executor cache is
             # left behind (repeated calls in a long session used to

@@ -199,11 +199,12 @@ def _search_dismax_join(spark: SparkSession, index, queries, k,
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        win = Window.partitionBy("qid").orderBy(F.desc("score"),
-                                                F.asc("doc_id"))
-        out = (out.withColumn("rank", F.row_number().over(win))
-               .filter(F.col("rank") <= k).drop("rank"))
-        if k * len(meta) <= 200_000:
+        if k is not None:
+            win = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                                    F.asc("doc_id"))
+            out = (out.withColumn("rank", F.row_number().over(win))
+                   .filter(F.col("rank") <= k).drop("rank"))
+        if k is not None and k * len(meta) <= 200_000:
             # ≤ |queries|·k rows: driver-materialize while res is live —
             # leaves no persisted partitions behind (see
             # plans/boolean.py::_compose_boolean)

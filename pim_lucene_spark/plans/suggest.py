@@ -116,13 +116,36 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
         parts.append(res.groupBy("qid")
                      .agg(F.count("*").alias("n_hits")))
     if compound:
-        # boolean/dismax count via the count-only compound kernel: only
-        # per-(query, pid) counts leave the partitions
-        from pim_lucene_spark.plans.compound import count_compound
-        counts = count_compound(spark, {"": manifest}, "", compound)
-        parts.append(spark.createDataFrame(
-            [(int(q), int(n)) for q, n in counts.items()],
-            "qid long, n_hits long"))
+        # boolean/dismax count via the count-only compound kernel when
+        # the index + clauses qualify (same guards as search_boolean /
+        # search_dismax); the rest fall back to the join plan + groupBy
+        # count so cogroup-norms / v<3 indexes and sloppy/constant-score
+        # clauses still count instead of raising in executors
+        from pim_lucene_spark.plans.compound import (clause_kernelable,
+                                                     count_compound,
+                                                     kernel_hostable)
+        kq, jq = [], []
+        hostable = kernel_hostable({"": manifest})
+        for qid, q in compound:
+            ok = hostable and (
+                all(clause_kernelable(c) for c in q.clauses)
+                if isinstance(q, DisMaxQuery) else clause_kernelable(q))
+            (kq if ok else jq).append((qid, q))
+        if kq:
+            counts = count_compound(spark, {"": manifest}, "", kq)
+            parts.append(spark.createDataFrame(
+                [(int(q), int(n)) for q, n in counts.items()],
+                "qid long, n_hits long"))
+        if jq:
+            from pim_lucene_spark.plans.boolean import search_boolean
+            from pim_lucene_spark.plans.dismax import search_dismax
+            jb = [(qid, q) for qid, q in jq if isinstance(q, BooleanQuery)]
+            jd = [(qid, q) for qid, q in jq if isinstance(q, DisMaxQuery)]
+            for batch, fn in ((jb, search_boolean), (jd, search_dismax)):
+                if batch:
+                    res = fn(spark, manifest, batch, k=10 ** 9, plan="join")
+                    parts.append(res.groupBy("qid")
+                                 .agg(F.count("*").alias("n_hits")))
     all_qids = spark.createDataFrame([(int(q),) for q, _ in queries],
                                      "qid long")
     out = parts[0] if parts else None
