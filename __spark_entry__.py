@@ -299,6 +299,35 @@ def _parse_bool_specs():
 PARSE_BOOL_SPECS = _parse_bool_specs()
 
 
+def _matchall_bool_specs():
+    """*:*-in-boolean shapes — hosted in the compound kernel as a
+    constant per-doc contribution (never a materialized doc set; the
+    reference's MatchAllDocsQuery scorer is a constant iterator)."""
+    from pim_lucene_spark.plans.query import MatchAllDocsQuery
+    return [
+        (980, {"must": ["merge"],
+               "should": [MatchAllDocsQuery(boost=0.5)]}),
+        (981, {"should": [MatchAllDocsQuery()], "must_not": ["the"]}),
+        (982, {"must": [MatchAllDocsQuery(boost=2.0)],
+               "filter": ["fast"]}),
+        (983, {"must": [MatchAllDocsQuery(boost=1.5)]}),
+    ]
+
+
+MATCHALL_BOOL_SPECS = _matchall_bool_specs()
+
+
+def _q_matchall_boolean(spark, sf_dir):
+    """Boolean queries with MatchAllDocs clauses (pure *:*, should-mixed,
+    negated, filter-gated) through the compound kernel — per-partition
+    top-k emission, no docs-table materialization."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    m = _get_index(spark, sf_dir)
+    bqs = [(qid, BooleanQuery(**spec)) for qid, spec in MATCHALL_BOOL_SPECS]
+    res = search_boolean(spark, m, bqs, k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_parsed(spark, sf_dir):
     """Lucene-classic query strings end-to-end: parse → typed batch →
     engine; one phrase + three boolean compositions."""
@@ -682,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_local_serving": _q_local_serving,
         "engine_sharded_serving": _q_sharded_serving,
         "engine_boolean_bm25": _q_boolean,
+        "engine_matchall_boolean": _q_matchall_boolean,
         "engine_compound_count": _q_compound_count,
         "engine_dismax_topk": _q_dismax,
         "engine_parsed_query": _q_parsed,
@@ -963,6 +993,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_sharded_serving": oracle.phrase_bm25_sql(PHRASE_QUERIES,
                                                          k=10),
         "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
+        "engine_matchall_boolean": oracle.boolean_bm25_sql(
+            MATCHALL_BOOL_SPECS, k=10),
         "engine_compound_count": _compound_count_sql(),
         "engine_dismax_topk": oracle.dismax_bm25_sql(DISMAX_SPECS, k=10),
         "engine_suggest": oracle.suggest_sql("s", k=10),

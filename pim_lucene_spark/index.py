@@ -216,46 +216,31 @@ class FullTextIndex:
                 F.lit(None).cast("double").alias("freq"),
                 F.lit(None).cast("int").alias("norm"), "score"))
         if wrappers:
-            from pyspark.sql import Window
-
-            from pim_lucene_spark.plans.query import MatchAllDocsQuery
-
-            def _const(match_df, boost_rows):
-                bmap = self.spark.createDataFrame(
-                    boost_rows, "qid long, score double")
-                win = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
-                return (match_df
-                        .withColumn("rank", F.row_number().over(win))
-                        .filter(F.col("rank") <= k).drop("rank")
-                        .join(F.broadcast(bmap), "qid")
-                        .select("qid", "doc_id",
-                                F.lit(None).cast("double").alias("freq"),
-                                F.lit(None).cast("int").alias("norm"),
-                                "score"))
-
-            ma = [(int(qid), float(q.boost)) for qid, q in wrappers
-                  if isinstance(q, MatchAllDocsQuery)]
-            cs = [(qid, q) for qid, q in wrappers
-                  if not isinstance(q, MatchAllDocsQuery)]
-            if ma:
-                # one docs scan serves every *:* query — the k smallest
-                # ids are the same for all of them
-                ids = (self.docs().select("doc_id")
-                       .orderBy(F.asc("doc_id")).limit(k))
-                qids = self.spark.createDataFrame(
-                    [(q,) for q, _ in ma], "qid long")
-                parts.append(_const(
-                    ids.crossJoin(F.broadcast(qids)).select("qid", "doc_id"),
-                    ma))
-            if cs:
-                # ConstantScoreQuery: ONE batched evaluation of every
-                # wrapped query's match set, then per-qid k smallest ids
-                # at score == boost
-                inner = self.query([(qid, q.query) for qid, q in cs],
-                                   k=10 ** 9, precision=precision)
-                parts.append(_const(
-                    inner.select("qid", "doc_id").distinct(),
-                    [(int(qid), float(q.boost)) for qid, q in cs]))
+            # MatchAllDocsQuery(boost) ≡ BooleanQuery(must=[*:*(boost)]);
+            # ConstantScoreQuery(q, boost) ≡ BooleanQuery(
+            #   must=[MatchAllDocs(boost)], filter=[q]) — the filter
+            # gates scorelessly and the matchall contributes the
+            # constant.  Both therefore ride the compound kernel
+            # (per-partition k smallest live matching ids, P·k
+            # exchange) instead of shipping a docs-table crossJoin or
+            # the inner match set at k=10**9; non-kernelable inners
+            # fall to the (bounded) join-chain matchall frame.
+            # precision float64 keeps score == boost bit-exact
+            # (constant scores never touch BM25 floats).
+            wrapped = []
+            for qid, q in wrappers:
+                if isinstance(q, MatchAllDocsQuery):
+                    wrapped.append((qid, BooleanQuery(must=[q])))
+                else:
+                    wrapped.append((qid, BooleanQuery(
+                        must=[MatchAllDocsQuery(boost=float(q.boost))],
+                        filter=[q.query])))
+            b = search_boolean(self.spark, self.manifest, wrapped,
+                               k=k, precision="float64")
+            parts.append(b.select(
+                "qid", "doc_id",
+                F.lit(None).cast("double").alias("freq"),
+                F.lit(None).cast("int").alias("norm"), "score"))
         if exact:
             parts.append(search(self.spark, self.manifest, exact, k=k,
                                 precision=precision))

@@ -161,8 +161,9 @@ def _classify_clauses(queries, resolve_field):
 def _clause_frames(spark, index, slot: dict,
                    precision: str) -> list[DataFrame]:
     """Evaluate one index's clause slot → frames of (sid, doc_id, score),
-    one batched job per evaluation family."""
-    from pim_lucene_spark.manifest import IndexManifest
+    one batched job per evaluation family.  MatchAllDocs clauses are NOT
+    evaluated here — callers build their (bounded) frame last via
+    :func:`_matchall_frame`, which needs the other frames' doc set."""
     from pim_lucene_spark.operators.search import search
     from pim_lucene_spark.plans.multiterm import search_multiterm
     from pim_lucene_spark.plans.router import search_with_fallback
@@ -186,15 +187,42 @@ def _clause_frames(spark, index, slot: dict,
                                  k=10 ** 9, slop=slot["slops"],
                                  precision=precision)
             .select(F.col("qid").alias("sid"), "doc_id", "score"))
-    if slot["matchall"]:
-        manifest = (IndexManifest.load(index) if isinstance(index, str)
-                    else index)
-        ids = spark.read.parquet(manifest.docs_path).select("doc_id")
-        ma = spark.createDataFrame(slot["matchall"],
-                                   "sid long, score double")
-        frames.append(ids.crossJoin(F.broadcast(ma))
-                      .select("sid", "doc_id", "score"))
     return frames
+
+
+def _matchall_frame(spark, index, ma_rows, others: DataFrame | None,
+                    k) -> DataFrame:
+    """Bounded MatchAllDocs clause frame for the join-chain plan.
+
+    The frame only needs (a) every doc matching some OTHER clause in the
+    batch (so the join composition sees the matchall contribution on
+    them) and (b) the ``k`` smallest live doc ids outside that set — all
+    remaining matchall-only docs tie on score and lose the doc-asc
+    tiebreak, so per query the k smallest of ``ids ∖ other_docs(Q)`` are
+    a subset of ``other_docs(batch) ∪ ksmallest(ids ∖ other_docs(batch))``
+    (fewer smaller elements in a subset).  Falls back to the full id
+    scan only for huge/None ``k`` (nested clause evaluation) — the one
+    remaining documented unbounded case.  Deleted docs never match
+    (Lucene live-docs semantics)."""
+    from pim_lucene_spark.manifest import IndexManifest
+
+    manifest = (IndexManifest.load(index) if isinstance(index, str)
+                else index)
+    ids = spark.read.parquet(manifest.docs_path).select("doc_id")
+    if manifest.delete_gen:
+        from pim_lucene_spark.operators.deletes import deleted_ids
+        ids = ids.join(deleted_ids(spark, manifest), "doc_id", "left_anti")
+    if k is not None and k <= 1_000_000:
+        if others is not None:
+            other_docs = others.select("doc_id").distinct()
+            extra = (ids.join(other_docs, "doc_id", "left_anti")
+                     .orderBy(F.asc("doc_id")).limit(int(k)))
+            ids = other_docs.unionByName(extra)
+        else:
+            ids = ids.orderBy(F.asc("doc_id")).limit(int(k))
+    ma = spark.createDataFrame(ma_rows, "sid long, score double")
+    return (ids.crossJoin(F.broadcast(ma))
+            .select("sid", "doc_id", "score"))
 
 
 def search_boolean(spark: SparkSession, index, queries, k: int = 10,
@@ -273,12 +301,29 @@ def _search_boolean_join(spark: SparkSession, index, queries, k,
             _search_boolean_join(spark, index, slot["nested"], 10 ** 9,
                                  precision)
             .select(F.col("qid").alias("sid"), "doc_id", "score"))
-    if not parts_res:
-        return empty
-    res = parts_res[0]
-    for p in parts_res[1:]:
-        res = res.unionByName(p)
-    return _compose_boolean(spark, res, meta, k, precision, empty)
+    if not slot["matchall"]:
+        if not parts_res:
+            return empty
+        res = parts_res[0]
+        for p in parts_res[1:]:
+            res = res.unionByName(p)
+        return _compose_boolean(spark, res, meta, k, precision, empty)
+    # matchall frame references the other frames' doc set — persist that
+    # union once so the clause jobs don't evaluate twice (once inside the
+    # matchall lineage, once in the composed frame)
+    others = None
+    if parts_res:
+        others = parts_res[0]
+        for p in parts_res[1:]:
+            others = others.unionByName(p)
+        others = others.persist()
+    try:
+        ma = _matchall_frame(spark, index, slot["matchall"], others, k)
+        res = others.unionByName(ma) if others is not None else ma
+        return _compose_boolean(spark, res, meta, k, precision, empty)
+    finally:
+        if others is not None:
+            others.unpersist(blocking=False)
 
 
 def _compose_boolean(spark, res: DataFrame, meta, k: int,
@@ -443,7 +488,7 @@ def _search_boolean_fields_join(spark: SparkSession, manifests: dict,
 
     per_field, meta = _classify_clauses(queries, resolve)
     empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
-    parts_res = []
+    parts_res, ma_slots = [], []
     for fname, slot in per_field.items():
         parts_res.extend(
             _clause_frames(spark, manifests[fname], slot, precision))
@@ -456,9 +501,27 @@ def _search_boolean_fields_join(spark: SparkSession, manifests: dict,
                                             slot["nested"], 10 ** 9,
                                             precision)
                 .select(F.col("qid").alias("sid"), "doc_id", "score"))
-    if not parts_res:
-        return empty
-    res = parts_res[0]
-    for p in parts_res[1:]:
-        res = res.unionByName(p)
-    return _compose_boolean(spark, res, meta, k, precision, empty)
+        if slot["matchall"]:
+            ma_slots.append((fname, slot["matchall"]))
+    if not ma_slots:
+        if not parts_res:
+            return empty
+        res = parts_res[0]
+        for p in parts_res[1:]:
+            res = res.unionByName(p)
+        return _compose_boolean(spark, res, meta, k, precision, empty)
+    others = None
+    if parts_res:
+        others = parts_res[0]
+        for p in parts_res[1:]:
+            others = others.unionByName(p)
+        others = others.persist()
+    try:
+        res = others
+        for fname, rows in ma_slots:  # doc ids are shared across fields
+            ma = _matchall_frame(spark, manifests[fname], rows, others, k)
+            res = ma if res is None else res.unionByName(ma)
+        return _compose_boolean(spark, res, meta, k, precision, empty)
+    finally:
+        if others is not None:
+            others.unpersist(blocking=False)

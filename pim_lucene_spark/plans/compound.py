@@ -27,10 +27,13 @@ Reference semantics held bit-exactly:
   float-cast at the group boundary exactly like a sub-scorer returning
   float.
 
-Clauses the kernel cannot host (sloppy phrases — scan path over raw
-docs; constant-score multiterm — unbounded distributed expansion;
-MatchAllDocs — needs postings-less partitions) stay on the join-chain
-path; ``search_boolean`` routes per query, so a batch mixes both plans.
+MatchAllDocs clauses host in-kernel as a constant per-doc contribution
+(never a materialized set; a null seed row per pid keeps postings-less
+partitions alive — the reference's ``MatchAllDocsQuery`` scorer is a
+constant iterator).  Clauses the kernel cannot host (sloppy phrases —
+scan path over raw docs; constant-score multiterm — unbounded
+distributed expansion) stay on the join-chain path; ``search_boolean``
+routes per query, so a batch mixes both plans.
 
 Multi-field batches (``search_boolean_fields``, BM25F) ride the same
 kernel: every field's sub-index shares ``num_partitions``, so pid N of
@@ -155,8 +158,8 @@ def _lookup(docs: np.ndarray, base: np.ndarray) -> tuple[np.ndarray, np.ndarray]
 
 
 def _eval_spec(spec: dict, eval_leaf, precision: str,
-               cand: np.ndarray | None = None
-               ) -> tuple[np.ndarray, np.ndarray]:
+               cand: np.ndarray | None = None,
+               eval_ma=None) -> tuple[np.ndarray, np.ndarray]:
     """Recursive staged spec evaluation with lookup-mode decode saving.
 
     ``cand`` (ascending rel-doc array) restricts a sub-tree to a known
@@ -176,7 +179,13 @@ def _eval_spec(spec: dict, eval_leaf, precision: str,
     def ev(cl, c):
         if cl["kind"] == "scored":
             return eval_leaf(cl["sid"], c)
-        return _eval_spec(cl["spec"], eval_leaf, precision, c)
+        if cl["kind"] == "matchall":
+            # MatchAllDocsQuery scorer: a constant iterator over every
+            # live doc of the partition — never a materialized set; the
+            # candidate restriction short-circuits to the candidates
+            # themselves (every doc matches *:*)
+            return eval_ma(cl, c)
+        return _eval_spec(cl["spec"], eval_leaf, precision, c, eval_ma)
 
     if spec["op"] == "dismax":
         clauses = [ev(cl, cand) for cl in spec.get("clauses", ())]
@@ -280,9 +289,12 @@ def _compound_core(payload: dict, pid: int,
     ctxs, norms, live = {}, {}, {}
     for f, fmeta in fields.items():
         bt = per_field_by_term.get(f)
-        if bt is None:
+        if bt is None and not payload.get("has_matchall"):
+            # no postings rows for this field here and nothing that
+            # enumerates docs from norms alone — skip the norms read
             continue
-        ctxs[f] = _DecodeCtx(bt, payload, pid, ckey=fmeta["cache_key"])
+        if bt is not None:
+            ctxs[f] = _DecodeCtx(bt, payload, pid, ckey=fmeta["cache_key"])
         if resident is not None and f in resident:
             norms[f], live[f] = resident[f]
             continue
@@ -326,6 +338,23 @@ def _compound_core(payload: dict, pid: int,
             res = (res[0][keep], res[1][keep])
         return res
 
+    def eval_ma(cl: dict, cand: np.ndarray | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
+        # constant contribution to every co-located live doc; with a
+        # candidate set the answer IS the candidates (all docs match)
+        w = float(cl["weight"])
+        if cand is not None:
+            return cand, np.full(cand.size, w, dtype=np.float64)
+        f = cl.get("field")
+        if f not in norms:  # fall back to any resident field's norms
+            f = next(iter(norms), None)
+            if f is None:
+                return _EMPTY_I64, _EMPTY_F64
+        docs = np.arange(norms[f].size, dtype=np.int64)
+        if live.get(f) is not None:
+            docs = docs[live[f]]
+        return docs, np.full(docs.size, w, dtype=np.float64)
+
     if payload.get("count_only"):
         # IndexSearcher.count semantics: only per-(query, partition)
         # match COUNTS leave the kernel — one long per query per pid
@@ -333,13 +362,15 @@ def _compound_core(payload: dict, pid: int,
             "qid": np.asarray([s["qid"] for s in payload["specs"]],
                               dtype=np.int64),
             "n": np.asarray(
-                [_eval_spec(s, eval_leaf, precision)[0].size
+                [_eval_spec(s, eval_leaf, precision,
+                            eval_ma=eval_ma)[0].size
                  for s in payload["specs"]], dtype=np.int64),
         })
 
     out_qid, out_doc, out_score = [], [], []
     for spec in payload["specs"]:
-        docs, scores = _eval_spec(spec, eval_leaf, precision)
+        docs, scores = _eval_spec(spec, eval_leaf, precision,
+                                  eval_ma=eval_ma)
         if docs.size == 0:
             continue
         # per-partition top-k (score desc, doc asc) bounds the shuffle
@@ -399,13 +430,17 @@ def count_compound(spark: SparkSession,
     num_partitions = None
     for f, m in manifests.items():
         lv = b.leaves.get(f) or []
-        if not lv:
+        ma_here = f in b.matchall_fields
+        if not lv and not ma_here:
             continue
-        planned, needed = plan_queries(spark, m, lv, 1, "float32")
+        if lv:
+            planned, needed = plan_queries(spark, m, lv, 1, "float32")
+        else:
+            planned, needed = [], set()
         num_partitions = m.num_partitions
         for sid, ts, w in planned:
             clause_plan[sid] = (f, tuple(ts), float(w))
-        if not needed:
+        if not needed and not ma_here:
             continue
         avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
                                       "float32")
@@ -423,7 +458,7 @@ def count_compound(spark: SparkSession,
                                  for c in range(m.build_chunks)])
             .filter(F.col("term").isin(list(needed)))
             .withColumn("fld", F.lit(f)))
-    if not scans or not clause_plan:
+    if not scans or not (clause_plan or b.matchall_fields):
         return counts
     payload = {
         "specs": specs,
@@ -434,10 +469,14 @@ def count_compound(spark: SparkSession,
         "num_partitions": int(num_partitions),
         "postings_cache_mb": 0,
         "count_only": True,
+        "has_matchall": bool(b.matchall_fields),
     }
     postings = scans[0]
     for s in scans[1:]:
         postings = postings.unionByName(s)
+    if b.matchall_fields:
+        postings = postings.unionByName(
+            _pid_seed(spark, int(num_partitions), postings.schema))
     agg = (postings.groupBy("pid")
            .applyInPandas(_compound_kernel(payload), COUNT_SCHEMA)
            .groupBy("qid").agg(F.sum("n").alias("n")).collect())
@@ -449,6 +488,19 @@ def count_compound(spark: SparkSession,
 # ---------------------------------------------------------------------------
 # driver side
 # ---------------------------------------------------------------------------
+
+def _pid_seed(spark: SparkSession, num_partitions: int,
+              schema) -> DataFrame:
+    """One null posting row per pid: keeps a kernel task alive on every
+    partition when the term scan has no rows there (MatchAllDocs must
+    emit from postings-less partitions).  The kernel's per-field groupby
+    drops the null ``fld`` rows before assembly, so the seed is never
+    decoded."""
+    return spark.range(num_partitions).select(
+        F.col("id").cast("int").alias("pid"),
+        *[F.lit(None).cast(fld.dataType).alias(fld.name)
+          for fld in schema.fields if fld.name != "pid"])
+
 
 def kernel_hostable(manifests: dict[str, IndexManifest]) -> bool:
     """The compound kernel needs direct (POSIX-visible) norms, v3+
@@ -465,14 +517,18 @@ def kernel_hostable(manifests: dict[str, IndexManifest]) -> bool:
 def clause_kernelable(clause, allow_fielded=None) -> bool:
     """True when a clause tree can evaluate inside the compound kernel:
     term/phrase (slop 0) leaves, fuzzy (driver-expanded), nested
-    booleans.  Sloppy phrases (scan path), constant-score multiterm
-    (unbounded expansion) and MatchAllDocs (postings-less partitions)
-    route to the join-chain plan."""
+    booleans, MatchAllDocs (constant per-doc contribution; postings-less
+    partitions run via the pid seed).  Sloppy phrases (scan path) and
+    constant-score multiterm (unbounded expansion) route to the
+    join-chain plan."""
     from pim_lucene_spark.plans.boolean import BooleanQuery
     from pim_lucene_spark.plans.multiterm import FuzzyQuery, MultiTermQueryT
-    from pim_lucene_spark.plans.query import (FieldedQuery, PhraseQuery,
-                                              TermQuery)
+    from pim_lucene_spark.plans.query import (FieldedQuery,
+                                              MatchAllDocsQuery,
+                                              PhraseQuery, TermQuery)
 
+    if isinstance(clause, MatchAllDocsQuery):
+        return True
     if isinstance(clause, FieldedQuery):
         if allow_fielded is None:
             return False
@@ -508,6 +564,7 @@ class _SpecBuilder:
         self.manifests = manifests
         self.default_field = default_field
         self.leaves: dict[str, list] = {f: [] for f in manifests}
+        self.matchall_fields: set[str] = set()
         self._next_sid = 0
 
     def _leaf(self, field: str, text: str, boost: float) -> dict:
@@ -522,10 +579,20 @@ class _SpecBuilder:
         from pim_lucene_spark.plans.boolean import (BooleanQuery,
                                                     _clause_text_boost)
         from pim_lucene_spark.plans.multiterm import FuzzyQuery, expand_terms
-        from pim_lucene_spark.plans.query import FieldedQuery
+        from pim_lucene_spark.plans.query import (FieldedQuery,
+                                                  MatchAllDocsQuery)
 
         if isinstance(clause, FieldedQuery):
             return self._clause(clause.field, clause.query, eff_boost)
+        if isinstance(clause, MatchAllDocsQuery):
+            # hosted in-kernel as a constant per-doc contribution — the
+            # reference scorer is a constant iterator over every live
+            # doc, never a materialized set (the former join-path
+            # crossJoin shipped the whole docs table per query)
+            self.matchall_fields.add(field)
+            return {"kind": "matchall",
+                    "weight": float(clause.boost) * eff_boost,
+                    "field": field}
         if isinstance(clause, BooleanQuery):
             return {"kind": "nested",
                     "spec": self.bool_spec(None, clause, field, eff_boost)}
@@ -581,13 +648,18 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
                   specs: list[dict], leaves: dict[str, list], k: int,
                   precision: str,
                   postings_cache_mb: int = 0,
-                  return_partial: bool = False) -> DataFrame:
+                  return_partial: bool = False,
+                  matchall_fields: set | None = None) -> DataFrame:
     """Run prepared compound specs through the per-partition kernel.
 
     One union scan (per-field ``term IN`` pushdown + field tag) →
     ``groupBy(pid)`` kernel → global top-k window over ≤ P·k rows/query.
     ``return_partial`` returns the pre-window per-partition frame — the
     exact row set this plan shuffles — for plan-shape tests/benchmarks.
+    ``matchall_fields`` (from ``_SpecBuilder``) names fields whose norms
+    a MatchAllDocs clause enumerates; their payload entries load even
+    with no needed terms, and one null seed row per pid keeps every
+    partition's kernel task alive where the scan alone has no rows.
     """
     empty = spark.createDataFrame([], COMPOUND_SCHEMA)
     clause_plan: dict[int, tuple] = {}
@@ -596,13 +668,17 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
     num_partitions = None
     for f, m in manifests.items():
         lv = leaves.get(f) or []
-        if not lv:
+        ma_here = bool(matchall_fields) and f in matchall_fields
+        if not lv and not ma_here:
             continue
-        planned, needed = plan_queries(spark, m, lv, k, precision)
+        if lv:
+            planned, needed = plan_queries(spark, m, lv, k, precision)
+        else:
+            planned, needed = [], set()
         num_partitions = m.num_partitions
         for sid, terms, w in planned:
             clause_plan[sid] = (f, tuple(terms), float(w))
-        if not needed:
+        if not needed and not ma_here:
             continue
         avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
                                       precision)
@@ -630,10 +706,14 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
         "precision": precision,
         "num_partitions": int(num_partitions),
         "postings_cache_mb": int(postings_cache_mb),
+        "has_matchall": bool(matchall_fields),
     }
     postings = scans[0]
     for s in scans[1:]:
         postings = postings.unionByName(s)
+    if matchall_fields:
+        postings = postings.unionByName(
+            _pid_seed(spark, int(num_partitions), postings.schema))
     per_part = (postings.groupBy("pid")
                 .applyInPandas(_compound_kernel(payload), COMPOUND_SCHEMA))
     if return_partial:
@@ -854,16 +934,19 @@ def search_compound_local(index, queries,
     fields_payload: dict[str, dict] = {}
     ckeys: dict[str, tuple] = {}
     needed_by_field: dict[str, list] = {}
-    P = None
+    P = next(iter(manifests.values())).num_partitions
     for f, m in manifests.items():
         lv = b.leaves.get(f) or []
-        if not lv:
+        ma_here = f in b.matchall_fields
+        if not lv and not ma_here:
             continue
-        planned, needed = plan_queries(None, m, lv, k, precision)
-        P = m.num_partitions
+        if lv:
+            planned, needed = plan_queries(None, m, lv, k, precision)
+        else:
+            planned, needed = [], set()
         for sid, ts, w in planned:
             clause_plan[sid] = (f, tuple(ts), float(w))
-        if not needed:
+        if not needed and not ma_here:
             continue
         avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
                                       precision)
@@ -878,7 +961,7 @@ def search_compound_local(index, queries,
             "num_segments": m.num_segments,
             "nb_doc_per_segment": m.nb_doc_per_segment,
         }
-    if not clause_plan or not fields_payload:
+    if not (clause_plan or b.matchall_fields) or not fields_payload:
         return empty
     payload = {
         "specs": specs,
@@ -888,17 +971,25 @@ def search_compound_local(index, queries,
         "precision": precision,
         "num_partitions": int(P),
         "postings_cache_mb": int(postings_cache_mb),
+        "has_matchall": bool(b.matchall_fields),
     }
     # resident rows per field, regrouped per pid
     per_pid: dict[int, dict[str, dict]] = {}
     for f, needed in needed_by_field.items():
+        if not needed:
+            continue
         by_pid = _local_rows(manifests[f], ckeys[f], needed, pids=pids)
         for pid, bt in by_pid.items():
             per_pid.setdefault(int(pid), {})[f] = bt
+    if b.matchall_fields:
+        # matchall must evaluate every resident pid, postings or not
+        for pid in (pids if pids is not None else range(P)):
+            per_pid.setdefault(int(pid), {})
     outs = []
     for pid in sorted(per_pid):
         resident = {}
-        for f in per_pid[pid]:
+        for f in fields_payload:  # every payload field's norms resident,
+            # postings rows or not (matchall enumerates from norms)
             nb = _local_norms(manifests[f], ckeys[f], pid)
             resident[f] = (nb, _local_live(manifests[f], ckeys[f], pid,
                                            nb.size))
@@ -933,4 +1024,5 @@ def search_compound(spark: SparkSession,
         else:
             specs.append(b.dismax_spec(qid, q, default_field))
     return eval_compound(spark, manifests, specs, b.leaves, k, precision,
-                         postings_cache_mb=postings_cache_mb)
+                         postings_cache_mb=postings_cache_mb,
+                         matchall_fields=b.matchall_fields)
