@@ -441,8 +441,9 @@ class MultiFieldIndex:
         but evaluated by the resident compound kernel over every field's
         sub-index (shared pid space).  Returns a pandas frame
         (qid, doc_id, score); row-identical to the distributed fielded
-        plans (differential-tested).  Sloppy/fuzzy/multiterm clauses
-        need the distributed paths and raise."""
+        plans (differential-tested).  Fuzzy clauses expand against the
+        resident term dictionary; sloppy/constant-score-multiterm
+        clauses need the distributed paths and raise."""
         from pim_lucene_spark.plans.boolean import BooleanQuery
         from pim_lucene_spark.plans.compound import search_compound_local
         from pim_lucene_spark.plans.parser import parse_query

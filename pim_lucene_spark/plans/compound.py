@@ -599,17 +599,21 @@ class _SpecBuilder:
         if isinstance(clause, FuzzyQuery):
             # Lucene's in-boolean fuzzy rewrite: scoring boolean over the
             # top expanded terms — a nested pure-SHOULD sum, float-cast
-            # at the group boundary like the old clause frame
+            # at the group boundary like the old clause frame.  The
+            # serving path (spark=None) expands against the resident
+            # term dictionary (pyarrow pushdown, no Spark job) with
+            # identical (term, boost) output — differential-tested.
             if self.spark is None:
-                raise NotImplementedError(
-                    "fuzzy clauses need the Spark expansion path; the "
-                    "serving-path compound search hosts term/phrase/"
-                    "nested clauses only")
+                from pim_lucene_spark.plans.multiterm import \
+                    expand_fuzzy_local
+                expansion = expand_fuzzy_local(self.manifests[field],
+                                               clause)
+            else:
+                expansion = expand_terms(self.spark,
+                                         self.manifests[field], clause)
             qboost = float(clause.boost) * eff_boost
             inner = [self._leaf(field, t, tb * qboost)
-                     for t, tb in expand_terms(self.spark,
-                                               self.manifests[field],
-                                               clause)]
+                     for t, tb in expansion]
             return {"kind": "nested",
                     "spec": {"qid": -1, "op": "bool", "must": (),
                              "filter": (), "should": tuple(inner),
@@ -895,9 +899,10 @@ def search_compound_local(index, queries,
     ``index`` is one manifest/path, or a ``{field: manifest}`` dict
     (``MultiFieldIndex.manifests`` — clauses may be ``FieldedQuery``;
     every field must share ``num_partitions``, the co-location that
-    makes per-pid composition exact).  Fuzzy clauses need the Spark
-    expansion path and raise here; every other kernel-able clause
-    (term/phrase/nested/fielded) serves.  ``pids`` restricts residency
+    makes per-pid composition exact).  Fuzzy clauses expand against the
+    resident term dictionary (``expand_fuzzy_local`` — pyarrow pushdown,
+    no Spark job); every kernel-able clause
+    (term/phrase/fuzzy/matchall/nested/fielded) serves.  ``pids`` restricts residency
     to a shard subset (the sharded server's placement; per-pid top-k
     merge is exact because composition is per-doc and docs partition
     disjointly).

@@ -182,6 +182,106 @@ def _term_dict(spark: SparkSession, manifest: IndexManifest) -> DataFrame:
     return spark.read.parquet(manifest.stats_path).select("term")
 
 
+def _vec_edit_distances(cands: list[str], query: str,
+                        transpositions: bool) -> np.ndarray:
+    """Exact Levenshtein (or OSA when ``transpositions``) distances from
+    ``query`` to every candidate, vectorized across candidates: terms
+    group by length, each group encodes to a codepoint matrix in one
+    ``utf-32`` pass (no per-char Python), and the DP rows run as numpy
+    column ops — O(|q|·L) vector steps per length group.  Bit-equal to
+    the scalar :func:`osa_distance` / classic Levenshtein."""
+    out = np.empty(len(cands), dtype=np.int64)
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    m = q.size
+    by_len: dict[int, list[int]] = {}
+    for i, t in enumerate(cands):
+        by_len.setdefault(len(t), []).append(i)
+    for L, idxs in by_len.items():
+        n = len(idxs)
+        if L == 0:
+            out[idxs] = m
+            continue
+        arr = np.frombuffer("".join(cands[i] for i in idxs)
+                            .encode("utf-32-le"),
+                            dtype=np.uint32).reshape(n, L)
+        prev = np.broadcast_to(np.arange(L + 1, dtype=np.int64),
+                               (n, L + 1)).copy()
+        prev2 = None
+        for i in range(1, m + 1):
+            cur = np.empty((n, L + 1), dtype=np.int64)
+            cur[:, 0] = i
+            for j in range(1, L + 1):
+                cost = (arr[:, j - 1] != q[i - 1]).astype(np.int64)
+                d = np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1)
+                d = np.minimum(d, prev[:, j - 1] + cost)
+                if transpositions and i > 1 and j > 1:
+                    tr = (arr[:, j - 2] == q[i - 1]) \
+                        & (arr[:, j - 1] == q[i - 2])
+                    d = np.where(tr, np.minimum(d, prev2[:, j - 2] + 1), d)
+                cur[:, j] = d
+            prev2, prev = prev, cur
+        out[idxs] = prev[:, L]
+    return out
+
+
+_LOCAL_FUZZY_CACHE: dict = {}
+
+
+def expand_fuzzy_local(manifest: IndexManifest,
+                       q: FuzzyQuery) -> list[tuple[str, float]]:
+    """:func:`expand_fuzzy` with NO Spark job — the serving path's fuzzy
+    expansion: pyarrow prefix+length pushdown over the term-stats
+    Parquet (the resident term dictionary that already serves
+    ``suggest_terms_local``), vectorized edit distances, identical
+    (term, boost) output (differential-tested).  Expansions cache per
+    (build, query) — a serving replay expands each distinct fuzzy term
+    once."""
+    key = (manifest.build_id or manifest.index_dir, q)
+    hit = _LOCAL_FUZZY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    prefix = q.term[:q.prefix_length]
+    suffix_q = q.term[q.prefix_length:]
+    k = q.max_edits
+    filters = None
+    if prefix:
+        filters = [("term", ">=", prefix),
+                   ("term", "<", prefix + "\U0010FFFF")]
+    col = pq.read_table(manifest.stats_path, columns=["term"],
+                        filters=filters).column("term").combine_chunks()
+    ln = pc.utf8_length(col)
+    qlen = len(q.term)
+    mask = pc.less_equal(pc.abs_checked(pc.subtract(ln, qlen)), k)
+    if prefix:  # row-group pushdown is coarse; exact prefix re-check
+        mask = pc.and_(mask, pc.starts_with(col, prefix))
+    cands = col.filter(mask).to_pylist()
+    if not cands:
+        _LOCAL_FUZZY_CACHE[key] = []
+        return []
+    eds = _vec_edit_distances([t[q.prefix_length:] for t in cands],
+                              suffix_q, q.transpositions)
+    scored: list[tuple[str, float]] = []
+    for term, ed in zip(cands, eds):
+        if ed > k:
+            continue
+        if ed == 0:
+            boost = 1.0
+        else:
+            min_len = min(len(term), qlen)
+            boost = float(np.float32(1.0)
+                          - np.float32(ed) / np.float32(min_len))
+        scored.append((term, boost))
+    scored.sort(key=lambda tb: (-tb[1], tb[0]))
+    out = scored[:q.max_expansions]
+    if len(_LOCAL_FUZZY_CACHE) > 4096:
+        _LOCAL_FUZZY_CACHE.clear()
+    _LOCAL_FUZZY_CACHE[key] = out
+    return out
+
+
 def expand_frame(spark: SparkSession, manifest: IndexManifest,
                  q) -> DataFrame:
     """Matched-terms DataFrame(term) — pushdown-friendly, never collected.

@@ -56,19 +56,36 @@ def serve_local(manifest: IndexManifest, queries, k: int,
     from pim_lucene_spark.plans.boolean import BooleanQuery
     from pim_lucene_spark.plans.compound import search_compound_local
     from pim_lucene_spark.plans.dismax import DisMaxQuery
-    from pim_lucene_spark.plans.query import to_tuple
+    from pim_lucene_spark.plans.multiterm import FuzzyQuery
+    from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                              MatchAllDocsQuery, to_tuple)
 
-    plain, typed = [], []
+    plain, typed, wrap64 = [], [], []
     for qid, q in queries:
         if isinstance(q, (BooleanQuery, DisMaxQuery)):
             typed.append((qid, q))
         elif isinstance(q, str):
             plain.append((qid, q))
+        elif isinstance(q, FuzzyQuery):
+            # top-level fuzzy = scoring boolean over the expansion —
+            # boolean-wrap onto the resident compound kernel (bit-equal
+            # to the distributed route; differential-tested)
+            typed.append((qid, BooleanQuery(must=[q])))
+        elif isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery)):
+            # same rewrites as FullTextIndex.query's wrapper branch;
+            # evaluated at float64 so score == boost bit-exact
+            if isinstance(q, MatchAllDocsQuery):
+                wrap64.append((qid, BooleanQuery(must=[q])))
+            else:
+                wrap64.append((qid, BooleanQuery(
+                    must=[MatchAllDocsQuery(boost=float(q.boost))],
+                    filter=[q.query])))
         else:
             if int(getattr(q, "slop", 0)) != 0:
                 raise NotImplementedError(
                     "sloppy phrases need the scan path; the serving "
-                    "path hosts exact term/phrase/boolean/dismax")
+                    "path hosts exact term/phrase/boolean/dismax/"
+                    "fuzzy/matchall/constant-score")
             plain.append(to_tuple(qid, q))
     parts = []
     if plain:
@@ -76,9 +93,11 @@ def serve_local(manifest: IndexManifest, queries, k: int,
                                   precision=precision,
                                   postings_cache_mb=postings_cache_mb,
                                   pids=pids))
-    if typed:
-        c = search_compound_local(manifest, typed, k=k,
-                                  precision=precision,
+    for batch, prec in ((typed, precision), (wrap64, "float64")):
+        if not batch:
+            continue
+        c = search_compound_local(manifest, batch, k=k,
+                                  precision=prec,
                                   postings_cache_mb=postings_cache_mb,
                                   pids=pids)
         c = c.assign(freq=float("nan"), norm=float("nan"))[

@@ -282,8 +282,7 @@ def test_compound_local_matches_distributed(spark, cidx):
     from pim_lucene_spark.operators.search import clear_local_cache
     from pim_lucene_spark.plans.compound import search_compound_local
 
-    batch = [(qid, q) for qid, q in BOOL_BATCH
-             if qid != 8] + [  # fuzzy clause: spark-expansion only
+    batch = list(BOOL_BATCH) + [  # fuzzy clauses serve locally too
         (20, DisMaxQuery(clauses=["red", "the fast"], tie=0.25)),
     ]
     clear_local_cache()
@@ -298,9 +297,14 @@ def test_compound_local_matches_distributed(spark, cidx):
                .sort_values(["qid", "doc_id"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(a.astype(exp.dtypes.to_dict()), exp)
 
-    with pytest.raises(NotImplementedError, match="fuzzy"):
-        search_compound_local(
-            cidx, [(8, BooleanQuery(should=[FuzzyQuery("aple")]))], k=10)
+    # fuzzy-only boolean: local term-dictionary expansion, same rows as
+    # the distributed kernel (round-5: the old NotImplementedError gap)
+    fb = [(8, BooleanQuery(should=[FuzzyQuery("aple")]))]
+    a = (search_compound_local(cidx, fb, k=10)
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    b = (search_boolean(spark, cidx, fb, k=10, plan="kernel").toPandas()
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
 
 
 def test_sharded_server_serves_boolean_batches(spark, cidx):
