@@ -701,11 +701,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("qid", "doc_id", "freq"),
         "engine_no_match":
             lambda s, d: _searched(s, d, NOMATCH_QUERIES, k=10),
-        # two-phase bound broadcast (topdocs_sync.c analogue) must produce
-        # byte-identical top-k — same oracle as the single-pass entry
+        # multi-round adaptive bound sync (topdocs_sync.c:469-544:
+        # doubling doc budgets, driver k-heap merge, tightened-bound
+        # rebroadcast, partial relaunch) must produce byte-identical
+        # top-k — same oracle as the single-pass entry; the small
+        # initial budget forces several real rounds at this sf
         "engine_bound_probe_topk":
             lambda s, d: _searched(s, d, PHRASE_QUERIES + TERM_QUERIES,
-                                   k=5, bound_probe=True),
+                                   k=5, bound_probe="sync",
+                                   sync_budget0=64),
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_deleted_docs": _q_deleted,
         "engine_local_serving": _q_local_serving,

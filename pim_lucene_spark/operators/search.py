@@ -283,7 +283,8 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
                       num_segments: int, ext_bound: float = -np.inf,
                       cached: "_LazyPostings | None" = None,
                       cache_put=None, prefer_full_bytes: int = 0,
-                      live: np.ndarray | None = None):
+                      live: np.ndarray | None = None,
+                      start_idx: int = 0, doc_budget: int | None = None):
     """Single-term scoring with block-max segment skipping.
 
     Segments are visited in descending admissible upper-bound order
@@ -304,6 +305,15 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
     fit the hint: decode fully ONCE and publish, so every later batch
     scores from memory — a skip that re-decodes per call is a net loss
     the moment a term repeats.
+
+    ``start_idx``/``doc_budget`` drive the multi-round adaptive bound
+    sync (``topdocs_sync.c:469-544``): resume at segment ``start_idx``
+    of the deterministic upper-bound order and decode at most
+    ``doc_budget`` docs this round.  Returns a 5th element
+    ``(next_idx, remaining, rem_ub)`` — the resume point, whether
+    segments are left, and the best upper bound among them (the driver
+    relaunches only pairs whose ``rem_ub`` can still beat the global
+    k-th best).
     """
     counts_tot = np.zeros(num_segments, dtype=np.int64)
     max_tf = np.zeros(num_segments, dtype=np.int64)
@@ -327,7 +337,8 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         nb = norms[cand]
         sc = bm25.score(freqs, nb, weight, cache, precision)
         DECODE_STATS["segments_scored"] += int((counts_tot > 0).sum())
-        return cand, freqs, nb, np.asarray(sc, dtype=np.float64)
+        return (cand, freqs, nb, np.asarray(sc, dtype=np.float64),
+                (0, False, -np.inf))
 
     best_byte = int(np.argmax(cache))
     seg_live = np.flatnonzero(counts_tot > 0)
@@ -340,7 +351,9 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
 
     parts: list[tuple] = []
     top_buf = np.empty(0, dtype=np.float64)  # running top-k (O(batch + k))
-    n_coll, kth, i = 0, -np.inf, 0
+    n_coll, kth, i = 0, -np.inf, int(start_idx)
+    state = (0, False, -np.inf)  # (next_idx, remaining, rem_ub)
+    docs_decoded = 0
     batch_target = max(4 * k, 256)
     while i < order.size:
         # ext_bound is an achieved global k-th-best lower bound (the
@@ -348,6 +361,11 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         # to apply before k local docs are collected
         if ub_sorted[i] < ext_bound or (n_coll >= k and ub_sorted[i] < kth):
             DECODE_STATS["segments_skipped"] += int(order.size - i)
+            break
+        if doc_budget is not None and docs_decoded >= doc_budget:
+            # round budget spent with work left: report the resume point
+            # and the best remaining upper bound to the driver sync loop
+            state = (int(i), True, float(ub_sorted[i]))
             break
         j, exp = i, 0
         while j < order.size and (j == i or exp < batch_target):
@@ -365,6 +383,7 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
                         dtype=np.float64)
         parts.append((cand_b, freqs_b, nb, sc))
         n_coll += cand_b.size
+        docs_decoded += exp
         DECODE_STATS["segments_scored"] += int(j - i)
         top_buf = np.concatenate([top_buf, sc])
         if top_buf.size > k:
@@ -374,12 +393,13 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         i = j
     if not parts:
         z = np.empty(0, dtype=np.int64)
-        return z, z, z.astype(np.uint8), np.empty(0, dtype=np.float64)
+        return (z, z, z.astype(np.uint8), np.empty(0, dtype=np.float64),
+                state)
     cand = np.concatenate([p[0] for p in parts])
     freqs = np.concatenate([p[1] for p in parts])
     nb = np.concatenate([p[2] for p in parts])
     scores = np.concatenate([p[3] for p in parts])
-    return cand, freqs, nb, scores
+    return cand, freqs, nb, scores, state
 
 
 def _assemble_by_term(postings_pdf: pd.DataFrame) -> dict[str, list]:
@@ -473,7 +493,24 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
     get_decoded = ctx.get
 
     bounds = payload.get("bounds") or {}
+    # multi-round adaptive bound sync (topdocs_sync.c:469-544): the
+    # driver passes a per-round doc budget + per-(qid, pid) resume
+    # indices; the kernel reports progress back through STATE rows
+    # (norm -1 = budget spent with work left, -2 = exhausted; doc_id =
+    # pid, freq = resume index, score = best remaining upper bound)
+    sync = payload.get("sync")
+    budget = int(sync["budget"]) if sync else None
+    progress = sync.get("progress", {}) if sync else {}
+    sync_round = int(sync.get("round", 0)) if sync else 0
+    st_qid, st_idx, st_norm, st_ub = [], [], [], []
     for qid, terms, weight in payload["queries"]:
+        start_idx = 0
+        if sync:
+            mine = progress.get(qid, {}).get(pid)
+            if sync_round > 0:
+                if mine is None:  # not relaunched: this pair is done
+                    continue
+                start_idx = int(mine)
         if any(t not in by_term for t in terms):
             continue  # this partition lacks a term → no hits here
         uniq = list(dict.fromkeys(terms))
@@ -482,12 +519,18 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
 
         if not multi:
             t0 = terms[0]
-            cand, freqs, norm_bytes, scores = _single_term_topk(
+            cand, freqs, norm_bytes, scores, st = _single_term_topk(
                 by_term[t0], norms, weight, cache, precision, k,
                 num_segments, ext_bound=ext,
                 cached=_probe_cached(t0),
                 cache_put=lambda lp, _t=t0: _publish(_t, lp),
-                prefer_full_bytes=cache_budget // 8, live=live)
+                prefer_full_bytes=cache_budget // 8, live=live,
+                start_idx=start_idx, doc_budget=budget)
+            if sync and st[1]:  # budget spent with segments left
+                st_qid.append(qid)
+                st_idx.append(st[0])
+                st_norm.append(-1)
+                st_ub.append(st[2])
             if cand.size == 0:
                 continue
         else:
@@ -538,8 +581,16 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
             chunk = max(4 * k, 256)
             n_scored = 0
             kth_best = -np.inf
-            for start in range(0, order.size, chunk):
-                sel = order[start:start + chunk]
+            # phrases are exempt from the round budget: the doc-id
+            # decode behind the intersection would repeat every round
+            # (kernel tasks are stateless across jobs), overwhelming the
+            # position-work saving — a phrase pair completes in its
+            # first round; the sync loop's doc budget is the reference's
+            # per-term topdocs path
+            end = order.size
+            done = True  # WAND cut or full evaluation both finish the pair
+            for start in range(start_idx, end, chunk):
+                sel = order[start:min(start + chunk, end)]
                 # strict <: an unevaluated candidate with exact == kth
                 # could still win the doc_id-asc tie-break.  ext is the
                 # broadcast global bound — admissible immediately.
@@ -560,6 +611,13 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                     pos_scores = scores[scores > -np.inf]
                     if pos_scores.size >= k:
                         kth_best = float(np.partition(pos_scores, -k)[-k])
+            else:
+                done = end >= order.size  # budget spent with work left?
+            if sync and not done:
+                st_qid.append(qid)
+                st_idx.append(int(end))
+                st_norm.append(-1)
+                st_ub.append(float(np.float64(ub[order[end]])))
 
         hit = freqs > 0
         if not hit.any():
@@ -579,6 +637,12 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
         out_norm.append(h_norm[ord_local].astype(np.int32))
         out_score.append(h_score[ord_local])
 
+    if st_qid:  # sync-mode state rows (norm -1): doc_id=pid, freq=resume
+        out_qid.append(np.asarray(st_qid, dtype=np.int64))
+        out_doc.append(np.full(len(st_qid), pid, dtype=np.int64))
+        out_freq.append(np.asarray(st_idx, dtype=np.int64))
+        out_norm.append(np.asarray(st_norm, dtype=np.int32))
+        out_score.append(np.asarray(st_ub, dtype=np.float64))
     if not out_qid:
         return _empty_result()
     return pd.DataFrame({
@@ -786,13 +850,82 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
     return planned, needed_terms
 
 
+def _search_sync_rounds(spark, postings, payload: dict, k: int,
+                        budget0: int = 4096) -> DataFrame:
+    """Multi-round adaptive bound sync — the reference's iterative
+    host/DPU loop (``topdocs_sync.c:469-544``, constants
+    ``topdocs_sync.h:24-28``) re-expressed as successive bounded Spark
+    jobs:
+
+    round r: every live (query, partition) pair resumes its
+    deterministic upper-bound traversal with a doc budget of
+    ``budget0 * 2**r``; the kernel emits its round-local top-k plus one
+    STATE row per unfinished pair (resume index + best remaining upper
+    bound).  The driver folds all results into per-query k-heaps,
+    tightens each query's global k-th-best bound, and relaunches ONLY
+    the pairs whose remaining upper bound can still beat it (strict <,
+    because a tie can win the doc-id-asc tie-break) with the bound
+    broadcast as ``ext_bound``.  Rounds end when no pair remains.
+
+    Exact: every emitted doc is exactly scored, the bound is achieved
+    (k docs already hold it), and skipped work is provably below it —
+    identical results to the single-pass plan, differential-tested.
+    Decode bytes drop on hot terms because round ≥ 2 starts from a
+    globally tightened bound instead of one partition's sample.
+    """
+    progress: dict = {}     # qid -> {pid: resume_idx}; round-0 empty
+    bounds: dict = {}
+    acc = None
+    budget = max(int(budget0), 16)
+    rnd = 0
+    while True:
+        payload_r = dict(payload, bounds=bounds,
+                         sync={"budget": budget, "progress": progress,
+                               "round": rnd})
+        scan = postings
+        if rnd > 0:
+            live_pids = sorted({p for m in progress.values() for p in m})
+            scan = postings.filter(F.col("pid").isin(live_pids))
+        pdf = (scan.groupBy("pid")
+               .applyInPandas(_match_kernel(payload_r), RESULT_SCHEMA)
+               .toPandas())
+        state = pdf[pdf["norm"] < 0]
+        res = pdf[pdf["norm"] >= 0]
+        acc = res if acc is None else pd.concat([acc, res],
+                                                ignore_index=True)
+        if len(acc):
+            acc = (acc.sort_values(["qid", "score", "doc_id"],
+                                   ascending=[True, False, True])
+                   .groupby("qid", sort=False).head(k)
+                   .reset_index(drop=True))
+        bounds = {int(qid): float(grp["score"].min())
+                  for qid, grp in acc.groupby("qid")
+                  if len(grp) >= k}
+        progress = {}
+        for row in state.itertuples(index=False):
+            qid = int(row.qid)
+            b = bounds.get(qid)
+            # strict <: a remaining doc tying the k-th could still win
+            if b is None or float(row.score) >= b:
+                progress.setdefault(qid, {})[int(row.doc_id)] = \
+                    int(row.freq)
+        if not progress:
+            break
+        budget *= 2
+        rnd += 1
+    return spark.createDataFrame(
+        acc if acc is not None and len(acc) else _empty_result(),
+        RESULT_SCHEMA)
+
+
 def search(spark: SparkSession, index: IndexManifest | str,
            queries: list[tuple[int, str]], k: int = 10,
            precision: str = "float32",
            final_merge: str = "window",
            norms_access: str = "auto",
-           bound_probe: bool = False,
-           postings_cache_mb: int = 0) -> DataFrame:
+           bound_probe=False,
+           postings_cache_mb: int = 0,
+           sync_budget0: int = 4096) -> DataFrame:
     """Batched top-k phrase/term search → DataFrame(qid, doc_id, freq, norm, score).
 
     ``precision='float32'`` reproduces Lucene's float expression tree
@@ -817,16 +950,20 @@ def search(spark: SparkSession, index: IndexManifest | str,
     instead of failing at query time; executors that still can't see a
     driver-visible path get the loud error as the backstop).
 
-    ``bound_probe``: the reference's multi-round adaptive bound broadcast
+    ``bound_probe``: the reference's adaptive bound broadcast
     (``topdocs_sync.c:469-544``: the host pushes the running global k-th
-    best to every DPU between rounds) re-expressed as two passes — a probe
-    job over ONE partition yields an achieved k-th-best score per query
-    (round-robin doc routing makes any partition a uniform sample), which
-    is broadcast into the full job where every kernel starts its WAND /
-    block-max cut at that bound instead of -inf.  Strictly less decode
-    work for small k on large corpora; admissible because k docs already
-    achieve the bound, so anything strictly below it cannot enter the
-    global top-k.  Results are identical (differential-tested).
+    best to every DPU between rounds).  ``True`` = the one-shot probe —
+    a job over ONE partition yields an achieved k-th-best score per
+    query (round-robin doc routing makes any partition a uniform
+    sample), broadcast into the full job where every kernel starts its
+    WAND / block-max cut at that bound instead of -inf.  ``"sync"`` =
+    the full iterative loop (:func:`_search_sync_rounds`): doubling doc
+    budgets (``sync_budget0 * 2**round``), per-round driver k-heap
+    merge, tightened-bound rebroadcast, and relaunch of only the
+    (query, partition) pairs that can still contribute — disabled at
+    k >= 1000 exactly like the reference.  Both are admissible (k docs
+    already achieve every broadcast bound) and return identical results
+    (differential-tested).
 
     ``postings_cache_mb`` > 0 enables the per-worker warm postings cache
     (the B15 index-load-to-PIM analogue): decoded postings of hot
@@ -865,6 +1002,19 @@ def search(spark: SparkSession, index: IndexManifest | str,
     postings = (spark.read.parquet(*[manifest.chunk_path(c) for c in
                                      range(manifest.build_chunks)])
                 .filter(F.col("term").isin(list(needed_terms))))
+
+    if bound_probe == "sync" and use_direct and k < 1000:
+        # the reference's full iterative loop (topdocs_sync.c:469-544):
+        # per-round doc budgets (doubling), per-partition best scores →
+        # driver k-heaps → tightened bound broadcast → relaunch of only
+        # the (query, partition) pairs whose remaining upper bound can
+        # still beat the global k-th best; off at k >= 1000 exactly like
+        # the reference.  A Spark round costs ~0.1 s vs a DPU round's
+        # microseconds, so the initial budget is scaled up
+        # (sync_budget0) — the protocol, not the constant, is the
+        # faithful part.
+        return _search_sync_rounds(spark, postings, payload, k,
+                                   budget0=int(sync_budget0))
 
     if bound_probe and use_direct and manifest.num_partitions > 1:
         probe = (postings.filter(F.col("pid") == 0).groupBy("pid")
