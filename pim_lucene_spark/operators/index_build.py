@@ -383,6 +383,49 @@ def _build_postings_kernel(num_partitions: int, num_segments: int,
     return fn
 
 
+def advise_num_partitions(manifest: IndexManifest | None = None, *,
+                          corpus_tokens: int | None = None,
+                          budget_bytes: int = 48 << 20,
+                          bytes_per_token: float = 4.0) -> int:
+    """Partition-count advisor for the per-partition size guard — the
+    planning half of the reference's 48 MiB/DPU bound
+    (``DpuSystemExecutor.java:40``: an index partition that outgrows its
+    worker's residency budget cannot load; the reference *fails*, this
+    engine plans).
+
+    - With a built ``manifest``: scale the CURRENT partition count so the
+      observed worst partition (``metrics['per_partition'][pid]
+      ['bytes_compressed']``) fits ``budget_bytes`` — the number to pass
+      a rebuild or :func:`~pim_lucene_spark.operators.merge
+      .merge_indexes`.
+    - With ``corpus_tokens`` (pre-build): estimate compressed index
+      bytes as ``corpus_tokens * bytes_per_token`` (delta+varint
+      doc/freq/position streams measure ~3-5 bytes/token on text
+      corpora — calibrate from a small-sample build's metrics) and
+      divide by the budget.  Round-robin doc routing keeps partitions
+      uniform, so the mean IS the max to first order.
+
+    Always returns at least 1; at 100 TB this is the knob that keeps
+    every partition inside one executor's memory while the shuffle
+    width stays bounded.
+    """
+    if (manifest is None) == (corpus_tokens is None):
+        raise ValueError("pass exactly one of manifest / corpus_tokens")
+    if budget_bytes <= 0:
+        raise ValueError("budget_bytes must be positive")
+    if manifest is not None:
+        per_part = (manifest.metrics or {}).get("per_partition")
+        if not per_part:
+            raise ValueError("manifest has no per_partition metrics "
+                             "(v3 builds record them)")
+        worst = max(int(v.get("bytes_compressed", 0))
+                    for v in per_part.values())
+        return max(1, manifest.num_partitions
+                   * -(-worst // budget_bytes))
+    est = int(corpus_tokens * float(bytes_per_token))
+    return max(1, -(-est // budget_bytes))
+
+
 def verify_content_invariant(spark: SparkSession, manifest: IndexManifest,
                              source_df: DataFrame,
                              content_col: str = "content",

@@ -158,10 +158,43 @@ class ShardedServer:
         self._conns: list = []
         self._procs: list = []
 
+    def _check_residency(self) -> None:
+        """Per-worker residency guard — the 48 MiB/DPU analogue
+        (``DpuSystemExecutor.java:40`` refuses an index that outgrows a
+        DPU).  A worker whose assigned shards' compressed postings
+        exceed the resident-rows cache budget will thrash the LRU on
+        every batch instead of serving warm; warn with the worker count
+        that would fit (advisory — correctness is unaffected)."""
+        per_part = (self.manifest.metrics or {}).get("per_partition")
+        if not per_part:
+            return
+        from pim_lucene_spark.operators.search import _LOCAL_ROWS_MAX
+        P, W = self.manifest.num_partitions, self.num_workers
+        budget = _LOCAL_ROWS_MAX
+        sizes = {int(p): int(v.get("bytes_compressed", 0))
+                 for p, v in per_part.items()}
+        if self.mode == "replica":
+            worker_bytes = {0: sum(sizes.values())}
+        else:
+            worker_bytes = {
+                w: sum(sizes.get(p, 0) for p in range(P) if p % W == w)
+                for w in range(W)}
+        worst = max(worker_bytes.values(), default=0)
+        if worst > budget:
+            import warnings
+            need = -(-sum(sizes.values()) // budget)
+            warnings.warn(
+                f"ShardedServer({self.mode}): worker residency "
+                f"{worst} bytes exceeds the resident-rows budget "
+                f"{budget}; shard mode with num_workers>={need} (or a "
+                f"larger postings budget) keeps every shard resident",
+                RuntimeWarning, stacklevel=3)
+
     # --- lifecycle ----------------------------------------------------------
     def _ensure_started(self) -> None:
         if self._procs:
             return
+        self._check_residency()
         P, W = self.manifest.num_partitions, self.num_workers
         for w in range(W):
             parent, child = self._ctx.Pipe()
