@@ -311,6 +311,15 @@ def _compound_core(payload: dict, pid: int,
         live[f] = live_mask_for(fmeta.get("deletes_path"), pid, P,
                                 norms[f].size)
 
+    # cross-QUERY leaf amortization: distinct (field, terms, weight)
+    # triples evaluate once per partition per batch — queries sharing
+    # clause terms (stopwords in a parsed replay) reuse the scored
+    # match set instead of re-running decode+BM25.  A cached FULL
+    # result is a valid answer for candidate-restricted calls too:
+    # every consumer treats the clause frame as a (possibly superset)
+    # sorted match set and looks its candidates up in it.
+    leaf_cache: dict[tuple, tuple] = {}
+
     def eval_leaf(sid: int, cand: np.ndarray | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
         ent = clause_plan.get(sid)
@@ -319,6 +328,9 @@ def _compound_core(payload: dict, pid: int,
         f, terms, weight = ent
         if f not in ctxs:  # no postings rows for this field here
             return _EMPTY_I64, _EMPTY_F64
+        hit = leaf_cache.get(ent)
+        if hit is not None:
+            return hit
         cand_segs = None
         if cand is not None:
             if cand.size == 0:
@@ -336,6 +348,8 @@ def _compound_core(payload: dict, pid: int,
         if live.get(f) is not None and res[0].size:
             keep = live[f][res[0]]
             res = (res[0][keep], res[1][keep])
+        if cand is None:  # only full evaluations are batch-reusable
+            leaf_cache[ent] = res
         return res
 
     def eval_ma(cl: dict, cand: np.ndarray | None = None
