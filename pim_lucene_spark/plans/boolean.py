@@ -264,7 +264,8 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
         kq, jq = [], []
         if kernel_hostable({"": manifest}) and k is not None:
             for qid, bq in queries:
-                (kq if clause_kernelable(bq) else jq).append((qid, bq))
+                (kq if clause_kernelable(bq, manifests={"": manifest})
+                 else jq).append((qid, bq))
         else:
             jq = list(queries)
         if plan == "kernel" and jq:
@@ -453,7 +454,9 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
     if kernel_hostable(manifests) and k is not None:
         fields = set(manifests)
         for qid, bq in queries:
-            (kq if clause_kernelable(bq, allow_fielded=fields)
+            (kq if clause_kernelable(bq, allow_fielded=fields,
+                                     manifests=manifests,
+                                     field=default_field)
              else jq).append((qid, bq))
     else:
         jq = list(queries)

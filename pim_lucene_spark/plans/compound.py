@@ -30,10 +30,13 @@ Reference semantics held bit-exactly:
 MatchAllDocs clauses host in-kernel as a constant per-doc contribution
 (never a materialized set; a null seed row per pid keeps postings-less
 partitions alive — the reference's ``MatchAllDocsQuery`` scorer is a
-constant iterator).  Clauses the kernel cannot host (sloppy phrases —
-scan path over raw docs; constant-score multiterm — unbounded
-distributed expansion) stay on the join-chain path; ``search_boolean``
-routes per query, so a batch mixes both plans.
+constant iterator).  Constant-score multiterm clauses host in-kernel
+when their expansion (resident term dictionary, pyarrow pushdown) fits
+``MAX_CLAUSE_COUNT`` — the match-set union stays in its partition.
+Clauses the kernel cannot host (sloppy phrases — scan path over raw
+docs; over-wide expansions — the distributed constant-score path never
+materializes a term list) stay on the join-chain path;
+``search_boolean`` routes per query, so a batch mixes both plans.
 
 Multi-field batches (``search_boolean_fields``, BM25F) ride the same
 kernel: every field's sub-index shares ``num_partitions``, so pid N of
@@ -69,6 +72,12 @@ COMPOUND_SCHEMA = T.StructType([
 
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
 _EMPTY_F64 = np.empty(0, dtype=np.float64)
+
+
+class ExpansionTooWide(NotImplementedError):
+    """A constant-score multi-term clause expands past the kernel cap;
+    the distributed router re-routes the query to the join-chain plan
+    (whose constant-score path never materializes a term list)."""
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +193,12 @@ def _eval_spec(spec: dict, eval_leaf, precision: str,
             # live doc of the partition — never a materialized set; the
             # candidate restriction short-circuits to the candidates
             # themselves (every doc matches *:*)
+            return eval_ma(cl, c)
+        if cl["kind"] == "const_or":
+            # constant-score multiterm: union of the expansion's
+            # co-located match sets at a constant score (Lucene's
+            # CONSTANT_SCORE rewrite builds a bit set, not a scorer);
+            # eval_ma dispatches on the clause kind
             return eval_ma(cl, c)
         return _eval_spec(cl["spec"], eval_leaf, precision, c, eval_ma)
 
@@ -352,11 +367,36 @@ def _compound_core(payload: dict, pid: int,
             leaf_cache[ent] = res
         return res
 
+    const_cache: dict[tuple, np.ndarray] = {}
+
     def eval_ma(cl: dict, cand: np.ndarray | None = None
                 ) -> tuple[np.ndarray, np.ndarray]:
-        # constant contribution to every co-located live doc; with a
-        # candidate set the answer IS the candidates (all docs match)
         w = float(cl["weight"])
+        if cl["kind"] == "const_or":
+            # constant-score multiterm: sorted union of the expansion's
+            # co-located (live) match sets; exact score == weight.
+            # Candidate restriction is unnecessary — consumers accept a
+            # superset frame — and the union caches per (field, terms)
+            # so repeated wildcards across a batch decode once.
+            f = cl["field"]
+            ctx = ctxs.get(f)
+            if ctx is None:
+                return _EMPTY_I64, _EMPTY_F64
+            key = (f, cl["terms"])
+            docs = const_cache.get(key)
+            if docs is None:
+                sets = [ctx.get(t).rel_docs for t in cl["terms"]
+                        if t in ctx.by_term]
+                if not sets:
+                    docs = _EMPTY_I64
+                else:  # unique also sorts (stripe order is not global)
+                    docs = np.unique(np.concatenate(sets))
+                    if live.get(f) is not None and docs.size:
+                        docs = docs[live[f][docs]]
+                const_cache[key] = docs
+            return docs, np.full(docs.size, w, dtype=np.float64)
+        # matchall: constant contribution to every co-located live doc;
+        # with a candidate set the answer IS the candidates (all match)
         if cand is not None:
             return cand, np.full(cand.size, w, dtype=np.float64)
         f = cl.get("field")
@@ -445,12 +485,14 @@ def count_compound(spark: SparkSession,
     for f, m in manifests.items():
         lv = b.leaves.get(f) or []
         ma_here = f in b.matchall_fields
-        if not lv and not ma_here:
+        extra = b.extra_terms.get(f) or set()
+        if not lv and not ma_here and not extra:
             continue
         if lv:
             planned, needed = plan_queries(spark, m, lv, 1, "float32")
         else:
             planned, needed = [], set()
+        needed = set(needed) | extra
         num_partitions = m.num_partitions
         for sid, ts, w in planned:
             clause_plan[sid] = (f, tuple(ts), float(w))
@@ -472,7 +514,8 @@ def count_compound(spark: SparkSession,
                                  for c in range(m.build_chunks)])
             .filter(F.col("term").isin(list(needed)))
             .withColumn("fld", F.lit(f)))
-    if not scans or not (clause_plan or b.matchall_fields):
+    if not scans or not (clause_plan or b.matchall_fields
+                         or any(b.extra_terms.values())):
         return counts
     payload = {
         "specs": specs,
@@ -528,15 +571,20 @@ def kernel_hostable(manifests: dict[str, IndexManifest]) -> bool:
     return len(ps) == 1
 
 
-def clause_kernelable(clause, allow_fielded=None) -> bool:
+def clause_kernelable(clause, allow_fielded=None, manifests=None,
+                      field=None) -> bool:
     """True when a clause tree can evaluate inside the compound kernel:
     term/phrase (slop 0) leaves, fuzzy (driver-expanded), nested
     booleans, MatchAllDocs (constant per-doc contribution; postings-less
-    partitions run via the pid seed).  Sloppy phrases (scan path) and
-    constant-score multiterm (unbounded expansion) route to the
-    join-chain plan."""
+    partitions run via the pid seed), and — when ``manifests`` is given —
+    constant-score multiterm whose expansion fits the kernel cap
+    (resident-dictionary probe, cached; the spec build reuses the same
+    read).  Sloppy phrases (scan path) and over-wide expansions route to
+    the join-chain plan."""
     from pim_lucene_spark.plans.boolean import BooleanQuery
-    from pim_lucene_spark.plans.multiterm import FuzzyQuery, MultiTermQueryT
+    from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
+                                                  MultiTermQueryT,
+                                                  expand_const_local)
     from pim_lucene_spark.plans.query import (FieldedQuery,
                                               MatchAllDocsQuery,
                                               PhraseQuery, TermQuery)
@@ -547,15 +595,21 @@ def clause_kernelable(clause, allow_fielded=None) -> bool:
         if allow_fielded is None:
             return False
         return (clause.field in allow_fielded
-                and clause_kernelable(clause.query, allow_fielded))
+                and clause_kernelable(clause.query, allow_fielded,
+                                      manifests, clause.field))
     if isinstance(clause, BooleanQuery):
-        return all(clause_kernelable(c, allow_fielded)
+        return all(clause_kernelable(c, allow_fielded, manifests, field)
                    for role in ("must", "filter", "should", "must_not")
                    for c in getattr(clause, role))
     if isinstance(clause, FuzzyQuery):
         return True
     if isinstance(clause, MultiTermQueryT):
-        return False
+        if manifests is None:
+            return False
+        m = manifests.get(field) if field is not None else None
+        if m is None:
+            m = next(iter(manifests.values()))
+        return expand_const_local(m, clause) is not None
     if isinstance(clause, PhraseQuery):
         return int(clause.slop) == 0
     if isinstance(clause, TermQuery) or isinstance(clause, str):
@@ -579,6 +633,10 @@ class _SpecBuilder:
         self.default_field = default_field
         self.leaves: dict[str, list] = {f: [] for f in manifests}
         self.matchall_fields: set[str] = set()
+        # terms needed by const_or clauses (constant-score multiterm
+        # expansions): scanned alongside the scored leaves' terms but
+        # never stats-planned (their score is a constant, not BM25)
+        self.extra_terms: dict[str, set] = {f: set() for f in manifests}
         self._next_sid = 0
 
     def _leaf(self, field: str, text: str, boost: float) -> dict:
@@ -592,7 +650,10 @@ class _SpecBuilder:
         (BooleanWeight passes its boost down to scoring sub-weights)."""
         from pim_lucene_spark.plans.boolean import (BooleanQuery,
                                                     _clause_text_boost)
-        from pim_lucene_spark.plans.multiterm import FuzzyQuery, expand_terms
+        from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
+                                                      MultiTermQueryT,
+                                                      expand_const_local,
+                                                      expand_terms)
         from pim_lucene_spark.plans.query import (FieldedQuery,
                                                   MatchAllDocsQuery)
 
@@ -632,6 +693,23 @@ class _SpecBuilder:
                     "spec": {"qid": -1, "op": "bool", "must": (),
                              "filter": (), "should": tuple(inner),
                              "must_not": (), "msm": 0}}
+        if isinstance(clause, MultiTermQueryT):
+            # Lucene's default rewrite for prefix/wildcard/range/regexp
+            # inside a boolean: CONSTANT_SCORE — docs matching ANY
+            # expanded term score the clause boost.  The expansion comes
+            # from the resident term dictionary (pyarrow pushdown, no
+            # Spark job); past the cap the clause stays on the
+            # distributed constant-score path (which never materializes
+            # a term list), signalled by ExpansionTooWide.
+            exp = expand_const_local(self.manifests[field], clause)
+            if exp is None:
+                raise ExpansionTooWide(
+                    f"{type(clause).__name__} expands past the kernel "
+                    "cap; route this query to the join-chain plan")
+            self.extra_terms[field].update(exp)
+            return {"kind": "const_or", "field": field,
+                    "terms": tuple(exp),
+                    "weight": float(clause.boost) * eff_boost}
         if int(getattr(clause, "slop", 0)) != 0:
             # the distributed routers gate sloppy clauses to the scan
             # path before spec building; reaching here means a path
@@ -667,7 +745,8 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
                   precision: str,
                   postings_cache_mb: int = 0,
                   return_partial: bool = False,
-                  matchall_fields: set | None = None) -> DataFrame:
+                  matchall_fields: set | None = None,
+                  extra_terms: dict | None = None) -> DataFrame:
     """Run prepared compound specs through the per-partition kernel.
 
     One union scan (per-field ``term IN`` pushdown + field tag) →
@@ -687,12 +766,14 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
     for f, m in manifests.items():
         lv = leaves.get(f) or []
         ma_here = bool(matchall_fields) and f in matchall_fields
-        if not lv and not ma_here:
+        extra = set((extra_terms or {}).get(f) or ())
+        if not lv and not ma_here and not extra:
             continue
         if lv:
             planned, needed = plan_queries(spark, m, lv, k, precision)
         else:
             planned, needed = [], set()
+        needed = set(needed) | extra
         num_partitions = m.num_partitions
         for sid, terms, w in planned:
             clause_plan[sid] = (f, tuple(terms), float(w))
@@ -957,12 +1038,14 @@ def search_compound_local(index, queries,
     for f, m in manifests.items():
         lv = b.leaves.get(f) or []
         ma_here = f in b.matchall_fields
-        if not lv and not ma_here:
+        extra = b.extra_terms.get(f) or set()
+        if not lv and not ma_here and not extra:
             continue
         if lv:
             planned, needed = plan_queries(None, m, lv, k, precision)
         else:
             planned, needed = [], set()
+        needed = set(needed) | extra
         for sid, ts, w in planned:
             clause_plan[sid] = (f, tuple(ts), float(w))
         if not needed and not ma_here:
@@ -980,7 +1063,8 @@ def search_compound_local(index, queries,
             "num_segments": m.num_segments,
             "nb_doc_per_segment": m.nb_doc_per_segment,
         }
-    if not (clause_plan or b.matchall_fields) or not fields_payload:
+    if not (clause_plan or b.matchall_fields
+            or any(b.extra_terms.values())) or not fields_payload:
         return empty
     payload = {
         "specs": specs,
@@ -1044,4 +1128,5 @@ def search_compound(spark: SparkSession,
             specs.append(b.dismax_spec(qid, q, default_field))
     return eval_compound(spark, manifests, specs, b.leaves, k, precision,
                          postings_cache_mb=postings_cache_mb,
-                         matchall_fields=b.matchall_fields)
+                         matchall_fields=b.matchall_fields,
+                         extra_terms=b.extra_terms)

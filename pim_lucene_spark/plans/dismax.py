@@ -94,7 +94,8 @@ def search_dismax(spark: SparkSession, index, queries, k: int = 10,
             for qid, dq in queries:
                 # sloppy phrase clauses route to the join plan (their
                 # match sets come from the scan path)
-                (kq if all(clause_kernelable(c) for c in dq.clauses)
+                (kq if all(clause_kernelable(c, manifests={"": manifest})
+                           for c in dq.clauses)
                  else jq).append((qid, dq))
         else:
             jq = list(queries)

@@ -364,6 +364,62 @@ def expand_fuzzy(spark: SparkSession, manifest: IndexManifest,
     return scored[:q.max_expansions]
 
 
+def expand_const_local(manifest: IndexManifest, q,
+                       cap: int | None = None) -> list[str] | None:
+    """Driver-side expansion of a non-fuzzy multi-term query against the
+    term-stats Parquet (pyarrow pushdown, no Spark job) for the compound
+    kernel's constant-score hosting: sorted matched terms, or ``None``
+    when the expansion exceeds ``cap`` (the caller keeps such clauses on
+    the distributed constant-score path, which never materializes a term
+    list).  Cached per (build, query) — routing probes and the spec
+    build share one read."""
+    if cap is None:
+        cap = MAX_CLAUSE_COUNT  # read at call time (testable)
+    key = (manifest.build_id or manifest.index_dir, q, int(cap))
+    if key in _LOCAL_FUZZY_CACHE:
+        return _LOCAL_FUZZY_CACHE[key]
+    import re as _re
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    prefix, rx = "", None
+    if isinstance(q, PrefixQuery):
+        prefix = q.prefix
+    elif isinstance(q, WildcardQuery):
+        prefix = _wildcard_literal_prefix(q.pattern)
+        rx = _re.compile(wildcard_to_regex(q.pattern) + r"\Z")
+    elif isinstance(q, RegexpQuery):
+        rx = _re.compile(q.regexp + r"\Z")
+    elif isinstance(q, TermRangeQuery):
+        pass
+    else:
+        raise TypeError(f"not a constant-score multi-term query: {q!r}")
+    filters = []
+    if prefix:
+        filters = [("term", ">=", prefix),
+                   ("term", "<", prefix + "\U0010FFFF")]
+    if isinstance(q, TermRangeQuery):
+        if q.lower is not None:
+            filters.append(("term", ">=" if q.include_lower else ">",
+                            q.lower))
+        if q.upper is not None:
+            filters.append(("term", "<=" if q.include_upper else "<",
+                            q.upper))
+    col = pq.read_table(manifest.stats_path, columns=["term"],
+                        filters=filters or None).column("term")
+    if prefix:  # row-group pushdown is coarse; exact re-check
+        col = col.filter(pc.starts_with(col, prefix))
+    terms = col.to_pylist()
+    if rx is not None:
+        terms = [t for t in terms if rx.match(t)]
+    out = sorted(terms) if len(terms) <= cap else None
+    if len(_LOCAL_FUZZY_CACHE) > 4096:
+        _LOCAL_FUZZY_CACHE.clear()
+    _LOCAL_FUZZY_CACHE[key] = out
+    return out
+
+
 def expand_terms(spark: SparkSession, manifest: IndexManifest, q,
                  max_clause_count: int = MAX_CLAUSE_COUNT
                  ) -> list[tuple[str, float]]:

@@ -127,9 +127,12 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
         kq, jq = [], []
         hostable = kernel_hostable({"": manifest})
         for qid, q in compound:
+            mf = {"": manifest}
             ok = hostable and (
-                all(clause_kernelable(c) for c in q.clauses)
-                if isinstance(q, DisMaxQuery) else clause_kernelable(q))
+                all(clause_kernelable(c, manifests=mf)
+                    for c in q.clauses)
+                if isinstance(q, DisMaxQuery)
+                else clause_kernelable(q, manifests=mf))
             (kq if ok else jq).append((qid, q))
         if kq:
             counts = count_compound(spark, {"": manifest}, "", kq)
