@@ -169,8 +169,11 @@ def main() -> None:
                 runs[cpus] = r
             if cpus not in search_runs or s["qps"] > search_runs[cpus]["qps"]:
                 search_runs[cpus] = s
-    for cpus in LEVELS:
-        shutil.rmtree(f"{WORK}/idx_{cpus}", ignore_errors=True)
+    if not os.environ.get("SPARK_GRAFT_KEEP_IDX"):
+        # keep idx_{max} for follow-up sweeps (2M compound/serving
+        # evidence) when asked; default cleans /dev/shm
+        for cpus in LEVELS:
+            shutil.rmtree(f"{WORK}/idx_{cpus}", ignore_errors=True)
     lo, hi = min(LEVELS), max(LEVELS)
     ratio = hi / lo
     eff = (runs[hi]["docs_per_sec"] / runs[lo]["docs_per_sec"]) / ratio
@@ -195,7 +198,9 @@ def main() -> None:
         "target": 0.8,
         "pass": eff >= 0.8,
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT",
+                              "BENCH_SCALING.json")
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -48,6 +48,7 @@ terms) — pass lowercase patterns against a ``standard``-analyzed index.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 
@@ -430,7 +431,14 @@ def expand_terms(spark: SparkSession, manifest: IndexManifest, q,
     boolean rewrites; use ``constant_score`` for wide patterns.
     """
     if isinstance(q, FuzzyQuery):
-        out = expand_fuzzy(spark, manifest, q)
+        # a driver-visible term dictionary expands locally (pyarrow
+        # pushdown, identical output — differential-tested): a batch of
+        # fuzzy clauses costs milliseconds instead of one Spark job
+        # per clause
+        if os.path.exists(manifest.stats_path):
+            out = expand_fuzzy_local(manifest, q)
+        else:
+            out = expand_fuzzy(spark, manifest, q)
     else:
         rows = (expand_frame(spark, manifest, q)
                 .limit(max_clause_count + 1).collect())
@@ -524,7 +532,10 @@ def search_multiterm(spark: SparkSession, index: IndexManifest | str,
     for qid, q in queries:
         boosts[int(qid)] = float(getattr(q, "boost", 1.0))
         if isinstance(q, FuzzyQuery):
-            pairs = expand_fuzzy(spark, manifest, q)
+            if os.path.exists(manifest.stats_path):  # local dictionary
+                pairs = expand_fuzzy_local(manifest, q)
+            else:
+                pairs = expand_fuzzy(spark, manifest, q)
             if not pairs:
                 continue
             frames.append(spark.createDataFrame(

@@ -234,6 +234,37 @@ def main() -> None:
                           if r["qid"] in {q for q, _ in psample}],
                          [q for q, _ in psample])
 
+    # --- fuzzy-in-boolean replay (round 5): every Nth mixed line gets
+    # its first >=4-char word rewritten to word~1 — the query shapes the
+    # reference's mixed sets produce with typos.  Serving (resident
+    # term-dictionary expansion, no Spark job) must match the
+    # distributed kernel rank+float32 exactly.
+    fuzz_src = pq[::max(1, len(pq) // 400)]
+    fq = []
+    for qid, s in fuzz_src:
+        ws = s.split()
+        for j, w in enumerate(ws):
+            if len(w) >= 4 and w.isalpha():
+                ws = ws[:j] + [w + "~1"] + ws[j + 1:]
+                fq.append((qid + 500_000, " ".join(ws)))
+                break
+    typed_fuzzy = [(qid, parse_query(s)) for qid, s in fq]
+    t0 = time.time()
+    fdist = idx.parse_and_query(fq, k=k).collect()
+    fuzzy_dist_s = time.time() - t0
+    fb = [typed_fuzzy[i:i + bsz] for i in range(0, len(typed_fuzzy), bsz)]
+    with ShardedServer(manifest, num_workers=workers,
+                       mode="replica") as srv:
+        srv.map(fb[:workers], k=k)
+        t0 = time.time()
+        fserved = srv.map(fb, k=k)
+        fuzzy_serve_s = time.time() - t0
+    fserved_rows = [
+        {"qid": int(r.qid), "doc_id": int(r.doc_id),
+         "score": float(r.score)}
+        for b in fserved for r in b.itertuples(index=False)]
+    fuzzy_mm = rank_diff(fserved_rows, fdist, [q for q, _ in fq])
+
     out = {
         "metric": "wiki_subset reference benchmark (standard analyzer)",
         "n_docs": n_docs,
@@ -260,6 +291,10 @@ def main() -> None:
         "qps_parsed_serving_replica": round(len(typed_all)
                                             / serve_parsed_s, 2),
         "parsed_serving_diff_mismatches": serve_mm,
+        "n_fuzzy": len(fq),
+        "qps_fuzzy_distributed": round(len(fq) / fuzzy_dist_s, 2),
+        "qps_fuzzy_serving_replica": round(len(fq) / fuzzy_serve_s, 2),
+        "fuzzy_serving_diff_mismatches": fuzzy_mm,
         "cpus": cpus,
         "partitions": parts,
     }
