@@ -227,20 +227,47 @@ class FullTextIndex:
             # fall to the (bounded) join-chain matchall frame.
             # precision float64 keeps score == boost bit-exact
             # (constant scores never touch BM25 floats).
-            wrapped = []
+            from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
+            clause_ok = (str, TermQuery, PhraseQuery, BooleanQuery,
+                         MatchAllDocsQuery) + MultiTermQueryT
+            wrapped, exotic = [], []
             for qid, q in wrappers:
                 if isinstance(q, MatchAllDocsQuery):
                     wrapped.append((qid, BooleanQuery(must=[q])))
-                else:
+                elif isinstance(q.query, clause_ok):
                     wrapped.append((qid, BooleanQuery(
                         must=[MatchAllDocsQuery(boost=float(q.boost))],
                         filter=[q.query])))
-            b = search_boolean(self.spark, self.manifest, wrapped,
-                               k=k, precision="float64")
-            parts.append(b.select(
-                "qid", "doc_id",
-                F.lit(None).cast("double").alias("freq"),
-                F.lit(None).cast("int").alias("norm"), "score"))
+                else:
+                    # inner types with no boolean-clause form (DisMax,
+                    # nested ConstantScore): recursive full evaluation,
+                    # then per-qid k smallest ids at score == boost —
+                    # the pre-rewrite semantics ("wraps ANY query")
+                    exotic.append((qid, q))
+            if wrapped:
+                b = search_boolean(self.spark, self.manifest, wrapped,
+                                   k=k, precision="float64")
+                parts.append(b.select(
+                    "qid", "doc_id",
+                    F.lit(None).cast("double").alias("freq"),
+                    F.lit(None).cast("int").alias("norm"), "score"))
+            if exotic:
+                from pyspark.sql import Window
+                inner = self.query([(qid, q.query) for qid, q in exotic],
+                                   k=10 ** 9, precision=precision)
+                bmap = self.spark.createDataFrame(
+                    [(int(qid), float(q.boost)) for qid, q in exotic],
+                    "qid long, score double")
+                win = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+                parts.append(
+                    inner.select("qid", "doc_id").distinct()
+                    .withColumn("rank", F.row_number().over(win))
+                    .filter(F.col("rank") <= k).drop("rank")
+                    .join(F.broadcast(bmap), "qid")
+                    .select("qid", "doc_id",
+                            F.lit(None).cast("double").alias("freq"),
+                            F.lit(None).cast("int").alias("norm"),
+                            "score"))
         if exact:
             parts.append(search(self.spark, self.manifest, exact, k=k,
                                 precision=precision))
@@ -616,8 +643,11 @@ class MultiFieldIndex:
         # Materialize once: the contract accepts any iterable (including a
         # one-shot generator), and every field must see the SAME id set —
         # a generator exhausted by the first field would silently write
-        # empty delete generations for the rest.
-        if not isinstance(doc_ids, (list, tuple, set, frozenset)):
+        # empty delete generations for the rest.  A DataFrame passes
+        # through untouched (list(df) would iterate __getitem__ and
+        # yield Column objects, not ids).
+        if not isinstance(doc_ids, (list, tuple, set, frozenset,
+                                    DataFrame)):
             doc_ids = list(doc_ids)
         total = 0
         for name in self.fields:

@@ -585,12 +585,11 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
             # decode behind the intersection would repeat every round
             # (kernel tasks are stateless across jobs), overwhelming the
             # position-work saving — a phrase pair completes in its
-            # first round; the sync loop's doc budget is the reference's
+            # first round (it never emits a state row, so it is never
+            # relaunched); the sync loop's doc budget is the reference's
             # per-term topdocs path
-            end = order.size
-            done = True  # WAND cut or full evaluation both finish the pair
-            for start in range(start_idx, end, chunk):
-                sel = order[start:min(start + chunk, end)]
+            for start in range(0, order.size, chunk):
+                sel = order[start:start + chunk]
                 # strict <: an unevaluated candidate with exact == kth
                 # could still win the doc_id-asc tie-break.  ext is the
                 # broadcast global bound — admissible immediately.
@@ -611,13 +610,6 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                     pos_scores = scores[scores > -np.inf]
                     if pos_scores.size >= k:
                         kth_best = float(np.partition(pos_scores, -k)[-k])
-            else:
-                done = end >= order.size  # budget spent with work left?
-            if sync and not done:
-                st_qid.append(qid)
-                st_idx.append(int(end))
-                st_norm.append(-1)
-                st_ub.append(float(np.float64(ub[order[end]])))
 
         hit = freqs > 0
         if not hit.any():

@@ -282,8 +282,9 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
             jq = list(queries)
         if plan == "kernel" and jq:
             raise ValueError("batch contains clauses the compound kernel "
-                             "cannot host (sloppy/multiterm-const/"
-                             "matchall) or the index needs cogroup norms")
+                             "cannot host (sloppy phrases, over-cap "
+                             "multiterm expansions) or the index needs "
+                             "cogroup norms")
         parts = []
         if kq:
             parts.append(search_compound(spark, {"": manifest}, "", kq,

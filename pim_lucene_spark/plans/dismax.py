@@ -100,9 +100,10 @@ def search_dismax(spark: SparkSession, index, queries, k: int = 10,
         else:
             jq = list(queries)
         if plan == "kernel" and jq:
-            raise ValueError("batch contains sloppy-phrase clauses or "
-                             "the index needs cogroup norms; the "
-                             "compound kernel cannot host it")
+            raise ValueError("batch contains clauses the compound kernel "
+                             "cannot host (sloppy phrases, over-cap "
+                             "multiterm expansions) or the index needs "
+                             "cogroup norms")
         parts = []
         if kq:
             parts.append(search_compound(spark, {"": manifest}, "", kq,

@@ -97,6 +97,59 @@ def test_boolean_and_dismax_join_k_none(spark, tmp_path):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_multifield_delete_docs_accepts_dataframe(spark, tmp_path):
+    """A Spark DataFrame of ids must pass through untouched (list(df)
+    iterates __getitem__ and yields Column objects — review finding)."""
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "title": ["red a", "green b", "red c", "blue d"],
+        "body": ["aa xx", "bb yy", "cc zz", "dd ww"],
+    })
+    idx = MultiFieldIndex.build(
+        spark, spark.createDataFrame(docs), str(tmp_path / "mfdf"),
+        fields={"title": "title", "body": "body"},
+        cfg=IndexConfig(num_partitions=2, num_segments=1, build_chunks=1),
+        id_col="doc_id")
+    ids = spark.createDataFrame([(0,), (2,)], "doc_id long")
+    assert idx.delete_docs(ids) == 2
+    for name in idx.fields:
+        assert idx.manifests[name].deleted_count == 2, name
+    assert idx.search_term("red", field="title").count() == 0
+
+
+def test_constant_score_exotic_inner(spark, tmp_path):
+    """ConstantScoreQuery wraps ANY query: DisMax and nested
+    ConstantScore inners take the recursive path (review finding: the
+    boolean rewrite only hosts clause-form inners)."""
+    from pim_lucene_spark.index import FullTextIndex
+    from pim_lucene_spark.plans.dismax import DisMaxQuery
+    from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                              PhraseQuery)
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "content": ["red apple", "green pear", "red plum",
+                    "apple tart", "red sun", "pear pie"],
+    })
+    m = build_index(spark, spark.createDataFrame(docs),
+                    str(tmp_path / "csq"), IndexConfig(2, 1, build_chunks=1),
+                    content_col="content", id_col="doc_id")
+    idx = FullTextIndex(spark, m)
+    res = idx.query([
+        (0, ConstantScoreQuery(DisMaxQuery(clauses=["red", "apple"]),
+                               boost=2.0)),
+        (1, ConstantScoreQuery(
+            ConstantScoreQuery(PhraseQuery("red apple"), boost=9.0),
+            boost=0.5)),
+    ], k=10, precision="float64").toPandas()
+    q0 = res[res.qid == 0]
+    assert sorted(q0.doc_id) == [0, 2, 3, 4]  # red ∪ apple
+    assert (q0.score == 2.0).all()
+    q1 = res[res.qid == 1]
+    assert sorted(q1.doc_id) == [0]
+    assert (q1.score == 0.5).all()  # outer boost wins
+
+
 # ---------------------------------------------------------------- hybrid
 
 def _clustered_emb(n=240, dim=16, seed=11, clusters=24):
