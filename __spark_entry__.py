@@ -756,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity -----------------------------------------------------
         "ann_cosine_topk": _q_ann,
         "hybrid_rrf_topk": _q_hybrid,
+        "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk":
             lambda s, d: similarity.lsh_bucketed_topk(
                 _emb(s, d), ANN_QUERY_IDS, k=10, num_planes=8, dim=EMB_DIM)
@@ -861,6 +862,70 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 16,
           JOIN gsets ga ON ga.doc_id = cand.doc_a
           JOIN gsets gb ON gb.doc_id = cand.doc_b)
         WHERE j >= {threshold}"""
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF approximate cosine top-k: k-means coarse quantizer (bounded
+    driver-sample training), nearest-centroid list assignment as a map
+    stage, per-query nprobe probing + exact in-list rerank — the
+    inverted-file ANN the prompt names as the scale path."""
+    res = similarity.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10,
+                              num_centroids=16, nprobe=4)
+    return res.select("qid", "vec_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+def _ann_ivf_sql(k: int = 10, num_centroids: int = 16, nprobe: int = 4,
+                 seed: int = 42, iters: int = 10) -> str:
+    """IVF oracle: the centroids train in the SAME numpy core from the
+    same sorted sf0.01 sample (no Spark) and inline as SQL literals;
+    assignment replays as argmax over raw centroid dots (list_position
+    of the max — numpy argmax picks the first max too); the per-query
+    probe lists are computed here and inlined as a VALUES table."""
+    import pyarrow.parquet as pq
+
+    from pim_lucene_spark.operators.similarity import kmeans_centroids_np
+    pdf = (pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    m = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in pdf.embedding])
+    cents = kmeans_centroids_np(m, num_centroids, iters, seed)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-12)
+    dots = ("list_value(" + ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in cn[j]) + "])"
+        for j in range(len(cn))) + ")")
+    probe_rows = []
+    ids_np = pdf.vec_id.to_numpy()
+    for qid in ANN_QUERY_IDS:
+        qv = m[ids_np == qid][0]
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        for b in np.argsort(-(cn @ qv), kind="stable")[:nprobe]:
+            probe_rows.append(f"({qid}, {int(b)})")
+    ids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+        WITH base AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+        dotted AS (SELECT vec_id, v, {dots} AS dl FROM base),
+        bucketed AS (SELECT vec_id, v,
+               CAST(list_position(dl, list_aggregate(dl, 'max')) - 1
+                    AS INT) AS bucket FROM dotted),
+        probes(qid, bucket) AS (VALUES {", ".join(probe_rows)}),
+        q AS (SELECT vec_id AS qid, v AS qv FROM base
+              WHERE vec_id IN ({ids}))
+        SELECT qid, vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT q.qid, b.vec_id,
+                 list_dot_product(qv, v) /
+                 (sqrt(list_dot_product(qv, qv)) *
+                  sqrt(list_dot_product(v, v))) AS cosine
+          FROM probes JOIN bucketed b ON b.bucket = probes.bucket
+               JOIN q ON q.qid = probes.qid
+          WHERE b.vec_id <> q.qid)
+        QUALIFY row_number() OVER
+          (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= {k}"""
 
 
 def _ann_lsh_sql(k: int = 10, num_planes: int = 8, seed: int = 42) -> str:
@@ -1181,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "dedup_minhash_lsh": _minhash_sql(num_hashes=32, bands=16,
                                           threshold=0.01),
+        "ann_ivf_topk": _ann_ivf_sql(k=10, num_centroids=16, nprobe=4),
         "ann_lsh_topk": _ann_lsh_sql(k=10, num_planes=8),
         "hybrid_rrf_topk": _hybrid_sql(),
         "dedup_embedding_cosine": _emb_neardup_sql(threshold=0.3,

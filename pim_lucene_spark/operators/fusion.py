@@ -78,6 +78,9 @@ def hybrid_search(spark, index, emb: DataFrame,
       rerank (:func:`~pim_lucene_spark.operators.similarity
       .lsh_bucketed_topk`); the scale path — the dense join touches only
       same-bucket rows, never the corpus × queries product.
+    - ``"ivf"`` — k-means inverted lists + nprobe probing
+      (:func:`~pim_lucene_spark.operators.similarity.ivf_topk`); the
+      alternative scale path where the corpus has cluster structure.
     - ``"auto"`` (default) — LSH when ``emb`` has more than
       ``lsh_threshold`` rows (one count-star, answered from Parquet
       metadata), else brute force.  At 100 TB the corpus is always past
@@ -93,8 +96,9 @@ def hybrid_search(spark, index, emb: DataFrame,
         lsh_bucketed_topk,
     )
 
-    if ann not in ("auto", "bruteforce", "lsh"):
-        raise ValueError("ann must be 'auto', 'bruteforce' or 'lsh'")
+    if ann not in ("auto", "bruteforce", "lsh", "ivf"):
+        raise ValueError("ann must be 'auto', 'bruteforce', 'lsh' "
+                         "or 'ivf'")
     ft = (search(spark, index, [(qid, text) for qid, text, _ in queries],
                  k=n_candidates, precision=precision)
           .select("qid", "doc_id", "score"))
@@ -107,6 +111,10 @@ def hybrid_search(spark, index, emb: DataFrame,
                                     num_planes=num_planes,
                                     num_tables=num_tables, seed=seed,
                                     dim=dim)
+    elif ann == "ivf":
+        from pim_lucene_spark.operators.similarity import ivf_topk
+        ann_raw = ivf_topk(emb, sorted(qvec_ids),
+                           k=n_candidates + len(qvec_ids), seed=seed)
     else:
         ann_raw = cosine_topk_bruteforce(emb, sorted(qvec_ids),
                                          k=n_candidates + len(qvec_ids))

@@ -117,6 +117,124 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.3,
             .filter(F.col("cosine") >= threshold))
 
 
+def kmeans_centroids(emb: DataFrame, num_centroids: int = 64,
+                     iters: int = 10, seed: int = 42,
+                     sample: int = 20_000,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic k-means centroids for the IVF index — trained on a
+    bounded SAMPLE collected to the driver (the standard IVF recipe:
+    training wants thousands of points per centroid, never the corpus;
+    at 100 TB the sample is a tiny seeded `.limit` pushdown while
+    assignment stays fully distributed).  Lloyd iterations in numpy with
+    a fixed seed → reproducible centroids (the oracle inlines them as
+    SQL literals).  Empty clusters re-seed to the farthest points."""
+    rows = (emb.select(F.col(id_col).cast("long").alias("i"),
+                       F.col(vec_col).alias("v"))
+            .orderBy("i").limit(int(sample)).collect())
+    m = np.asarray([list(map(float, r["v"])) for r in rows],
+                   dtype=np.float64)
+    return kmeans_centroids_np(m, num_centroids, iters, seed)
+
+
+def kmeans_centroids_np(m: np.ndarray, num_centroids: int = 64,
+                        iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Pure-numpy Lloyd core (deterministic): shared by the Spark
+    trainer and the DuckDB oracle builder, so both sides inline the
+    IDENTICAL centroids."""
+    rng = np.random.default_rng(seed)
+    c = int(min(num_centroids, len(m)))
+    cents = m[rng.choice(len(m), size=c, replace=False)]
+    for _ in range(iters):
+        # cosine assignment: normalize then argmax dot
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1,
+                                               keepdims=True), 1e-12)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-12)
+        assign = (mn @ cn.T).argmax(axis=1)
+        for j in range(c):
+            sel = m[assign == j]
+            if len(sel):
+                cents[j] = sel.mean(axis=0)
+            else:  # re-seed empty cluster to the worst-served point
+                far = (mn @ cn.T).max(axis=1).argmin()
+                cents[j] = m[far]
+    return cents
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Nearest-centroid (cosine) bucket id — the IVF list assignment,
+    a pure map stage (Arrow-batched; at ingest time this column is
+    precomputed and the search join is a pushdown equi-join)."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        # argmax of v·ĉ (row normalization is scale-invariant for the
+        # ARGMAX, and skipping it keeps the floats bit-comparable with
+        # the SQL oracle's raw dot products)
+        return pd.Series((m @ cn.T).argmax(axis=1).astype(np.int32))
+
+    return bucket
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+             num_centroids: int = 64, nprobe: int = 4,
+             iters: int = 10, seed: int = 42, sample: int = 20_000,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate cosine top-k: coarse k-means quantizer, each
+    query probes its ``nprobe`` nearest centroid lists, exact rerank
+    inside the probed lists — the inverted-file ANN structure (the
+    text-index analogue: centroid = term, list = postings).
+
+    Scale shape: centroid training is bounded (driver sample), list
+    assignment is one map stage (precompute at ingest), and the search
+    join touches only ``nprobe/num_centroids`` of the corpus per query
+    — an equi-join on the bucket column, never all pairs.  Recall is
+    tunable via ``nprobe`` (= num_centroids ⟹ exact).  Deterministic
+    for fixed seed: the oracle inlines the trained centroids and
+    replays assignment + probe + rerank in SQL.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(emb, num_centroids, iters, seed,
+                                     sample, id_col, vec_col)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    base = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("v"))
+    bucket = ivf_assign_udf(centroids)
+    tagged = base.withColumn("bucket", bucket(F.col("v")))
+    # per-query probe set: nprobe nearest centroids of the QUERY vector
+    qrows = (base.filter(F.col("vec_id")
+                         .isin([int(q) for q in query_ids]))
+             .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+             .collect())
+    probes = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        top = np.argsort(-(cn @ qv), kind="stable")[:nprobe]
+        probes += [(int(r["qid"]), int(b)) for b in top]
+    pframe = F.broadcast(
+        tagged.sparkSession.createDataFrame(probes,
+                                            "qid long, bucket int"))
+    qframe = F.broadcast(
+        base.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    cand = (tagged.join(pframe, "bucket")
+            .join(qframe, "qid")
+            .filter(F.col("vec_id") != F.col("qid")))
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = cand.select("qid", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).drop("rank"))
+
+
 def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                       num_planes: int = 12, seed: int = 42,
                       id_col: str = "vec_id",

@@ -253,3 +253,33 @@ def test_rrf_fusion_matches_manual(spark):
     pd.testing.assert_frame_equal(
         got.astype({"qid": "int64", "doc_id": "int64"}),
         exp.sort_values(["qid", "doc_id"]).reset_index(drop=True))
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    """IVF (k-means coarse quantizer + nprobe probing + exact in-list
+    rerank): recall@10 >= 0.9 on clustered vectors at nprobe=6/32, and
+    EXACT equality to brute force when every list is probed."""
+    emb = spark.createDataFrame(_embeddings())
+    qids = [0, 1, 2, 3, 4]
+    exact = (similarity.cosine_topk_bruteforce(emb, qids, k=10)
+             .toPandas().groupby("qid").vec_id.apply(set).to_dict())
+    approx = (similarity.ivf_topk(emb, qids, k=10, num_centroids=32,
+                                  nprobe=6)
+              .toPandas().groupby("qid").vec_id.apply(set).to_dict())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in qids)
+    assert hits / (10 * len(qids)) >= 0.9
+    full = (similarity.ivf_topk(emb, qids, k=10, num_centroids=16,
+                                nprobe=16)
+            .toPandas().groupby("qid").vec_id.apply(set).to_dict())
+    assert all(full[q] == exact[q] for q in qids)
+
+
+def test_ivf_centroids_deterministic(spark):
+    """Same seed + same sample => identical centroids from the Spark
+    trainer and the numpy core (what the SQL oracle relies on)."""
+    pdf = _embeddings(n=120)
+    emb = spark.createDataFrame(pdf)
+    a = similarity.kmeans_centroids(emb, num_centroids=8, seed=7)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    b = similarity.kmeans_centroids_np(m, num_centroids=8, seed=7)
+    np.testing.assert_array_equal(a, b)
