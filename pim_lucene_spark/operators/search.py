@@ -864,6 +864,13 @@ def _search_sync_rounds(spark, postings, payload: dict, k: int,
     identical results to the single-pass plan, differential-tested.
     Decode bytes drop on hot terms because round ≥ 2 starts from a
     globally tightened bound instead of one partition's sample.
+
+    The per-(query, partition) resume index in ``progress`` is also the
+    query-side early-exit/context-restore protocol (Q15 —
+    ``dpu.c:679-722``, ``context_save_restore.c:17-68``): a budget-hit
+    pair saves exactly where its deterministic traversal stopped and
+    the next launch resumes there; the build side's chunk markers are
+    the same protocol for indexing.
     """
     progress: dict = {}     # qid -> {pid: resume_idx}; round-0 empty
     bounds: dict = {}

@@ -40,6 +40,22 @@ def explain(index: IndexManifest | str, query, doc_id: int,
 
     manifest = (IndexManifest.load(index) if isinstance(index, str)
                 else index)
+    from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                              MatchAllDocsQuery)
+    if isinstance(query, MatchAllDocsQuery):
+        # constant scorer over every doc (MatchAllDocsQuery.java)
+        return {"doc_id": int(doc_id), "query": "MatchAllDocsQuery",
+                "matches": True, "score": float(query.boost),
+                "description": "*:*, constant score == boost"}
+    if isinstance(query, ConstantScoreQuery):
+        inner = explain(manifest, query.query, doc_id, precision)
+        m = bool(inner["matches"])
+        return {"doc_id": int(doc_id), "query": "ConstantScoreQuery",
+                "matches": m,
+                "score": float(query.boost) if m else 0.0,
+                "description": "constant score == boost when the "
+                               "wrapped query matches",
+                "inner": inner}
     if isinstance(query, BooleanQuery):
         return _explain_boolean(manifest, query, doc_id, precision)
     if isinstance(query, DisMaxQuery):
@@ -126,8 +142,10 @@ def _boosted_clause(clause, mul: float):
     from pim_lucene_spark.plans.boolean import BooleanQuery
     from pim_lucene_spark.plans.query import PhraseQuery
 
-    if isinstance(clause, BooleanQuery):
-        from dataclasses import replace
+    from dataclasses import replace
+
+    from pim_lucene_spark.plans.query import MatchAllDocsQuery
+    if isinstance(clause, (BooleanQuery, MatchAllDocsQuery)):
         return replace(clause, boost=float(clause.boost) * mul)
     text = getattr(clause, "text", clause)
     if not isinstance(text, str):
@@ -147,7 +165,8 @@ def _explain_clause(manifest, clause, doc_id: int, precision: str) -> dict:
     from pim_lucene_spark.functions.tokenize import tokenize_one
     from pim_lucene_spark.plans.boolean import BooleanQuery
 
-    if not isinstance(clause, BooleanQuery):
+    from pim_lucene_spark.plans.query import MatchAllDocsQuery
+    if not isinstance(clause, (BooleanQuery, MatchAllDocsQuery)):
         text = getattr(clause, "text", clause)
         if isinstance(text, str) and \
                 not tokenize_one(text, manifest.tokenizer):

@@ -104,3 +104,32 @@ def test_explain_boolean_and_dismax_bit_identity(spark, tmp_path):
     for d, s in zip(got.doc_id, got.score):
         ex = explain(m, dq, int(d))
         assert ex["matches"] and np.float32(ex["score"]) == np.float32(s)
+
+
+def test_explain_matchall_and_constant_score(spark, eidx):
+    """MatchAllDocs / ConstantScore explains: constant score == boost,
+    wrapper matches iff the inner matches; *:*-in-boolean composes."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                              MatchAllDocsQuery,
+                                              PhraseQuery)
+
+    m = eidx
+    e = explain(m, MatchAllDocsQuery(boost=2.5), 0)
+    assert e["matches"] and e["score"] == 2.5
+    hit = explain(m, ConstantScoreQuery(PhraseQuery("red apple"),
+                                        boost=3.0), 0)
+    assert hit["matches"] and hit["score"] == 3.0    # doc 0: red apple pie
+    assert "inner" in hit
+    miss = explain(m, ConstantScoreQuery(PhraseQuery("red apple"),
+                                         boost=3.0), 4)
+    assert not miss["matches"] and miss["score"] == 0.0
+    # *:* as a boolean clause: constant contribution sums with BM25
+    bq = BooleanQuery(must=["red"], should=[MatchAllDocsQuery(boost=0.5)])
+    from pim_lucene_spark.plans.boolean import search_boolean
+    res = search_boolean(spark, m, [(0, bq)], k=50,
+                         precision="float32").toPandas()
+    for _, row in res.head(3).iterrows():
+        eb = explain(m, bq, int(row.doc_id))
+        assert eb["matches"]
+        assert abs(eb["score"] - row.score) < 1e-6, (row.doc_id,)
