@@ -448,6 +448,47 @@ def _q_boolean(spark, sf_dir):
     return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _sloppy_bool_specs():
+    """Boolean specs with SLOPPY phrase clauses — built lazily (the
+    typed query objects live in the package).  These evaluate in the
+    compound KERNEL (stored-position SloppyPhraseMatcher per partition,
+    per-partition top-k emission) — the round-5 fix for the last
+    unbounded clause frame (the scan-path sloppy clause used to ship
+    its full match set at k=10**9)."""
+    from pim_lucene_spark.plans.query import PhraseQuery
+    return [
+        (750, {"must": ["merge"],
+               "should": [PhraseQuery("table merge", slop=2)]}),
+        (751, {"must": [PhraseQuery("the key", slop=1, boost=2.0)],
+               "must_not": ["vector"]}),
+    ]
+
+
+def _q_sloppy_boolean(spark, sf_dir):
+    """Sloppy phrase clauses inside booleans, hosted by the compound
+    kernel (plan='kernel' asserts the route): index positions feed the
+    exact Lucene SloppyPhraseMatcher; scores must equal the recursive-
+    CTE DuckDB oracle."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    m = _get_index(spark, sf_dir)
+    bqs = [(qid, BooleanQuery(**spec)) for qid, spec in _sloppy_bool_specs()]
+    res = search_boolean(spark, m, bqs, k=10, precision="float64",
+                         plan="kernel")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_slop_kernel(spark, sf_dir):
+    """Standalone sloppy batch on the INDEX-hosted kernel
+    (search_sloppy_kernel: postings pushdown + stored positions — no
+    corpus re-tokenize), same oracle family as the scan entries."""
+    from pim_lucene_spark.plans.compound import search_sloppy_kernel
+    m = _get_index(spark, sf_dir)
+    res = search_sloppy_kernel(spark, m, SLOP_QUERIES, k=10, slop=2,
+                               precision="float64")
+    return res.select("qid", "doc_id", F.round("freq", 6).alias("freq"),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_local_serving(spark, sf_dir):
     """Serving path (no Spark job): must equal the distributed phrase
     entry — same oracle SQL."""
@@ -715,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_local_serving": _q_local_serving,
         "engine_sharded_serving": _q_sharded_serving,
         "engine_boolean_bm25": _q_boolean,
+        "engine_sloppy_boolean": _q_sloppy_boolean,
+        "engine_slop_kernel": _q_slop_kernel,
         "engine_matchall_boolean": _q_matchall_boolean,
         "engine_compound_count": _q_compound_count,
         "engine_dismax_topk": _q_dismax,
@@ -878,14 +921,22 @@ def _q_ann_ivf(spark, sf_dir):
 def _ann_ivf_sql(k: int = 10, num_centroids: int = 16, nprobe: int = 4,
                  seed: int = 42, iters: int = 10) -> str:
     """IVF oracle: the centroids train in the SAME numpy core from the
-    same sorted sf0.01 sample (no Spark) and inline as SQL literals;
+    same sorted embedding sample (no Spark) and inline as SQL literals;
     assignment replays as argmax over raw centroid dots (list_position
     of the max — numpy argmax picks the first max too); the per-query
-    probe lists are computed here and inlined as a VALUES table."""
+    probe lists are computed here and inlined as a VALUES table.
+
+    The training data must be the SAME table the query runs on — the
+    driver's correctness gate runs at sf0.01 (the default); any other
+    harness must point ``SPARK_GRAFT_ORACLE_SF_DIR`` at its sf dir
+    (each sf is an independent sample, so sf0.01 centroids are wrong
+    for sf0.001 vectors)."""
     import pyarrow.parquet as pq
 
     from pim_lucene_spark.operators.similarity import kmeans_centroids_np
-    pdf = (pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    pdf = (pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"]).to_pandas()
            .sort_values("vec_id").reset_index(drop=True))
     m = np.stack([np.asarray(v, dtype=np.float64)
@@ -1062,6 +1113,10 @@ def oracle_sql() -> dict[str, str]:
         "engine_sharded_serving": oracle.phrase_bm25_sql(PHRASE_QUERIES,
                                                          k=10),
         "engine_boolean_bm25": oracle.boolean_bm25_sql(BOOL_SPECS, k=10),
+        "engine_sloppy_boolean": oracle.boolean_bm25_sql(
+            _sloppy_bool_specs(), k=10),
+        "engine_slop_kernel": oracle.sloppy_phrase_bm25_sql(SLOP_QUERIES,
+                                                            slop=2, k=10),
         "engine_matchall_boolean": oracle.boolean_bm25_sql(
             MATCHALL_BOOL_SPECS, k=10),
         "engine_compound_count": _compound_count_sql(),

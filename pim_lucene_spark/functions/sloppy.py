@@ -198,3 +198,32 @@ def sloppy_freqs_batch(doc_idx: np.ndarray, codes: np.ndarray,
         return empty
     return np.asarray(rows, dtype=np.int64), np.asarray(freqs,
                                                         dtype=np.float64)
+
+
+def sloppy_freqs_postings(postings_by_term: list, cand_idx_by_term: list,
+                          n_cand: int, term_keys: list,
+                          slop: int) -> np.ndarray:
+    """Per-candidate sloppy freqs from INDEX postings (no tokenize scan).
+
+    ``postings_by_term[i]`` is the ``_LazyPostings`` of the query term at
+    phrase offset ``i`` (repeated terms pass the same object);
+    ``cand_idx_by_term[i]`` that term's candidate indices (one per
+    candidate doc, candidates = docs containing every term).  Positions
+    decode lazily for exactly the candidates' units — the stored streams
+    are the same raw token positions the scan path re-tokenizes, so
+    :func:`sloppy_doc_freq` emits the identical Lucene traversal.
+    Returns one float64 freq per candidate (0.0 = no match).
+    """
+    seen: set[int] = set()
+    for tp, idx in zip(postings_by_term, cand_idx_by_term):
+        if id(tp) not in seen:
+            tp.ensure_positions(idx)
+            seen.add(id(tp))
+    freqs = np.zeros(n_cand, dtype=np.float64)
+    for j in range(n_cand):
+        pls = []
+        for tp, idx in zip(postings_by_term, cand_idx_by_term):
+            i = int(idx[j])
+            pls.append(tp.positions[tp.pos_offsets[i]:tp.pos_offsets[i + 1]])
+        freqs[j] = sloppy_doc_freq(pls, term_keys, slop)
+    return freqs

@@ -238,25 +238,19 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
       so every clause's postings for a doc are co-located — and the
       BooleanWeight composition happens in numpy per partition, emitting
       only per-partition top-k (one shuffle of ≤ P·k rows/query; see
-      ``plans/compound.py``).  Hosts term/phrase/fuzzy/matchall/nested
-      clauses and capped constant-score multiterm on POSIX-visible v3
-      indexes.
+      ``plans/compound.py``).  Hosts term/phrase (ANY slop — the Lucene
+      sloppy matcher runs over the stored position streams)/fuzzy/
+      matchall/nested clauses and capped constant-score multiterm on
+      POSIX-visible v3 indexes.
     - **join** (fallback; ``plan='join'`` forces it): clause match sets
       materialize through one batched job per family and compose via a
-      deterministic join chain — needed for sloppy-phrase clauses,
-      over-cap multiterm expansions, cogroup-norms indexes, and
-      ``k=None`` clause evaluation.  MatchAllDocs frames are bounded
-      (other-clause docs ∪ k-smallest-of-rest, deletes excluded).
-
-    **Scale note — the one remaining corpus-bounded frame**: a SLOPPY
-    phrase inside a boolean ships its full scan-path match set through
-    the exchange (``k=10**9``).  This is inherent to clause-frame
-    semantics — the doc's sloppy weight is needed wherever ANY clause
-    combination could reach the top-k, and Lucene's own BooleanScorer
-    iterates the sloppy scorer exhaustively too — but on a 100× corpus
-    a stopword-ish sloppy clause makes this frame corpus-sized.  Prefer
-    slop=0 clauses (kernel-hosted) or a standalone sloppy query
-    (bounded top-k emission) where the semantics allow.
+      deterministic join chain — needed for over-cap multiterm
+      expansions, cogroup-norms indexes, and ``k=None`` clause
+      evaluation.  MatchAllDocs frames are bounded (other-clause docs ∪
+      k-smallest-of-rest, deletes excluded); a sloppy clause on THIS
+      plan still ships its full scan-path match set (``k=10**9``) —
+      inherent to clause-frame semantics, and no longer the default
+      route for any kernel-hostable index.
 
     Both plans produce bit-identical scores (clause-declaration-order
     float accumulation); differential-tested.
@@ -282,9 +276,9 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
             jq = list(queries)
         if plan == "kernel" and jq:
             raise ValueError("batch contains clauses the compound kernel "
-                             "cannot host (sloppy phrases, over-cap "
-                             "multiterm expansions) or the index needs "
-                             "cogroup norms")
+                             "cannot host (over-cap multiterm "
+                             "expansions) or the index needs cogroup "
+                             "norms")
         parts = []
         if kq:
             parts.append(search_compound(spark, {"": manifest}, "", kq,

@@ -33,9 +33,12 @@ partitions alive — the reference's ``MatchAllDocsQuery`` scorer is a
 constant iterator).  Constant-score multiterm clauses host in-kernel
 when their expansion (resident term dictionary, pyarrow pushdown) fits
 ``MAX_CLAUSE_COUNT`` — the match-set union stays in its partition.
-Clauses the kernel cannot host (sloppy phrases — scan path over raw
-docs; over-wide expansions — the distributed constant-score path never
-materializes a term list) stay on the join-chain path;
+Sloppy phrase clauses host in-kernel too: the stored per-term position
+streams feed the exact Lucene ``SloppyPhraseMatcher`` traversal
+(``functions/sloppy.py``) per candidate doc — no corpus re-tokenize,
+no unbounded scan frame.  The one clause family the kernel cannot host
+(over-wide multiterm expansions — the distributed constant-score path
+never materializes a term list) stays on the join-chain path;
 ``search_boolean`` routes per query, so a batch mixes both plans.
 
 Multi-field batches (``search_boolean_fields``, BM25F) ride the same
@@ -55,6 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pim_lucene_spark.functions import bm25
+from pim_lucene_spark.functions.sloppy import sloppy_freqs_postings
 from pim_lucene_spark.manifest import IndexManifest
 from pim_lucene_spark.operators.search import (
     _assemble_by_term,
@@ -86,13 +90,21 @@ class ExpansionTooWide(NotImplementedError):
 
 def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
                 weight: float, cache: np.ndarray, precision: str,
-                cand_segs: np.ndarray | None = None
-                ) -> tuple[np.ndarray, np.ndarray]:
+                cand_segs: np.ndarray | None = None, slop: int = 0
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One term/phrase clause's partition-local match set →
-    (docs ascending-unique, float64 scores).  Same decode machinery as
-    the search kernel (co-presence segment masks, lazy positions), no
-    top-k cut — composition needs every matching doc of this partition,
-    but nothing ever leaves the partition.
+    (docs ascending-unique, float64 scores, float64 freqs).  Same decode
+    machinery as the search kernel (co-presence segment masks, lazy
+    positions), no top-k cut — composition needs every matching doc of
+    this partition, but nothing ever leaves the partition.
+
+    ``slop != 0`` replaces the exact overlap-count alignment with the
+    Lucene ``SloppyPhraseMatcher`` traversal over the SAME index position
+    streams (``functions/sloppy.py``) — freq is the float Σ 1/(1+len)
+    weight sum, bit-identical to the scan path (which re-tokenizes to
+    recover the very positions the index already stores).  Single-term
+    phrases score as plain terms under any slop (every occurrence is a
+    matchLength-0 match).
 
     ``cand_segs`` (a boolean per-segment mask) restricts decode to the
     segments holding a known candidate set — the MAXSCORE-flavored
@@ -104,7 +116,7 @@ def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
     """
     by_term = ctx.by_term
     if any(t not in by_term for t in terms):
-        return _EMPTY_I64, _EMPTY_F64
+        return _EMPTY_I64, _EMPTY_F64, _EMPTY_F64
     uniq = list(dict.fromkeys(terms))
     if len(terms) == 1:
         seg_mask = None
@@ -112,12 +124,13 @@ def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
             seg_mask = cand_segs
         lp = ctx.get(terms[0], seg_mask)
         docs = lp.rel_docs
+        fr = lp.freqs.astype(np.float64)
         sc = np.asarray(bm25.score(lp.freqs, norms[docs], weight, cache,
                                    precision), dtype=np.float64)
         if docs.size > 1 and np.any(np.diff(docs) < 0):
             o = np.argsort(docs, kind="stable")
-            docs, sc = docs[o], sc[o]
-        return docs, sc
+            docs, sc, fr = docs[o], sc[o], fr[o]
+        return docs, sc, fr
     # co-presence prune: a phrase can only match in segments where EVERY
     # term has postings
     pres = None
@@ -130,7 +143,7 @@ def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
     if cand_segs is not None:
         pres = pres & cand_segs
     if not pres.any():
-        return _EMPTY_I64, _EMPTY_F64
+        return _EMPTY_I64, _EMPTY_F64, _EMPTY_F64
     seg_mask = None if pres.all() else pres
     tps = [ctx.get(t, seg_mask) for t in uniq]
     cand = tps[0].rel_docs
@@ -141,17 +154,24 @@ def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
                                       return_indices=True)
         idxs = [ix[ia] for ix in idxs] + [ib]
         if cand.size == 0:
-            return _EMPTY_I64, _EMPTY_F64
+            return _EMPTY_I64, _EMPTY_F64, _EMPTY_F64
     term_order = [uniq.index(t) for t in terms]
-    counts = _phrase_match_counts([tps[j] for j in term_order],
-                                  [idxs[j] for j in term_order], cand.size)
-    hit = counts > 0
+    if slop:
+        counts = sloppy_freqs_postings(
+            [tps[j] for j in term_order], [idxs[j] for j in term_order],
+            cand.size, list(terms), int(slop))
+        hit = counts > 0.0
+    else:
+        counts = _phrase_match_counts([tps[j] for j in term_order],
+                                      [idxs[j] for j in term_order],
+                                      cand.size)
+        hit = counts > 0
     if not hit.any():
-        return _EMPTY_I64, _EMPTY_F64
+        return _EMPTY_I64, _EMPTY_F64, _EMPTY_F64
     docs = cand[hit]  # intersect1d output is sorted
     sc = np.asarray(bm25.score(counts[hit], norms[docs], weight, cache,
                                precision), dtype=np.float64)
-    return docs, sc
+    return docs, sc, counts[hit].astype(np.float64)
 
 
 def _lookup(docs: np.ndarray, base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -340,7 +360,7 @@ def _compound_core(payload: dict, pid: int,
         ent = clause_plan.get(sid)
         if ent is None:  # term absent index-wide (df=0): empty clause
             return _EMPTY_I64, _EMPTY_F64
-        f, terms, weight = ent
+        f, terms, weight, slop = ent
         if f not in ctxs:  # no postings rows for this field here
             return _EMPTY_I64, _EMPTY_F64
         hit = leaf_cache.get(ent)
@@ -357,12 +377,13 @@ def _compound_core(payload: dict, pid: int,
                              // fields[f]["nb_doc_per_segment"])
             cand_segs = np.zeros(nseg, dtype=bool)
             cand_segs[segs[segs < nseg]] = True
-        res = _leaf_match(ctxs[f], norms[f], terms, weight,
-                          fields[f]["cache"], precision,
-                          cand_segs=cand_segs)
-        if live.get(f) is not None and res[0].size:
-            keep = live[f][res[0]]
-            res = (res[0][keep], res[1][keep])
+        docs, sc, _ = _leaf_match(ctxs[f], norms[f], terms, weight,
+                                  fields[f]["cache"], precision,
+                                  cand_segs=cand_segs, slop=slop)
+        if live.get(f) is not None and docs.size:
+            keep = live[f][docs]
+            docs, sc = docs[keep], sc[keep]
+        res = (docs, sc)
         if cand is None:  # only full evaluations are batch-reusable
             leaf_cache[ent] = res
         return res
@@ -456,6 +477,118 @@ def _compound_kernel(payload: dict):
     return fn
 
 
+SLOPPY_KERNEL_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("freq", T.DoubleType(), False),
+    T.StructField("norm", T.IntegerType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+def search_sloppy_kernel(spark: SparkSession, index, queries,
+                         k: int = 10, slop: int | dict[int, int] = 0,
+                         precision: str = "float32") -> DataFrame:
+    """Index-hosted sloppy (and mixed exact) phrase batch — the scale
+    path for ``slop != 0`` standalone queries.
+
+    The scan fallback (``plans/router.py::brute_force_search``)
+    re-tokenizes the ENTIRE corpus per batch to recover token positions
+    the index already stores; at 100× corpus scale that is a full-table
+    Arrow tokenize per query batch.  This kernel instead reads only the
+    query terms' postings (Parquet ``term IN`` pushdown), intersects
+    candidates per partition, runs the exact Lucene
+    ``SloppyPhraseMatcher`` traversal over the stored position streams
+    (``functions/sloppy.py`` — the same floats as the scan, since both
+    consume the same raw positions), and emits per-partition top-k.
+    Output schema matches the scan path (``freq`` DOUBLE, ``norm`` the
+    SmallFloat byte); deleted docs are masked after stats, before top-k
+    (Lucene pre-merge semantics).  Differential-tested bit-identical to
+    the scan at both precisions.
+    """
+    manifest = (IndexManifest.load(index) if isinstance(index, str)
+                else index)
+    norm_q = [(q[0], q[1]) if len(q) == 2 else (q[0], q[1], q[2])
+              for q in queries]
+    slops = (dict(slop) if isinstance(slop, dict)
+             else {q[0]: int(slop) for q in norm_q})
+    planned, needed = plan_queries(spark, manifest, norm_q, k, precision)
+    empty = spark.createDataFrame([], SLOPPY_KERNEL_SCHEMA)
+    if not planned:
+        return empty
+    avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
+                                  manifest.doc_count, precision)
+    payload = {
+        "queries": [(int(qid), tuple(terms), float(w),
+                     int(slops.get(qid, 0)))
+                    for qid, terms, w in planned],
+        "cache": bm25.score_cache(avgdl, manifest.k1, manifest.b,
+                                  precision),
+        "cache_key": (manifest.build_id or manifest.index_dir,
+                      manifest.doc_count, manifest.sum_total_term_freq),
+        "norms_path": manifest.norms_path,
+        "deletes_path": (manifest.deletes_path if manifest.delete_gen
+                         else None),
+        "k": int(k),
+        "precision": precision,
+        "num_partitions": int(manifest.num_partitions),
+        "postings_cache_mb": 0,
+    }
+    scan = (spark.read.parquet(*[manifest.chunk_path(c)
+                                 for c in range(manifest.build_chunks)])
+            .filter(F.col("term").isin(list(needed))))
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        from pim_lucene_spark.operators.deletes import live_mask_for
+
+        pid = int(key[0])
+        P = payload["num_partitions"]
+        kk = payload["k"]
+        out = {"qid": [], "doc_id": [], "freq": [], "norm": [],
+               "score": []}
+        empty_pdf = pd.DataFrame(out).astype(
+            {"qid": np.int64, "doc_id": np.int64, "freq": np.float64,
+             "norm": np.int32, "score": np.float64})
+        if not len(pdf):
+            return empty_pdf
+        ctx = _DecodeCtx(_assemble_by_term(pdf), payload, pid,
+                         ckey=payload["cache_key"])
+        part_dir = os.path.join(payload["norms_path"], f"pid={pid}")
+        blob = (pq.read_table(part_dir, columns=["norms"])
+                .column("norms")[0].as_py())
+        norms = np.frombuffer(blob, dtype=np.uint8)
+        live = live_mask_for(payload["deletes_path"], pid, P, norms.size)
+        for qid, terms, w, q_slop in payload["queries"]:
+            docs, sc, fr = _leaf_match(ctx, norms, terms, w,
+                                       payload["cache"],
+                                       payload["precision"], slop=q_slop)
+            if live is not None and docs.size:
+                keep = live[docs]
+                docs, sc, fr = docs[keep], sc[keep], fr[keep]
+            if docs.size == 0:
+                continue
+            order = np.lexsort((docs, -sc))
+            if kk is not None and order.size > kk:
+                order = order[:kk]
+            out["qid"].append(np.full(order.size, qid, dtype=np.int64))
+            out["doc_id"].append(docs[order] * P + pid)
+            out["freq"].append(fr[order])
+            out["norm"].append(norms[docs[order]].astype(np.int32))
+            out["score"].append(sc[order])
+        if not out["qid"]:
+            return empty_pdf
+        return pd.DataFrame({c: np.concatenate(v)
+                             for c, v in out.items()})
+
+    per_part = (scan.groupBy("pid")
+                .applyInPandas(kernel, SLOPPY_KERNEL_SCHEMA))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (per_part.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).drop("rank"))
+
+
 COUNT_SCHEMA = T.StructType([
     T.StructField("qid", T.LongType(), False),
     T.StructField("n", T.LongType(), False),
@@ -495,7 +628,8 @@ def count_compound(spark: SparkSession,
         needed = set(needed) | extra
         num_partitions = m.num_partitions
         for sid, ts, w in planned:
-            clause_plan[sid] = (f, tuple(ts), float(w))
+            clause_plan[sid] = (f, tuple(ts), float(w),
+                                b.slops.get(sid, 0))
         if not needed and not ma_here:
             continue
         avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
@@ -574,13 +708,14 @@ def kernel_hostable(manifests: dict[str, IndexManifest]) -> bool:
 def clause_kernelable(clause, allow_fielded=None, manifests=None,
                       field=None) -> bool:
     """True when a clause tree can evaluate inside the compound kernel:
-    term/phrase (slop 0) leaves, fuzzy (driver-expanded), nested
-    booleans, MatchAllDocs (constant per-doc contribution; postings-less
-    partitions run via the pid seed), and — when ``manifests`` is given —
-    constant-score multiterm whose expansion fits the kernel cap
-    (resident-dictionary probe, cached; the spec build reuses the same
-    read).  Sloppy phrases (scan path) and over-wide expansions route to
-    the join-chain plan."""
+    term/phrase leaves (ANY slop — the kernel runs the Lucene sloppy
+    matcher over the stored position streams), fuzzy (driver-expanded),
+    nested booleans, MatchAllDocs (constant per-doc contribution;
+    postings-less partitions run via the pid seed), and — when
+    ``manifests`` is given — constant-score multiterm whose expansion
+    fits the kernel cap (resident-dictionary probe, cached; the spec
+    build reuses the same read).  Over-wide expansions route to the
+    join-chain plan."""
     from pim_lucene_spark.plans.boolean import BooleanQuery
     from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
                                                   MultiTermQueryT,
@@ -611,7 +746,7 @@ def clause_kernelable(clause, allow_fielded=None, manifests=None,
             m = next(iter(manifests.values()))
         return expand_const_local(m, clause) is not None
     if isinstance(clause, PhraseQuery):
-        return int(clause.slop) == 0
+        return True  # any slop: the kernel hosts the sloppy matcher too
     if isinstance(clause, TermQuery) or isinstance(clause, str):
         return True
     return False
@@ -632,6 +767,9 @@ class _SpecBuilder:
         self.manifests = manifests
         self.default_field = default_field
         self.leaves: dict[str, list] = {f: [] for f in manifests}
+        # sid -> slop for sloppy-phrase leaves (kernel-hosted: the index
+        # position streams feed the SloppyPhraseMatcher traversal)
+        self.slops: dict[int, int] = {}
         self.matchall_fields: set[str] = set()
         # terms needed by const_or clauses (constant-score multiterm
         # expansions): scanned alongside the scored leaves' terms but
@@ -710,16 +848,16 @@ class _SpecBuilder:
             return {"kind": "const_or", "field": field,
                     "terms": tuple(exp),
                     "weight": float(clause.boost) * eff_boost}
-        if int(getattr(clause, "slop", 0)) != 0:
-            # the distributed routers gate sloppy clauses to the scan
-            # path before spec building; reaching here means a path
-            # without that gate (the serving-path compound search) —
-            # fail loudly rather than silently scoring slop=0
-            raise NotImplementedError(
-                "sloppy phrase clauses evaluate on the scan path; the "
-                "compound kernel cannot host them")
         text, cboost = _clause_text_boost(clause)
-        return self._leaf(field, text, cboost * eff_boost)
+        d = self._leaf(field, text, cboost * eff_boost)
+        slop = int(getattr(clause, "slop", 0))
+        if slop:
+            # sloppy phrase leaf: same stats/weight planning as an exact
+            # phrase (Lucene's PhraseWeight is slop-independent); the
+            # kernel runs the SloppyPhraseMatcher over the stored
+            # position streams instead of the adjacency alignment
+            self.slops[d["sid"]] = slop
+        return d
 
     def bool_spec(self, qid, bq, field: str, inherit: float = 1.0) -> dict:
         eff = float(bq.boost) * inherit
@@ -746,7 +884,8 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
                   postings_cache_mb: int = 0,
                   return_partial: bool = False,
                   matchall_fields: set | None = None,
-                  extra_terms: dict | None = None) -> DataFrame:
+                  extra_terms: dict | None = None,
+                  slops: dict[int, int] | None = None) -> DataFrame:
     """Run prepared compound specs through the per-partition kernel.
 
     One union scan (per-field ``term IN`` pushdown + field tag) →
@@ -776,7 +915,8 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
         needed = set(needed) | extra
         num_partitions = m.num_partitions
         for sid, terms, w in planned:
-            clause_plan[sid] = (f, tuple(terms), float(w))
+            clause_plan[sid] = (f, tuple(terms), float(w),
+                                int((slops or {}).get(sid, 0)))
         if not needed and not ma_here:
             continue
         avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
@@ -996,8 +1136,8 @@ def search_compound_local(index, queries,
     every field must share ``num_partitions``, the co-location that
     makes per-pid composition exact).  Fuzzy clauses expand against the
     resident term dictionary (``expand_fuzzy_local`` — pyarrow pushdown,
-    no Spark job); every kernel-able clause
-    (term/phrase/fuzzy/matchall/nested/fielded) serves.  ``pids`` restricts residency
+    no Spark job); every kernel-able clause (term/phrase at any slop/
+    fuzzy/matchall/nested/fielded) serves.  ``pids`` restricts residency
     to a shard subset (the sharded server's placement; per-pid top-k
     merge is exact because composition is per-doc and docs partition
     disjointly).
@@ -1047,7 +1187,8 @@ def search_compound_local(index, queries,
             planned, needed = [], set()
         needed = set(needed) | extra
         for sid, ts, w in planned:
-            clause_plan[sid] = (f, tuple(ts), float(w))
+            clause_plan[sid] = (f, tuple(ts), float(w),
+                                b.slops.get(sid, 0))
         if not needed and not ma_here:
             continue
         avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
@@ -1129,4 +1270,4 @@ def search_compound(spark: SparkSession,
     return eval_compound(spark, manifests, specs, b.leaves, k, precision,
                          postings_cache_mb=postings_cache_mb,
                          matchall_fields=b.matchall_fields,
-                         extra_terms=b.extra_terms)
+                         extra_terms=b.extra_terms, slops=b.slops)

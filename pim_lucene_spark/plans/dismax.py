@@ -92,8 +92,6 @@ def search_dismax(spark: SparkSession, index, queries, k: int = 10,
         kq, jq = [], []
         if kernel_hostable({"": manifest}) and k is not None:
             for qid, dq in queries:
-                # sloppy phrase clauses route to the join plan (their
-                # match sets come from the scan path)
                 (kq if all(clause_kernelable(c, manifests={"": manifest})
                            for c in dq.clauses)
                  else jq).append((qid, dq))
@@ -101,9 +99,9 @@ def search_dismax(spark: SparkSession, index, queries, k: int = 10,
             jq = list(queries)
         if plan == "kernel" and jq:
             raise ValueError("batch contains clauses the compound kernel "
-                             "cannot host (sloppy phrases, over-cap "
-                             "multiterm expansions) or the index needs "
-                             "cogroup norms")
+                             "cannot host (over-cap multiterm "
+                             "expansions) or the index needs cogroup "
+                             "norms")
         parts = []
         if kq:
             parts.append(search_compound(spark, {"": manifest}, "", kq,

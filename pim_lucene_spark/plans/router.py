@@ -228,20 +228,45 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
 def search_with_fallback(spark: SparkSession, index: IndexManifest | str | None,
                          docs: DataFrame | None, queries: list[tuple[int, str]],
                          k: int = 10, slop: int | dict[int, int] = 0,
-                         precision: str = "float32", **kw) -> DataFrame:
+                         precision: str = "float32",
+                         sloppy_plan: str = "auto", **kw) -> DataFrame:
     """Route to the indexed kernel or the brute-force scan (Q1 + Q23).
 
-    ``slop != 0`` always answers via the scan — the reference's contract
+    ``slop != 0`` never refuses — the reference's contract
     (``PimPhraseQuery.java:74-88`` rewrites slop to a plain Lucene
-    ``PhraseQuery``; it never refuses).  ``slop`` may be a ``{qid: slop}``
-    dict (any nonzero value routes the whole batch to the scan, which
-    applies each query's own slop).  When no docs frame is supplied the
-    scan reads the index's own docs table.
+    ``PhraseQuery``).  A sloppy batch over a ready POSIX-visible index
+    answers via the INDEX-hosted sloppy kernel
+    (``plans/compound.py::search_sloppy_kernel``: postings pushdown +
+    stored-position ``SloppyPhraseMatcher``, per-partition top-k) —
+    bit-identical to the scan, without re-tokenizing the corpus; the
+    scan remains for index-less/cogroup-norms cases or
+    ``sloppy_plan='scan'``.  ``slop`` may be a ``{qid: slop}`` dict
+    (mixed exact+sloppy batches run in one pass on either path).  When
+    no docs frame is supplied the scan reads the index's own docs table.
     """
+    if sloppy_plan not in ("auto", "kernel", "scan"):
+        raise ValueError(f"unknown sloppy_plan {sloppy_plan!r}")
     any_slop = (any(slop.values()) if isinstance(slop, dict) else slop) or 0
     route = route_query(index, 1 if any_slop else 0)
     if route is QueryRoute.INDEXED:
         return search(spark, index, queries, k=k, precision=precision)
+    # kernel route only when the caller did not hand us a scan-specific
+    # setup (an explicit docs frame may differ from the index's corpus;
+    # extra kwargs like exclude_ids/tokenizer are scan parameters)
+    if any_slop and index is not None and docs is None and not kw \
+            and sloppy_plan != "scan":
+        from pim_lucene_spark.plans.compound import (kernel_hostable,
+                                                     search_sloppy_kernel)
+        manifest = (IndexManifest.load(index) if isinstance(index, str)
+                    else index)
+        ready = (len(manifest.completed_chunks) == manifest.build_chunks
+                 and kernel_hostable({"": manifest}))
+        if ready:
+            return search_sloppy_kernel(spark, manifest, queries, k=k,
+                                        slop=slop, precision=precision)
+        if sloppy_plan == "kernel":
+            raise ValueError("index not ready or not kernel-hostable for "
+                             "the sloppy kernel path")
     if docs is None:
         if index is None:
             raise ValueError("brute-force route requires the docs DataFrame "

@@ -82,11 +82,13 @@ def serve_local(manifest: IndexManifest, queries, k: int,
                     filter=[q.query])))
         else:
             if int(getattr(q, "slop", 0)) != 0:
-                raise NotImplementedError(
-                    "sloppy phrases need the scan path; the serving "
-                    "path hosts exact term/phrase/boolean/dismax/"
-                    "fuzzy/matchall/constant-score")
-            plain.append(to_tuple(qid, q))
+                # sloppy phrase: single-MUST boolean-wrap onto the
+                # resident compound kernel, which hosts the Lucene
+                # sloppy matcher over the stored position streams
+                # (score == plain-clause score: one-term float64 sum)
+                typed.append((qid, BooleanQuery(must=[q])))
+            else:
+                plain.append(to_tuple(qid, q))
     parts = []
     if plain:
         parts.append(search_local(manifest, plain, k=k,

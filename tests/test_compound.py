@@ -204,7 +204,7 @@ def _run_compound_core(spark, m, bq, k=10):
                                   "float32")
     payload = {
         "specs": [spec],
-        "clauses": {sid: ("", tuple(ts), float(w))
+        "clauses": {sid: ("", tuple(ts), float(w), b.slops.get(sid, 0))
                     for sid, ts, w in planned},
         "fields": {"": {
             "cache": bm25.score_cache(avgdl, m.k1, m.b, "float32"),
@@ -378,15 +378,71 @@ def test_random_boolean_trees_kernel_matches_join(spark, cidx):
              search_boolean(spark, cidx, batch, k=10, plan="join"))
 
 
-def test_compound_local_rejects_sloppy_clause(spark, cidx):
-    """The serving path must fail loudly on sloppy clauses (the
-    distributed router sends them to the scan path; silently scoring
-    slop=0 was the review finding)."""
+SLOPPY_BOOL_BATCH = [
+    (0, BooleanQuery(must=[PhraseQuery("red apple", slop=2)],
+                     should=["sky"])),
+    (1, BooleanQuery(should=[PhraseQuery("the fast", slop=1), "tart"])),
+    (2, BooleanQuery(must=["red"],
+                     must_not=[PhraseQuery("apple pie", slop=3)])),
+    (3, BooleanQuery(must=[PhraseQuery("red red apple", slop=4,
+                                       boost=2.0)])),
+    (4, BooleanQuery(should=[PhraseQuery("grass sky grass", slop=2)],
+                     boost=1.5)),
+]
+
+
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+def test_sloppy_boolean_kernel_matches_join(spark, cidx, precision):
+    """Sloppy phrase clauses host IN-KERNEL (stored position streams →
+    SloppyPhraseMatcher) — bit-identical to the join plan's scan-path
+    clause frames, including repeated terms and sloppy-in-must_not."""
+    got = _cmp(search_boolean(spark, cidx, SLOPPY_BOOL_BATCH, k=10,
+                              precision=precision, plan="kernel"),
+               search_boolean(spark, cidx, SLOPPY_BOOL_BATCH, k=10,
+                              precision=precision, plan="join"))
+    assert set(got.qid) == {0, 1, 2, 3, 4}
+
+
+def test_sloppy_dismax_kernel_matches_join(spark, cidx):
+    batch = [
+        (0, DisMaxQuery(clauses=[PhraseQuery("red apple", slop=2),
+                                 "sky"], tie=0.3)),
+        (1, DisMaxQuery(clauses=[PhraseQuery("the fast", slop=1)],
+                        boost=2.0)),
+    ]
+    _cmp(search_dismax(spark, cidx, batch, k=10, plan="kernel"),
+         search_dismax(spark, cidx, batch, k=10, plan="join"))
+
+
+def test_compound_local_hosts_sloppy_clause(spark, cidx):
+    """The serving path hosts sloppy clauses on the resident compound
+    kernel (no Spark job) — row-identical to the distributed kernel."""
     from pim_lucene_spark.plans.compound import search_compound_local
-    with pytest.raises(NotImplementedError, match="sloppy"):
-        search_compound_local(
-            cidx, [(0, BooleanQuery(
-                must=[PhraseQuery("red apple", slop=2)]))], k=5)
+    loc = (search_compound_local(cidx, SLOPPY_BOOL_BATCH, k=10)
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    dist = (search_boolean(spark, cidx, SLOPPY_BOOL_BATCH, k=10,
+                           plan="kernel").toPandas()
+            .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(loc.astype(dist.dtypes.to_dict()), dist,
+                                  check_exact=True)
+
+
+def test_sloppy_kernel_shuffle_is_topk_bounded(spark, cidx):
+    """The former scale defect: a sloppy clause used to ship its FULL
+    scan-path match set through the exchange (k=10**9 frame).  The
+    kernel emits at most P·k composed rows per query."""
+    from pim_lucene_spark.plans.compound import _SpecBuilder, eval_compound
+
+    k = 5
+    bq = BooleanQuery(must=[PhraseQuery("the fast", slop=3)],
+                      should=["the"])  # stopword should + sloppy must
+    b = _SpecBuilder(spark, {"": cidx}, "")
+    specs = [b.bool_spec(0, bq, "")]
+    partial = eval_compound(spark, {"": cidx}, specs, b.leaves, k,
+                            "float32", slops=b.slops,
+                            return_partial=True).toPandas()
+    P = cidx.num_partitions
+    assert 0 < len(partial) <= P * k
 
 
 def test_explain_empty_analysis_clause_is_nonmatch(spark, cidx):

@@ -2,6 +2,8 @@
 every oracle-checked query must value-match DuckDB on the same parquet.
 """
 
+import os
+
 import duckdb
 import numpy as np
 import pytest
@@ -9,6 +11,9 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
+# data-dependent oracles (IVF centroid training) must read the SAME sf
+# dir this test queries — each sf is an independent sample
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF
 
 
 @pytest.fixture(scope="module")

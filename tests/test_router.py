@@ -200,3 +200,54 @@ def test_mixed_per_query_slops_single_scan(spark):
            for r in mixed.itertuples()}
     assert got == sep
     assert mixed.freq.dtype == np.float64  # unified DOUBLE freq
+
+
+def test_sloppy_kernel_matches_scan(spark, tmp_index_dir):
+    """The index-hosted sloppy kernel (stored positions, postings
+    pushdown — no corpus re-tokenize) is bit-identical to the scan on a
+    mixed exact+sloppy batch with repeated terms, both precisions."""
+    from pim_lucene_spark.plans.compound import search_sloppy_kernel
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = pd.DataFrame({
+        "doc_id": range(80),
+        "content": [" ".join(rng.choice(vocab,
+                                        size=rng.integers(3, 12)))
+                    for _ in range(80)],
+    })
+    cfg = IndexConfig(num_partitions=3, num_segments=2, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(docs), tmp_index_dir,
+                    cfg, content_col="content", id_col="doc_id")
+    q = [(0, "alpha gamma"), (1, "beta beta"), (2, "alpha beta gamma"),
+         (3, "delta"), (4, "eps alpha")]
+    slops = {0: 1, 1: 2, 2: 3, 3: 2, 4: 0}
+    sdf = spark.createDataFrame(docs)
+    for prec in ("float32", "float64"):
+        a = (search_sloppy_kernel(spark, m, q, k=10, slop=slops,
+                                  precision=prec).toPandas()
+             .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        b = (brute_force_search(sdf, q, k=10, slop=slops, precision=prec)
+             .toPandas()
+             .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+        assert set(a.qid) == {0, 1, 2, 3, 4}
+
+
+def test_fallback_auto_routes_sloppy_to_kernel(spark, tmp_index_dir):
+    """search_with_fallback prefers the index-hosted sloppy kernel on a
+    ready POSIX index (sloppy_plan='kernel' must not raise) and stays
+    bit-identical to the forced scan."""
+    cfg = IndexConfig(num_partitions=2, num_segments=1, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(SLOP_DOCS),
+                    tmp_index_dir, cfg, content_col="content",
+                    id_col="doc_id")
+    q = [(0, "alpha gamma")]
+    a = (search_with_fallback(spark, m, None, q, k=10, slop=1,
+                              sloppy_plan="kernel").toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (search_with_fallback(spark, m, None, q, k=10, slop=1,
+                              sloppy_plan="scan").toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert dict(zip(a.doc_id, a.freq)) == {0: 0.5, 1: 1.0}

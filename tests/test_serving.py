@@ -78,3 +78,27 @@ def test_worker_error_surfaces(srv_index):
 def test_bad_mode_raises(srv_index):
     with pytest.raises(ValueError, match="mode"):
         ShardedServer(srv_index, mode="nope")
+
+
+def test_serving_bare_sloppy_phrase(spark, srv_index):
+    """A bare PhraseQuery with slop serves on the resident compound
+    kernel (single-MUST boolean wrap) — score-identical to the
+    distributed sloppy route."""
+    from pim_lucene_spark.plans.query import PhraseQuery
+    from pim_lucene_spark.plans.router import search_with_fallback
+    from pim_lucene_spark.serving import serve_local
+
+    q = [(0, PhraseQuery("red white", slop=2)),
+         (1, PhraseQuery("one two one", slop=3))]
+    loc = serve_local(srv_index, q, k=10, precision="float32",
+                      postings_cache_mb=0, pids=None)
+    dist = search_with_fallback(
+        spark, srv_index, None, [(0, "red white"), (1, "one two one")],
+        k=10, slop={0: 2, 1: 3}).toPandas()
+    loc = (loc[["qid", "doc_id", "score"]]
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    dist = (dist[["qid", "doc_id", "score"]]
+            .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(loc.astype(dist.dtypes.to_dict()), dist,
+                                  check_exact=True)
+    assert len(loc) > 0
