@@ -489,6 +489,23 @@ def _q_slop_kernel(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_search_after(spark, sf_dir):
+    """Lucene ``IndexSearcher.searchAfter`` paging: page 2 (hits 11-20)
+    per query, fetched with the ``after=(score, doc_id)`` mark of page
+    1's last hit.  The mark filters INSIDE the kernel before the
+    per-partition top-k cut, so a deep page ships the same <= P*k rows
+    as page 1.  Oracle: ranks 11..20 of the full ranking — strictly
+    after page 1's last element is exactly the next rank window."""
+    from pim_lucene_spark.operators.search import page_marks
+    m = _get_index(spark, sf_dir)
+    qs = FREQ_QUERIES + TERM_QUERIES  # all have > 10 hits at any sf
+    p1 = search(spark, m, qs, k=10, precision="float64").toPandas()
+    res = search(spark, m, qs, k=10, precision="float64",
+                 after=page_marks(p1))
+    return res.select("qid", "doc_id", "freq",
+                      F.round("score", 6).alias("score"))
+
+
 def _q_local_serving(spark, sf_dir):
     """Serving path (no Spark job): must equal the distributed phrase
     entry — same oracle SQL."""
@@ -758,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_bm25": _q_boolean,
         "engine_sloppy_boolean": _q_sloppy_boolean,
         "engine_slop_kernel": _q_slop_kernel,
+        "engine_search_after": _q_search_after,
         "engine_matchall_boolean": _q_matchall_boolean,
         "engine_compound_count": _q_compound_count,
         "engine_dismax_topk": _q_dismax,
@@ -1105,6 +1123,14 @@ def oracle_sql() -> dict[str, str]:
         "engine_deleted_docs": oracle.phrase_bm25_sql(
             PHRASE_QUERIES + TERM_QUERIES, k=10,
             exclude_pred="f.doc_id % 7 = 3"),
+        # searchAfter page 2 == ranks 11..20 of the full ranking (the
+        # rank window must be cut on EXACT scores, so round outside)
+        "engine_search_after": (
+            "SELECT qid, doc_id, freq, round(score, 6) AS score FROM ("
+            + oracle.phrase_bm25_sql(FREQ_QUERIES + TERM_QUERIES, k=None,
+                                     round_scores=False)
+            + ") QUALIFY row_number() OVER (PARTITION BY qid "
+            "ORDER BY score DESC, doc_id ASC) BETWEEN 11 AND 20"),
         # brute-force fallback path computes the identical result set
         "engine_fallback_scan_bm25": oracle.phrase_bm25_sql(PHRASE_QUERIES,
                                                             k=10),

@@ -284,7 +284,9 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
                       cached: "_LazyPostings | None" = None,
                       cache_put=None, prefer_full_bytes: int = 0,
                       live: np.ndarray | None = None,
-                      start_idx: int = 0, doc_budget: int | None = None):
+                      start_idx: int = 0, doc_budget: int | None = None,
+                      after: tuple[float, int] | None = None,
+                      doc_stride: tuple[int, int] = (1, 0)):
     """Single-term scoring with block-max segment skipping.
 
     Segments are visited in descending admissible upper-bound order
@@ -314,6 +316,15 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
     segments are left, and the best upper bound among them (the driver
     relaunches only pairs whose ``rem_ub`` can still beat the global
     k-th best).
+
+    ``after`` = ``(after_score, after_global_doc)`` implements Lucene's
+    ``IndexSearcher.searchAfter`` paging: only hits STRICTLY after that
+    mark in (score desc, doc asc) order qualify.  Non-qualifying hits
+    are dropped before they enter the running top-k buffer, so the
+    block-max skip stays exact — a segment's upper bound still
+    dominates every qualifying score inside it.  ``doc_stride`` =
+    ``(P, pid)`` maps partition-relative docs to global ids for the
+    tie-break comparison.
     """
     counts_tot = np.zeros(num_segments, dtype=np.int64)
     max_tf = np.zeros(num_segments, dtype=np.int64)
@@ -381,6 +392,15 @@ def _single_term_topk(rows, norms: np.ndarray, weight: float,
         nb = norms[cand_b]
         sc = np.asarray(bm25.score(freqs_b, nb, weight, cache, precision),
                         dtype=np.float64)
+        if after is not None and cand_b.size:
+            # searchAfter: drop hits at-or-before the page mark so they
+            # never occupy the running top-k (the skip bound must be the
+            # k-th QUALIFYING score)
+            s_a, d_a = after
+            g = cand_b * doc_stride[0] + doc_stride[1]
+            qm = (sc < s_a) | ((sc == s_a) & (g > d_a))
+            cand_b, freqs_b, nb, sc = (cand_b[qm], freqs_b[qm], nb[qm],
+                                       sc[qm])
         parts.append((cand_b, freqs_b, nb, sc))
         n_coll += cand_b.size
         docs_decoded += exp
@@ -493,6 +513,7 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
     get_decoded = ctx.get
 
     bounds = payload.get("bounds") or {}
+    after_all = payload.get("after") or {}
     # multi-round adaptive bound sync (topdocs_sync.c:469-544): the
     # driver passes a per-round doc budget + per-(qid, pid) resume
     # indices; the kernel reports progress back through STATE rows
@@ -516,6 +537,7 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
         uniq = list(dict.fromkeys(terms))
         multi = len(terms) > 1
         ext = float(bounds.get(qid, -np.inf))
+        aft = after_all.get(qid)
 
         if not multi:
             t0 = terms[0]
@@ -525,7 +547,8 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                 cached=_probe_cached(t0),
                 cache_put=lambda lp, _t=t0: _publish(_t, lp),
                 prefer_full_bytes=cache_budget // 8, live=live,
-                start_idx=start_idx, doc_budget=budget)
+                start_idx=start_idx, doc_budget=budget,
+                after=aft, doc_stride=(P, pid))
             if sync and st[1]:  # budget spent with segments left
                 st_qid.append(qid)
                 st_idx.append(st[0])
@@ -581,6 +604,10 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
             chunk = max(4 * k, 256)
             n_scored = 0
             kth_best = -np.inf
+            # searchAfter: the k-th-best cut must track QUALIFYING hits
+            # only (a pre-mark hit can never be emitted, so letting it
+            # tighten the cut would prune real page hits)
+            qual_buf = np.empty(0, dtype=np.float64)
             # phrases are exempt from the round budget: the doc-id
             # decode behind the intersection would repeat every round
             # (kernel tasks are stateless across jobs), overwhelming the
@@ -605,11 +632,24 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                 if hit.any():
                     sc = bm25.score(sub_counts[hit], norm_bytes[sel][hit],
                                     weight, cache, precision)
-                    scores[sel[hit]] = sc.astype(np.float64)
-                    n_scored += int(hit.sum())
-                    pos_scores = scores[scores > -np.inf]
-                    if pos_scores.size >= k:
-                        kth_best = float(np.partition(pos_scores, -k)[-k])
+                    scf = sc.astype(np.float64)
+                    scores[sel[hit]] = scf
+                    if aft is None:
+                        n_scored += int(hit.sum())
+                        pos_scores = scores[scores > -np.inf]
+                        if pos_scores.size >= k:
+                            kth_best = float(
+                                np.partition(pos_scores, -k)[-k])
+                    else:
+                        s_a, d_a = aft
+                        g = cand[sel[hit]] * P + pid
+                        qm = (scf < s_a) | ((scf == s_a) & (g > d_a))
+                        n_scored += int(qm.sum())
+                        qual_buf = np.concatenate([qual_buf, scf[qm]])
+                        if qual_buf.size > k:
+                            qual_buf = np.partition(qual_buf, -k)[-k:]
+                        if n_scored >= k:
+                            kth_best = float(qual_buf.min())
 
         hit = freqs > 0
         if not hit.any():
@@ -618,6 +658,16 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
         h_freq = freqs[hit]
         h_norm = norm_bytes[hit]
         h_score = np.asarray(scores)[hit].astype(np.float64)
+        if aft is not None:
+            # searchAfter page filter: strictly after the mark in
+            # (score desc, doc asc) order.  Idempotent with the in-loop
+            # masks above; also covers the no-prune full-decode paths.
+            s_a, d_a = aft
+            qm = (h_score < s_a) | ((h_score == s_a) & (h_doc > d_a))
+            if not qm.any():
+                continue
+            h_doc, h_freq = h_doc[qm], h_freq[qm]
+            h_norm, h_score = h_norm[qm], h_score[qm]
         # per-partition top-k (score desc, doc asc) to bound shuffle size
         if h_doc.size > k:
             ord_local = np.lexsort((h_doc, -h_score))[:k]
@@ -924,7 +974,8 @@ def search(spark: SparkSession, index: IndexManifest | str,
            norms_access: str = "auto",
            bound_probe=False,
            postings_cache_mb: int = 0,
-           sync_budget0: int = 4096) -> DataFrame:
+           sync_budget0: int = 4096,
+           after: dict[int, tuple[float, int]] | None = None) -> DataFrame:
     """Batched top-k phrase/term search → DataFrame(qid, doc_id, freq, norm, score).
 
     ``precision='float32'`` reproduces Lucene's float expression tree
@@ -969,6 +1020,17 @@ def search(spark: SparkSession, index: IndexManifest | str,
     (build, pid, term) keys survive across search() calls in long-lived
     python workers, bounded by the byte budget.  Identical results; pure
     decode-work save on warm batches.
+
+    ``after`` implements Lucene ``IndexSearcher.searchAfter`` paging:
+    ``{qid: (after_score, after_doc_id)}`` — the last hit of the
+    previous page per query (pass the score EXACTLY as returned, the
+    tie-break comparison is float-exact).  Each query returns its next
+    ``k`` hits strictly after that mark in (score desc, doc asc) order.
+    The mark is filtered INSIDE the kernel before the per-partition
+    top-k cut (deep paging never widens the exchange: page N ships the
+    same ≤ P·k rows as page 1), and both pruning paths count only
+    qualifying hits toward their cut, so block-max skipping stays
+    exact.  Queries absent from the dict start at page 1.
     """
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
     planned, needed_terms = plan_queries(spark, manifest, queries, k, precision)
@@ -997,6 +1059,9 @@ def search(spark: SparkSession, index: IndexManifest | str,
         "deletes_path": (manifest.deletes_path if manifest.delete_gen
                          else None),
     }
+    if after:
+        payload["after"] = {int(q): (float(s), int(d))
+                            for q, (s, d) in after.items()}
 
     postings = (spark.read.parquet(*[manifest.chunk_path(c) for c in
                                      range(manifest.build_chunks)])
@@ -1049,6 +1114,23 @@ def search(spark: SparkSession, index: IndexManifest | str,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .drop("rank"))
+
+
+def page_marks(page: pd.DataFrame) -> dict[int, tuple[float, int]]:
+    """Per-query ``(score, doc_id)`` of the LAST hit in a result page —
+    the ``after`` argument for fetching the next page
+    (``IndexSearcher.searchAfter``'s ``ScoreDoc`` mark).  Accepts the
+    pandas form of any search result (``df.toPandas()`` or the serving
+    path's frame); queries with no hits are absent (their pages are
+    exhausted)."""
+    marks: dict[int, tuple[float, int]] = {}
+    if len(page) == 0:
+        return marks
+    for qid, grp in page.groupby("qid"):
+        tail = grp.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).iloc[-1]
+        marks[int(qid)] = (float(tail["score"]), int(tail["doc_id"]))
+    return marks
 
 
 def search_term(spark: SparkSession, index: IndexManifest | str, term: str,
@@ -1181,7 +1263,9 @@ def clear_local_cache() -> None:
 def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
                  k: int = 10, precision: str = "float32",
                  postings_cache_mb: int = 256,
-                 pids: list[int] | None = None) -> pd.DataFrame:
+                 pids: list[int] | None = None,
+                 after: dict[int, tuple[float, int]] | None = None
+                 ) -> pd.DataFrame:
     """Serving-path search: the SAME kernel, no Spark job.
 
     The reference's query path never schedules batch work — queries go to
@@ -1196,6 +1280,10 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
     low-latency serving; use :func:`search` for cluster-scale batches.
     Results are identical (differential-tested); returns a pandas frame
     ``(qid, doc_id, freq, norm, score)``.
+
+    ``after`` = ``{qid: (after_score, after_doc_id)}`` pages past the
+    previous page's last hit (Lucene ``searchAfter``), same semantics
+    as :func:`search`.
     """
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
     planned, needed_terms = plan_queries(None, manifest, queries, k,
@@ -1218,6 +1306,9 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
         "deletes_path": (manifest.deletes_path if manifest.delete_gen
                          else None),
     }
+    if after:
+        payload["after"] = {int(q): (float(s), int(d))
+                            for q, (s, d) in after.items()}
     ckey = payload["cache_key"]
     by_pid = _local_rows(manifest, ckey, list(needed_terms), pids=pids)
     outs = []
