@@ -233,15 +233,14 @@ def encode_partition_postings(pid: int, codes: np.ndarray, tok_doc: np.ndarray,
     t_change[0] = True
     t_change[1:] = p_term[1:] != p_term[:-1]
     term_start_idx = np.flatnonzero(t_change)
-    term_of = np.searchsorted(term_start_idx, np.arange(n_post),
-                              side="right") - 1
+    term_of = np.cumsum(t_change) - 1  # change-flag prefix sum, O(n)
     rank_in_term = np.arange(n_post) - term_start_idx[term_of]
     stripe = rank_in_term // stripe_cap
     r_change = t_change.copy()
     r_change[1:] |= stripe[1:] != stripe[:-1]
     row_start = np.flatnonzero(r_change)               # into postings
     row_end = np.concatenate([row_start[1:], [n_post]])
-    row_of = np.searchsorted(row_start, np.arange(n_post), side="right") - 1
+    row_of = np.cumsum(r_change) - 1
     n_rows = row_start.size
 
     # --- doc-gap stream: reset at each (row, segment) start ----------------
@@ -249,18 +248,18 @@ def encode_partition_postings(pid: int, codes: np.ndarray, tok_doc: np.ndarray,
     ts_start[1:] |= p_seg[1:] != p_seg[:-1]
     doc_gaps = segmented_delta(p_rel, ts_start)
     doc_lens = uvarint_byte_lengths(doc_gaps)
-    doc_stream = encode_uvarints(doc_gaps)
+    doc_stream = encode_uvarints(doc_gaps, doc_lens)
 
     # --- freq stream --------------------------------------------------------
     freq_u = freqs.astype(np.uint64)
     freq_lens = uvarint_byte_lengths(freq_u)
-    freq_stream = encode_uvarints(freq_u)
+    freq_stream = encode_uvarints(freq_u, freq_lens)
 
     # --- position-gap stream: reset at each posting start -------------------
     pos_start = td_change  # aligned with token rows
     pos_gaps = segmented_delta(tok_pos, pos_start)
     pos_lens = uvarint_byte_lengths(pos_gaps)
-    pos_stream = encode_uvarints(pos_gaps)
+    pos_stream = encode_uvarints(pos_gaps, pos_lens)
     pos_csum = np.concatenate([[0], np.cumsum(pos_lens)])
     tok_off = np.concatenate([posting_start, [codes.size]])
     pos_bytes_per_posting = pos_csum[tok_off[1:]] - pos_csum[tok_off[:-1]]
