@@ -328,15 +328,20 @@ def _token_sort(codes: np.ndarray, tok_doc: np.ndarray,
       corpus (post-shuffle doc order is near-sorted, so the stable
       doc/pos passes are near-free).
     - round 4 (``PIM_TOKEN_SORT=packed``): pack ``(code, rel_doc, pos)``
-      into ONE int64 (keys unique — one term occupies one (doc, pos)
-      slot) and run a single unstable introsort.  3× faster than lexsort
-      in an isolated microbench on 20M synthetic tokens, but a WASH on
-      the real 500k-doc build: kernel phase 12.20 s vs 12.37 s best-of-3
-      alternating (``scripts/bench_sort_ab.py`` → ``BENCH_SORT_AB.json``)
-      — tokenize, not the sort, owns this kernel.  Kept behind the env
-      flag; falls back to lexsort when the packed ranges exceed 63 bits.
+      into ONE int64 (keys unique within a pid group — docs in a group
+      are ≡ pid (mod P), so ``doc // P`` is injective and
+      order-preserving) and run a single unstable introsort.  3× faster
+      than lexsort in isolation but a WASH on the round-4 real 500k
+      build (kernel 12.20 s vs 12.37 s) — the old scatter-heavy varint
+      encoder owned the kernel then.
+    - round 5: after the matrix-compress encoder cut the encode phase
+      ~4×, the sort became a third of the kernel and the packed key now
+      wins the same alternating 500k A/B best-of-3: kernel 12.01 s vs
+      13.44 s (``BENCH_SORT_AB.json``).  Packed is the DEFAULT; it
+      falls back to lexsort when the packed ranges exceed 63 bits
+      (identical order — keys are unique either way).
     """
-    mode = os.environ.get("PIM_TOKEN_SORT", "lexsort")
+    mode = os.environ.get("PIM_TOKEN_SORT", "packed")
     if mode == "lexsort" or codes.size == 0:
         return np.lexsort((tok_pos, tok_doc, codes))
     rel = tok_doc // num_partitions
