@@ -59,7 +59,14 @@ def encode_uvarints(values: np.ndarray,
 
 
 def decode_uvarints(buf: bytes | np.ndarray) -> np.ndarray:
-    """Decode a buffer of concatenated varints → uint64 array."""
+    """Decode a buffer of concatenated varints → uint64 array.
+
+    Single-byte values (the overwhelming case for delta-compressed doc
+    gaps, term freqs, and position gaps) decode as one ``astype``; only
+    the bytes belonging to multi-byte values — themselves a valid
+    varint sub-stream, groups being contiguous and terminated — go
+    through the generic per-byte-slot loop.
+    """
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
@@ -68,8 +75,28 @@ def decode_uvarints(buf: bytes | np.ndarray) -> np.ndarray:
     n = ends.size
     if n == 0 or ends[-1] != b.size - 1:
         raise ValueError("truncated varint stream")
+    if n == b.size:  # every value fits one byte
+        return b.astype(np.uint64)
+    glen = np.empty(n, dtype=np.int64)
+    glen[0] = ends[0] + 1
+    glen[1:] = np.diff(ends)
+    multi = glen > 1
+    if multi.all():
+        return _decode_uvarints_loop(b, ends)
+    vals = np.empty(n, dtype=np.uint64)
+    single = ~multi
+    vals[single] = b[ends[single]]
+    grp = np.cumsum(is_end) - is_end  # byte i -> index of its group
+    mb = b[multi[grp]]
+    vals[multi] = _decode_uvarints_loop(mb, np.flatnonzero(mb < 0x80))
+    return vals
+
+
+def _decode_uvarints_loop(b: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Generic multi-byte varint decode: one pass per byte slot."""
+    n = ends.size
     grp = np.zeros(b.size, dtype=np.int64)
-    grp[1:] = np.cumsum(is_end[:-1])
+    grp[1:] = np.cumsum(b[:-1] < 0x80)
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
