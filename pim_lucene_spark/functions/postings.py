@@ -44,20 +44,13 @@ import numpy as np
 from pim_lucene_spark.functions.varint import (
     decode_uvarints,
     encode_uvarints,
+    uvarint_byte_lengths,
     zigzag_encode,
 )
 
-
-def uvarint_byte_lengths(values: np.ndarray) -> np.ndarray:
-    """Per-value encoded byte length (1..10) of unsigned varints."""
-    vals = np.asarray(values, dtype=np.uint64)
-    nbytes = np.ones(vals.size, dtype=np.int64)
-    for k in range(1, 10):
-        more = vals >= (np.uint64(1) << np.uint64(7 * k))
-        if not more.any():
-            break
-        nbytes += more
-    return nbytes
+__all__ = [  # uvarint_byte_lengths re-exported: callers import it from here
+    "uvarint_byte_lengths",
+]
 
 
 def segmented_delta(values: np.ndarray, seg_start_mask: np.ndarray) -> np.ndarray:
@@ -132,8 +125,11 @@ def encode_columnar(
         seg_start[1:] = seg_ids[1:] != seg_ids[:-1]
 
     doc_gaps = segmented_delta(rel_docs, seg_start)
-    doc_blob = encode_uvarints(doc_gaps)
-    freq_blob = encode_uvarints(freqs.astype(np.uint64))
+    freq_u = freqs.astype(np.uint64)
+    doc_lens = uvarint_byte_lengths(doc_gaps)
+    freq_lens = uvarint_byte_lengths(freq_u)
+    doc_blob = encode_uvarints(doc_gaps, doc_lens)
+    freq_blob = encode_uvarints(freq_u, freq_lens)
 
     # per-doc position deltas, first position absolute (previousPos = 0,
     # PimIndexWriter.java:859-868)
@@ -143,13 +139,11 @@ def encode_columnar(
         np.cumsum(freqs[:-1], out=starts[1:])
         pos_doc_start[starts[freqs > 0]] = True
     pos_gaps = segmented_delta(positions, pos_doc_start)
-    pos_blob = encode_uvarints(pos_gaps)
+    pos_lens_per_val = uvarint_byte_lengths(pos_gaps)
+    pos_blob = encode_uvarints(pos_gaps, pos_lens_per_val)
 
     # per-segment skip data
     seg_doc_counts = np.bincount(seg_ids, minlength=num_segments).astype(np.int64)
-    doc_lens = uvarint_byte_lengths(doc_gaps)
-    freq_lens = uvarint_byte_lengths(freqs.astype(np.uint64))
-    pos_lens_per_val = uvarint_byte_lengths(pos_gaps)
     # positions byte size per doc, then per segment
     pos_bytes_per_doc = np.zeros(n, dtype=np.int64)
     if positions.size:

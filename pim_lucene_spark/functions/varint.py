@@ -19,6 +19,18 @@ _SEVEN = np.uint64(7)
 _MASK7 = np.uint64(0x7F)
 
 
+def uvarint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (1..10) of unsigned varints."""
+    vals = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(vals.size, dtype=np.int64)
+    for k in range(1, 10):
+        more = vals >= (np.uint64(1) << np.uint64(7 * k))
+        if not more.any():
+            break
+        nbytes += more
+    return nbytes
+
+
 def encode_uvarints(values: np.ndarray,
                     nbytes: np.ndarray | None = None) -> np.ndarray:
     """Encode an array of unsigned ints as concatenated varints → uint8 array.
@@ -39,14 +51,7 @@ def encode_uvarints(values: np.ndarray,
     if n == 0:
         return np.empty(0, dtype=np.uint8)
     if nbytes is None:
-        # byte length of each value: 1 + number of 7-bit groups above the first
-        nbytes = np.ones(n, dtype=np.int64)
-        for k in range(1, 10):
-            thresh = np.uint64(1) << np.uint64(7 * k)
-            more = vals >= thresh
-            if not more.any():
-                break
-            nbytes += more
+        nbytes = uvarint_byte_lengths(vals)
     max_b = int(nbytes.max())
     if max_b == 1:
         return vals.astype(np.uint8)
