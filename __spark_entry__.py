@@ -959,7 +959,9 @@ def _ann_ivf_sql(k: int = 10, num_centroids: int = 16, nprobe: int = 4,
            .sort_values("vec_id").reset_index(drop=True))
     m = np.stack([np.asarray(v, dtype=np.float64)
                   for v in pdf.embedding])
-    cents = kmeans_centroids_np(m, num_centroids, iters, seed)
+    # train on the SAME bounded sample as the engine (kmeans_centroids
+    # collects orderBy(id).limit(20_000)); m stays full for query lookup
+    cents = kmeans_centroids_np(m[:20_000], num_centroids, iters, seed)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
                             1e-12)
     dots = ("list_value(" + ", ".join(

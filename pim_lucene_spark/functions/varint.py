@@ -17,6 +17,7 @@ import numpy as np
 
 _SEVEN = np.uint64(7)
 _MASK7 = np.uint64(0x7F)
+_ENCODE_CHUNK_BYTES = 1 << 27  # peak matrix budget for encode_uvarints
 
 
 def uvarint_byte_lengths(values: np.ndarray) -> np.ndarray:
@@ -52,15 +53,28 @@ def encode_uvarints(values: np.ndarray,
         return np.empty(0, dtype=np.uint8)
     if nbytes is None:
         nbytes = uvarint_byte_lengths(vals)
+    else:
+        nbytes = np.asarray(nbytes, dtype=np.int64)
     max_b = int(nbytes.max())
     if max_b == 1:
         return vals.astype(np.uint8)
+    # cap peak working memory (matrix + mask are n·max_b each): a few
+    # wide outliers in a huge mostly-1-byte stream must not allocate
+    # max_b× the stream size — chunk and concatenate instead
+    step = max(_ENCODE_CHUNK_BYTES // max_b, 1024)
+    if n > step:
+        return np.concatenate([
+            encode_uvarints(vals[i:i + step], nbytes[i:i + step])
+            for i in range(0, n, step)])
     mat = np.empty((n, max_b), dtype=np.uint8)
     for j in range(max_b):
         mat[:, j] = ((vals >> np.uint64(7 * j)) & _MASK7).astype(np.uint8)
     cols = np.arange(max_b, dtype=np.int64)[None, :]
-    mat[cols < (nbytes[:, None] - 1)] |= 0x80  # continuation bits
-    return mat[cols < nbytes[:, None]]
+    valid = cols < nbytes[:, None]
+    cont = valid.copy()
+    cont[np.arange(n), nbytes - 1] = False  # last byte of each value
+    mat[cont] |= 0x80  # continuation bits
+    return mat[valid]
 
 
 def decode_uvarints(buf: bytes | np.ndarray) -> np.ndarray:

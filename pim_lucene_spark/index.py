@@ -469,8 +469,10 @@ class MultiFieldIndex:
         sub-index (shared pid space).  Returns a pandas frame
         (qid, doc_id, score); row-identical to the distributed fielded
         plans (differential-tested).  Fuzzy clauses expand against the
-        resident term dictionary; sloppy/constant-score-multiterm
-        clauses need the distributed paths and raise."""
+        resident term dictionary and sloppy clauses run the resident
+        matcher over stored positions; only over-cap constant-score
+        multiterm expansions raise (``ExpansionTooWide`` → use the
+        distributed path)."""
         from pim_lucene_spark.plans.boolean import BooleanQuery
         from pim_lucene_spark.plans.compound import search_compound_local
         from pim_lucene_spark.plans.parser import parse_query

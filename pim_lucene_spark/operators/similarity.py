@@ -145,20 +145,27 @@ def kmeans_centroids_np(m: np.ndarray, num_centroids: int = 64,
     rng = np.random.default_rng(seed)
     c = int(min(num_centroids, len(m)))
     cents = m[rng.choice(len(m), size=c, replace=False)]
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
         # cosine assignment: normalize then argmax dot
         cn = cents / np.maximum(np.linalg.norm(cents, axis=1,
                                                keepdims=True), 1e-12)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
-                            1e-12)
-        assign = (mn @ cn.T).argmax(axis=1)
+        sims = mn @ cn.T
+        assign = sims.argmax(axis=1)
+        empty = []
         for j in range(c):
             sel = m[assign == j]
             if len(sel):
                 cents[j] = sel.mean(axis=0)
-            else:  # re-seed empty cluster to the worst-served point
-                far = (mn @ cn.T).max(axis=1).argmin()
-                cents[j] = m[far]
+            else:
+                empty.append(j)
+        if empty:
+            # re-seed each empty cluster to a DISTINCT worst-served
+            # point (ascending best-similarity order); a shared point
+            # would collapse them back together every iteration
+            order = np.argsort(sims.max(axis=1), kind="stable")
+            for t, j in enumerate(empty):
+                cents[j] = m[order[t % len(order)]]
     return cents
 
 
@@ -222,9 +229,11 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     pframe = F.broadcast(
         tagged.sparkSession.createDataFrame(probes,
                                             "qid long, bucket int"))
-    qframe = F.broadcast(
-        base.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    # reuse the collected query vectors (broadcast anyway) instead of
+    # re-scanning the embeddings source a second time
+    qframe = F.broadcast(tagged.sparkSession.createDataFrame(
+        [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in qrows],
+        "qid long, qv array<double>"))
     cand = (tagged.join(pframe, "bucket")
             .join(qframe, "qid")
             .filter(F.col("vec_id") != F.col("qid")))

@@ -508,8 +508,7 @@ def search_sloppy_kernel(spark: SparkSession, index, queries,
     """
     manifest = (IndexManifest.load(index) if isinstance(index, str)
                 else index)
-    norm_q = [(q[0], q[1]) if len(q) == 2 else (q[0], q[1], q[2])
-              for q in queries]
+    norm_q = [tuple(q) for q in queries]
     slops = (dict(slop) if isinstance(slop, dict)
              else {q[0]: int(slop) for q in norm_q})
     planned, needed = plan_queries(spark, manifest, norm_q, k, precision)

@@ -250,6 +250,14 @@ def search_with_fallback(spark: SparkSession, index: IndexManifest | str | None,
     route = route_query(index, 1 if any_slop else 0)
     if route is QueryRoute.INDEXED:
         return search(spark, index, queries, k=k, precision=precision)
+    if sloppy_plan == "kernel" and (index is None or docs is not None or kw):
+        # never silently downgrade a forced plan: the kernel reads the
+        # index's own corpus, so an explicit docs frame / scan kwargs
+        # cannot be honored
+        raise ValueError(
+            "sloppy_plan='kernel' is incompatible with an explicit docs "
+            "frame or scan-only kwargs (and needs an index); use "
+            "sloppy_plan='auto' or drop them")
     # kernel route only when the caller did not hand us a scan-specific
     # setup (an explicit docs frame may differ from the index's corpus;
     # extra kwargs like exclude_ids/tokenizer are scan parameters)
