@@ -305,6 +305,119 @@ def _eval_spec(spec: dict, eval_leaf, precision: str,
     return base, acc
 
 
+_FLAT_BATCH = True  # test hook: False forces the per-spec path
+_FLAT_ROWS_PER_SPEC = 96  # mean matched rows/query above which the
+#                           per-spec composition is cheaper (measured)
+_FLAT_DENSE_FACTOR = 4  # dense bincount accumulator only when slots
+#                         ≤ this × leaf rows (else sparse sorted path)
+
+
+def _is_flat_should(spec: dict) -> bool:
+    """True for a pure-SHOULD boolean whose clauses are all plain scored
+    leaves (no must/filter/must_not/msm>1, no matchall/const_or/nested)
+    — the dominant shape of a parsed OR replay, eligible for the
+    cross-query batched composition."""
+    return (spec.get("op") == "bool"
+            and not spec.get("must") and not spec.get("filter")
+            and not spec.get("must_not")
+            and int(spec.get("msm", 0)) <= 1
+            and bool(spec.get("should"))
+            and all(cl["kind"] == "scored" for cl in spec["should"]))
+
+
+def _eval_flat_batch(flat: list[dict], eval_leaf, precision: str,
+                     k: int | None, P: int, pid: int, stride: int):
+    """Compose ALL flat pure-SHOULD booleans of a partition in chunked
+    vectorized passes: leaves evaluate once (shared cache), then one
+    ``bincount`` over packed ``(query, doc)`` keys replaces one
+    ``_eval_spec`` call per query — the per-query Python fixed cost
+    (the P×Q multiplier on large batches) collapses into a few linear
+    array ops, with NO sort over the leaf rows at all.
+
+    Bit-exact with the per-spec path: ``bincount(weights=...)``
+    accumulates strictly in array order, and the concatenation lays the
+    clause blocks out in declaration order, so each (query, doc) cell
+    sums its clause contributions left-to-right exactly like the
+    per-clause ``acc[pos] += sc`` loop (``0.0 + s`` is the float
+    identity); the same float32-at-group-boundary cast applies.
+
+    ``stride`` is an exclusive upper bound on rel doc ids (the widest
+    field's norms size); chunking bounds the dense accumulator at a few
+    million slots regardless of batch size.
+    """
+    chunk_q = max(1, (1 << 22) // max(stride, 1))
+    out_parts = []
+    for c0 in range(0, len(flat), chunk_q):
+        chunk = flat[c0:c0 + chunk_q]
+        key_parts, sc_parts = [], []
+        for i, spec in enumerate(chunk):
+            off = i * stride
+            for cl in spec["should"]:
+                docs, sc = eval_leaf(cl["sid"])
+                if docs.size:
+                    key_parts.append(docs + off)
+                    sc_parts.append(sc)
+        if not key_parts:
+            continue
+        K = np.concatenate(key_parts)
+        S = np.concatenate(sc_parts)
+        nslots = len(chunk) * stride
+        if nslots <= _FLAT_DENSE_FACTOR * K.size:
+            # dense: high hit density, bincount scans pay off
+            acc = np.bincount(K, weights=S, minlength=nslots)
+            hit = np.bincount(K, minlength=nslots)  # scores may be 0.0
+            nz = np.flatnonzero(hit)
+            gq, gd = nz // stride, nz % stride
+            gs = acc[nz]
+        else:
+            # sparse: stable sort on the packed key, then round-wise
+            # accumulation by position-in-group — round j adds every
+            # group's j-th clause contribution, so each cell still sums
+            # strictly in clause declaration order (bit-exact with the
+            # sequential per-spec loop); rounds = max clauses matching
+            # one (query, doc), a small constant
+            order = np.argsort(K, kind="stable")
+            Ks, Ss = K[order], S[order]
+            new = np.empty(Ks.size, dtype=bool)
+            new[0] = True
+            new[1:] = Ks[1:] != Ks[:-1]
+            starts = np.flatnonzero(new)
+            gid = np.cumsum(new) - 1
+            posin = np.arange(Ks.size, dtype=np.int64) - starts[gid]
+            o2 = np.argsort(posin, kind="stable")
+            g2, s2 = gid[o2], Ss[o2]
+            depth = int(posin[o2[-1]]) + 1
+            bounds = np.searchsorted(posin[o2], np.arange(depth + 1))
+            gs = np.zeros(starts.size, dtype=np.float64)
+            for j in range(depth):
+                sl = slice(bounds[j], bounds[j + 1])
+                gs[g2[sl]] += s2[sl]  # one hit per group per round
+            nz = Ks[starts]
+            gq, gd = nz // stride, nz % stride
+        if precision == "float32":
+            # BooleanWeight sums clause floats in double, returns float
+            gs = gs.astype(np.float32).astype(np.float64)
+        # per-query top-k (score desc, doc asc) bounds the shuffle;
+        # nz is already grouped by query with docs ascending
+        order = np.lexsort((gd, -gs, gq))
+        gq, gd, gs = gq[order], gd[order], gs[order]
+        if k is not None and gq.size:
+            qnew = np.empty(gq.size, dtype=bool)
+            qnew[0] = True
+            qnew[1:] = gq[1:] != gq[:-1]
+            qstart = np.flatnonzero(qnew)
+            rank = np.arange(gq.size, dtype=np.int64) - np.repeat(
+                qstart, np.diff(np.append(qstart, gq.size)))
+            keep = rank < k
+            gq, gd, gs = gq[keep], gd[keep], gs[keep]
+        qids = np.asarray([s["qid"] for s in chunk], dtype=np.int64)
+        out_parts.append((qids[gq], gd * P + pid, gs))
+    if not out_parts:
+        return None
+    return tuple(np.concatenate([p[j] for p in out_parts])
+                 for j in range(3))
+
+
 def _compound_core(payload: dict, pid: int,
                    per_field_by_term: dict[str, dict],
                    resident: dict | None = None) -> pd.DataFrame:
@@ -442,8 +555,34 @@ def _compound_core(payload: dict, pid: int,
                  for s in payload["specs"]], dtype=np.int64),
         })
 
-    out_qid, out_doc, out_score = [], [], []
+    flat, general = [], []
     for spec in payload["specs"]:
+        if _FLAT_BATCH and _is_flat_should(spec):
+            flat.append(spec)
+        else:
+            general.append(spec)
+
+    out_qid, out_doc, out_score = [], [], []
+    if flat:
+        # leaves evaluate once either way (the cache makes the second
+        # lookup free), so measure the composition load first: batched
+        # composition wins when match sets are small (per-query Python
+        # fixed cost dominates); the per-spec numpy loop wins when a
+        # stopword-heavy batch makes the per-(query,doc) row volume the
+        # cost instead (measured crossover ≈ 10² rows/query/partition)
+        t_rows = sum(eval_leaf(cl["sid"])[0].size
+                     for spec in flat for cl in spec["should"])
+        if t_rows <= _FLAT_ROWS_PER_SPEC * len(flat):
+            stride = max((nv.size for nv in norms.values()), default=0)
+            r = _eval_flat_batch(flat, eval_leaf, precision, k, P, pid,
+                                 stride)
+            if r is not None:
+                out_qid.append(r[0])
+                out_doc.append(r[1])
+                out_score.append(r[2])
+        else:
+            general = flat + general
+    for spec in general:
         docs, scores = _eval_spec(spec, eval_leaf, precision,
                                   eval_ma=eval_ma)
         if docs.size == 0:

@@ -484,3 +484,38 @@ def test_fielded_compound_local_matches_distributed(spark, mfidx):
                                k=10).toPandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(c.astype(d.dtypes.to_dict()), d)
+
+
+@pytest.mark.parametrize("precision", ["float32", "float64"])
+@pytest.mark.parametrize("dense_factor", [0, 10**9])
+def test_flat_batch_matches_per_spec(cidx, precision, dense_factor,
+                                     monkeypatch):
+    """The cross-query batched composition for flat pure-SHOULD
+    booleans (both its dense-bincount and sparse-sorted variants,
+    forced via the density factor) is bit-exact with the per-spec
+    ``_eval_spec`` loop — including a boost-0 clause (membership
+    without score contribution) and the eligibility split (msm=2 and
+    must-clauses stay on the per-spec path)."""
+    import pim_lucene_spark.plans.compound as C
+
+    batch = [
+        (0, BooleanQuery(should=["the", "fast", "red"])),          # heavy
+        (1, BooleanQuery(should=["sunset", "tart"])),              # light
+        (2, BooleanQuery(should=[TermQuery("red", boost=0.0),
+                                 "blue"])),                        # 0-score
+        (3, BooleanQuery(should=["pie"], min_should_match=1)),
+        (4, BooleanQuery(should=["blue", "green"],
+                         min_should_match=2)),                     # general
+        (5, BooleanQuery(must=["red"], should=["pie"])),           # general
+        (6, BooleanQuery(should=["zzz_absent"])),                  # empty
+        (7, BooleanQuery(should=[PhraseQuery("the fast"), "sky"])),
+    ]
+    monkeypatch.setattr(C, "_FLAT_ROWS_PER_SPEC", 10**9)  # force flat
+    monkeypatch.setattr(C, "_FLAT_DENSE_FACTOR", dense_factor)
+    a = (C.search_compound_local(cidx, batch, k=10, precision=precision)
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    monkeypatch.setattr(C, "_FLAT_BATCH", False)  # force per-spec
+    b = (C.search_compound_local(cidx, batch, k=10, precision=precision)
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert set(b.qid) >= {0, 1, 2, 3, 7}
