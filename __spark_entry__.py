@@ -390,6 +390,69 @@ def _q_count(spark, sf_dir):
     return count_matches(spark, m, _count_specs())
 
 
+# faceted search (lucene/facet SortedSetDocValues ordinals): dimension =
+# the documents table's `source` column; queries mix term, phrase, a
+# MUST-intersection and a SHOULD-union boolean
+FACET_QUERIES = [
+    (900, "fast"),
+    (901, "merge batch"),
+    (902, ("and", ["fast", "merge"])),
+    (903, ("or", ["scan", "vector"])),
+]
+
+
+def _q_facets(spark, sf_dir):
+    """Per-query top facet buckets (qid, value, n): the ordinal sidecar
+    is built once per index from the source table's `source` column;
+    counting runs inside the per-partition kernel (only (qid, ordinal,
+    count) rows cross the exchange), ordered count desc / value asc."""
+    from pim_lucene_spark.operators.facets import (build_facet_index,
+                                                   facet_counts,
+                                                   facet_dir)
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    m = _get_index(spark, sf_dir)
+    if not os.path.exists(os.path.join(facet_dir(m, "source"),
+                                       "values.json")):
+        dims = (spark.read.parquet(os.path.join(sf_dir,
+                                                "documents.parquet"))
+                .select("doc_id", "source"))
+        build_facet_index(spark, m, "source", dims=dims)
+    typed = []
+    for qid, q in FACET_QUERIES:
+        if isinstance(q, tuple):
+            op, terms = q
+            typed.append((qid, BooleanQuery(must=terms) if op == "and"
+                          else BooleanQuery(should=terms)))
+        else:
+            typed.append((qid, q))
+    return facet_counts(spark, m, typed, "source", top_n=10)
+
+
+def _facet_sql(top_n: int = 10) -> str:
+    """DuckDB mirror: per-query match-set subqueries (phrase position
+    joins / INTERSECT / UNION on doc_id) joined to the source dimension,
+    grouped, ranked (n desc, value asc)."""
+    def mset(q):
+        if isinstance(q, tuple):
+            op, terms = q
+            glue = " INTERSECT " if op == "and" else " UNION "
+            return glue.join(
+                f"SELECT doc_id FROM ({oracle._phrase_freq_select([t])})"
+                for t in terms)
+        terms = oracle.tokenize_one(q, "whitespace")
+        return f"SELECT doc_id FROM ({oracle._phrase_freq_select(terms)})"
+    counts = " UNION ALL ".join(
+        f"SELECT CAST({qid} AS BIGINT) AS qid, d.source AS value, "
+        f"CAST(count(*) AS BIGINT) AS n "
+        f"FROM ({mset(q)}) h JOIN documents d ON d.doc_id = h.doc_id "
+        f"WHERE d.source IS NOT NULL GROUP BY d.source"
+        for qid, q in FACET_QUERIES)
+    from pim_lucene_spark.oracle import _tok_cte
+    return (f"WITH {_tok_cte('whitespace')} SELECT qid, value, n "
+            f"FROM ({counts}) QUALIFY row_number() OVER "
+            f"(PARTITION BY qid ORDER BY n DESC, value ASC) <= {top_n}")
+
+
 # DisjunctionMaxQuery specs — best-clause scoring with tie breakers
 DISMAX_SPECS = [
     (750, {"clauses": ["merge", "table"]}),
@@ -783,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_suggest": _q_suggest,
         "engine_suggest_local": _q_suggest_local,
         "engine_count": _q_count,
+        "engine_facet_counts": _q_facets,
         "engine_constant_wrappers": _q_constant_wrappers,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
@@ -1154,6 +1218,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_constant_wrappers": oracle.constant_wrappers_sql(
             _wrapper_specs(), k=10),
         "engine_count": oracle.count_sql(_count_specs()),
+        "engine_facet_counts": _facet_sql(),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)

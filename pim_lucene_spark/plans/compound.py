@@ -555,6 +555,36 @@ def _compound_core(payload: dict, pid: int,
                  for s in payload["specs"]], dtype=np.int64),
         })
 
+    if payload.get("facet"):
+        # facet counting (SortedSetDocValuesFacetCounts semantics):
+        # bincount each query's matched docs over the partition's
+        # resident ordinal array — only (qid, ordinal, count) rows
+        # leave the kernel, O(queries × cardinality) never O(matches)
+        from pim_lucene_spark.operators.facets import facet_codes_for
+        codes = facet_codes_for(payload["facet"]["path"], pid)
+        qs, cs, ns = [], [], []
+        for spec in payload["specs"]:
+            docs, _ = _eval_spec(spec, eval_leaf, precision,
+                                 eval_ma=eval_ma)
+            if docs.size == 0:
+                continue
+            sel = codes[docs]
+            sel = sel[sel >= 0]  # -1 = null/unseen dim value
+            if sel.size == 0:
+                continue
+            bc = np.bincount(sel)
+            nz = np.flatnonzero(bc)
+            qs.append(np.full(nz.size, spec["qid"], dtype=np.int64))
+            cs.append(nz.astype(np.int32))
+            ns.append(bc[nz])
+        if not qs:
+            return pd.DataFrame(
+                {"qid": [], "code": [], "n": []}).astype(
+                {"qid": np.int64, "code": np.int32, "n": np.int64})
+        return pd.DataFrame({"qid": np.concatenate(qs),
+                             "code": np.concatenate(cs),
+                             "n": np.concatenate(ns)})
+
     flat, general = [], []
     for spec in payload["specs"]:
         if _FLAT_BATCH and _is_flat_should(spec):
@@ -740,6 +770,27 @@ def count_compound(spark: SparkSession,
     kernel in count-only mode — per-partition match COUNTS are the only
     rows that leave (one long per query per pid), summed driver-side.
     Queries whose clauses all analyze to absent terms count 0."""
+    counts = {int(qid): 0 for qid, _ in queries}
+    specs, payload, postings = _plan_aggregate_payload(
+        spark, manifests, default_field, queries)
+    if postings is None:
+        return counts
+    payload["count_only"] = True
+    agg = (postings.groupBy("pid")
+           .applyInPandas(_compound_kernel(payload), COUNT_SCHEMA)
+           .groupBy("qid").agg(F.sum("n").alias("n")).collect())
+    for r in agg:
+        counts[int(r["qid"])] = int(r["n"])
+    return counts
+
+
+def _plan_aggregate_payload(spark: SparkSession,
+                            manifests: dict[str, IndexManifest],
+                            default_field: str, queries):
+    """Shared driver-side planning for the aggregate-only kernel modes
+    (count, facet): specs + clause plan + per-field payload + pushdown
+    postings union.  ``postings`` is None when every clause analyzes to
+    index-wide-absent terms (nothing to launch)."""
     from pim_lucene_spark.plans.boolean import BooleanQuery
 
     b = _SpecBuilder(spark, manifests, default_field)
@@ -749,7 +800,6 @@ def count_compound(spark: SparkSession,
             specs.append(b.bool_spec(qid, q, default_field))
         else:
             specs.append(b.dismax_spec(qid, q, default_field))
-    counts = {int(qid): 0 for qid, _ in queries}
     clause_plan: dict[int, tuple] = {}
     fields_payload, scans = {}, []
     num_partitions = None
@@ -788,7 +838,7 @@ def count_compound(spark: SparkSession,
             .withColumn("fld", F.lit(f)))
     if not scans or not (clause_plan or b.matchall_fields
                          or any(b.extra_terms.values())):
-        return counts
+        return specs, None, None
     payload = {
         "specs": specs,
         "clauses": clause_plan,
@@ -797,7 +847,6 @@ def count_compound(spark: SparkSession,
         "precision": "float32",
         "num_partitions": int(num_partitions),
         "postings_cache_mb": 0,
-        "count_only": True,
         "has_matchall": bool(b.matchall_fields),
     }
     postings = scans[0]
@@ -806,12 +855,7 @@ def count_compound(spark: SparkSession,
     if b.matchall_fields:
         postings = postings.unionByName(
             _pid_seed(spark, int(num_partitions), postings.schema))
-    agg = (postings.groupBy("pid")
-           .applyInPandas(_compound_kernel(payload), COUNT_SCHEMA)
-           .groupBy("qid").agg(F.sum("n").alias("n")).collect())
-    for r in agg:
-        counts[int(r["qid"])] = int(r["n"])
-    return counts
+    return specs, payload, postings
 
 
 # ---------------------------------------------------------------------------

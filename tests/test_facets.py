@@ -1,0 +1,117 @@
+"""Faceted search (operators/facets.py): kernel-counted ordinals vs a
+brute-force pandas oracle, plus the plan property the design exists for
+(only (qid, ordinal, count) rows leave the kernel)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.operators.facets import (build_facet_index,
+                                               facet_counts)
+from pim_lucene_spark.operators.index_build import build_index
+from pim_lucene_spark.plans.boolean import BooleanQuery
+from pim_lucene_spark.plans.query import PhraseQuery
+
+VOCAB = ["red", "green", "blue", "apple", "house", "sky", "the", "fast"]
+CATS = ["news", "blog", "wiki", None, "docs"]
+
+
+def _corpus(n=150, seed=11):
+    rng = np.random.default_rng(seed)
+    rows, cats = [], []
+    for i in range(n):
+        words = list(rng.choice(VOCAB, size=rng.integers(4, 14)))
+        if i % 4 == 0:
+            words += ["the", "fast"]
+        rows.append(" ".join(words))
+        cats.append(CATS[int(rng.integers(0, len(CATS)))])
+    return pd.DataFrame({"doc_id": range(n), "content": rows,
+                         "category": cats})
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, tmp_path_factory):
+    pdf = _corpus()
+    cfg = IndexConfig(num_partitions=4, num_segments=2, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(pdf),
+                    str(tmp_path_factory.mktemp("facets")), cfg,
+                    content_col="content", id_col="doc_id",
+                    meta_cols=["category"])
+    build_facet_index(spark, m, "category")
+    return m, pdf
+
+
+def _brute(pdf, match_fn, top_n=10):
+    hits = pdf[pdf.content.map(match_fn)]
+    cnt = (hits[hits.category.notna()].groupby("category").size()
+           .reset_index(name="n"))
+    cnt = cnt.sort_values(["n", "category"],
+                          ascending=[False, True]).head(top_n)
+    return list(cnt.itertuples(index=False, name=None))
+
+
+def test_facet_counts_match_bruteforce(spark, fidx):
+    m, pdf = fidx
+    queries = [
+        (0, "red"),                                       # term
+        (1, PhraseQuery("the fast")),                     # phrase
+        (2, BooleanQuery(must=["red"], should=["sky"])),  # boolean
+        (3, "zzz_absent red"),                            # partial absent
+    ]
+    got = (facet_counts(spark, m, queries, "category", top_n=10)
+           .toPandas().sort_values(["qid", "n", "value"],
+                                   ascending=[True, False, True]))
+    toks = {i: set(c.split()) for i, c in enumerate(pdf.content)}
+
+    def match(qid):
+        if qid == 0:
+            return lambda c: "red" in c.split()
+        if qid == 1:
+            return lambda c: "the fast" in c
+        if qid == 2:
+            return lambda c: "red" in c.split()
+        return lambda c: False
+    for qid in (0, 1, 2, 3):
+        exp = _brute(pdf, match(qid))
+        sub = got[got.qid == qid]
+        assert list(zip(sub.value, sub.n)) == [(v, n) for v, n in exp], qid
+
+
+def test_facet_absent_everything_empty(spark, fidx):
+    m, _ = fidx
+    out = facet_counts(spark, m, [(9, "zzz_absent")], "category")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["qid", "value", "n"]
+
+
+def test_facet_respects_deletes(spark, fidx, tmp_path):
+    """Deleted docs never count toward a bucket (live-masked leaves)."""
+    import shutil
+
+    from pim_lucene_spark.operators.deletes import write_deletes
+    from pim_lucene_spark.manifest import IndexManifest
+    m, pdf = fidx
+    dst = str(tmp_path / "delfacet")
+    shutil.copytree(m.index_dir, dst)
+    md = write_deletes(spark, IndexManifest.load(dst),
+                       [int(i) for i in pdf.doc_id[::3]])
+    alive = pdf[pdf.doc_id % 3 != 0]
+    got = (facet_counts(spark, md, [(0, "red")], "category")
+           .toPandas().sort_values(["n", "value"],
+                                   ascending=[False, True]))
+    exp = _brute(alive, lambda c: "red" in c.split())
+    assert list(zip(got.value, got.n)) == [(v, n) for v, n in exp]
+
+
+def test_facet_top_n_and_tie_order(spark, fidx):
+    m, pdf = fidx
+    got = (facet_counts(spark, m, [(0, "red")], "category", top_n=2)
+           .toPandas())
+    assert len(got) == 2
+    full = _brute(pdf, lambda c: "red" in c.split())
+    assert list(zip(got.sort_values(["n", "value"],
+                                    ascending=[False, True]).value,
+                    got.sort_values(["n", "value"],
+                                    ascending=[False, True]).n)) \
+        == [(v, n) for v, n in full[:2]]
