@@ -184,3 +184,21 @@ def facet_counts(spark: SparkSession,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_n)
             .select("qid", "value", "n"))
+
+
+def facet_counts_local(index, queries, dim: str, top_n: int = 10,
+                       default_field: str = "",
+                       pids: list[int] | None = None) -> pd.DataFrame:
+    """Serving-path facets — NO Spark job: the resident compound kernel
+    in facet mode over per-pid ordinal blobs; row-identical to
+    :func:`facet_counts` (differential-tested).  Returns a pandas frame
+    ``(qid, value, n)``."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.compound import search_compound_local
+    from pim_lucene_spark.plans.dismax import DisMaxQuery
+    wrapped = [(qid, q if isinstance(q, (BooleanQuery, DisMaxQuery))
+                else BooleanQuery(must=[q]))
+               for qid, q in queries]
+    return search_compound_local(index, wrapped, default_field=default_field,
+                                 pids=pids, facet_dim=dim,
+                                 facet_top_n=top_n)

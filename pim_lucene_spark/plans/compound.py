@@ -1305,7 +1305,9 @@ def search_compound_local(index, queries,
                           k: int = 10, precision: str = "float32",
                           postings_cache_mb: int = 256,
                           pids: list[int] | None = None,
-                          default_field: str = "") -> pd.DataFrame:
+                          default_field: str = "",
+                          facet_dim: str | None = None,
+                          facet_top_n: int = 10) -> pd.DataFrame:
     """Serving-path boolean/dismax: the SAME compound kernel with NO
     Spark job — resident postings rows (``term IN`` pyarrow pushdown,
     shared with :func:`~pim_lucene_spark.operators.search.search_local`),
@@ -1323,6 +1325,11 @@ def search_compound_local(index, queries,
     to a shard subset (the sharded server's placement; per-pid top-k
     merge is exact because composition is per-doc and docs partition
     disjointly).
+
+    ``facet_dim`` switches to serving-path FACET mode: the same batch
+    returns per-query top-``facet_top_n`` buckets ``(qid, value, n)``
+    counted over the resident ordinal sidecar (``k`` is ignored; the
+    sidecar for the dim must exist — ``operators/facets.py``).
     """
     from pim_lucene_spark.operators.search import (_local_live,
                                                    _local_norms,
@@ -1386,6 +1393,11 @@ def search_compound_local(index, queries,
             "num_segments": m.num_segments,
             "nb_doc_per_segment": m.nb_doc_per_segment,
         }
+    if facet_dim is not None:
+        from pim_lucene_spark.operators.facets import facet_dir
+        fdir = facet_dir(manifests[default_field], facet_dim)
+        empty = pd.DataFrame({"qid": [], "value": [], "n": []}).astype(
+            {"qid": np.int64, "value": str, "n": np.int64})
     if not (clause_plan or b.matchall_fields
             or any(b.extra_terms.values())) or not fields_payload:
         return empty
@@ -1399,6 +1411,8 @@ def search_compound_local(index, queries,
         "postings_cache_mb": int(postings_cache_mb),
         "has_matchall": bool(b.matchall_fields),
     }
+    if facet_dim is not None:
+        payload["facet"] = {"path": fdir}
     # resident rows per field, regrouped per pid
     per_pid: dict[int, dict[str, dict]] = {}
     for f, needed in needed_by_field.items():
@@ -1424,6 +1438,15 @@ def search_compound_local(index, queries,
     if not outs:
         return empty
     res = pd.concat(outs, ignore_index=True)
+    if facet_dim is not None:
+        from pim_lucene_spark.operators.facets import facet_values
+        vals = facet_values(fdir)
+        agg = (res.groupby(["qid", "code"], as_index=False)["n"].sum())
+        agg["value"] = agg.pop("code").map(lambda c: vals[int(c)])
+        agg = agg.sort_values(["qid", "n", "value"],
+                              ascending=[True, False, True])
+        return (agg.groupby("qid", sort=True).head(int(facet_top_n))
+                [["qid", "value", "n"]].reset_index(drop=True))
     return (res.sort_values(["qid", "score", "doc_id"],
                             ascending=[True, False, True])
             .groupby("qid", sort=True).head(k).reset_index(drop=True))

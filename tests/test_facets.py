@@ -115,3 +115,16 @@ def test_facet_top_n_and_tie_order(spark, fidx):
                     got.sort_values(["n", "value"],
                                     ascending=[False, True]).n)) \
         == [(v, n) for v, n in full[:2]]
+
+
+def test_facet_local_matches_distributed(spark, fidx):
+    """Serving-path facets (no Spark job) == the distributed plan."""
+    from pim_lucene_spark.operators.facets import facet_counts_local
+    m, _ = fidx
+    queries = [(0, "red"), (1, PhraseQuery("the fast")),
+               (2, BooleanQuery(must=["red"], should=["sky"]))]
+    a = (facet_counts(spark, m, queries, "category", top_n=10)
+         .toPandas().sort_values(["qid", "value"]).reset_index(drop=True))
+    b = (facet_counts_local(m, queries, "category", top_n=10)
+         .sort_values(["qid", "value"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
