@@ -428,19 +428,24 @@ def _q_facets(spark, sf_dir):
     return facet_counts(spark, m, typed, "source", top_n=10)
 
 
+def _facet_mset(q) -> str:
+    """Match-set SQL for one FACET_QUERIES entry: phrase position joins,
+    INTERSECT for must-booleans, UNION for should-booleans."""
+    if isinstance(q, tuple):
+        op, terms = q
+        glue = " INTERSECT " if op == "and" else " UNION "
+        return glue.join(
+            f"SELECT doc_id FROM ({oracle._phrase_freq_select([t])})"
+            for t in terms)
+    terms = oracle.tokenize_one(q, "whitespace")
+    return f"SELECT doc_id FROM ({oracle._phrase_freq_select(terms)})"
+
+
 def _facet_sql(top_n: int = 10) -> str:
     """DuckDB mirror: per-query match-set subqueries (phrase position
     joins / INTERSECT / UNION on doc_id) joined to the source dimension,
     grouped, ranked (n desc, value asc)."""
-    def mset(q):
-        if isinstance(q, tuple):
-            op, terms = q
-            glue = " INTERSECT " if op == "and" else " UNION "
-            return glue.join(
-                f"SELECT doc_id FROM ({oracle._phrase_freq_select([t])})"
-                for t in terms)
-        terms = oracle.tokenize_one(q, "whitespace")
-        return f"SELECT doc_id FROM ({oracle._phrase_freq_select(terms)})"
+    mset = _facet_mset
     counts = " UNION ALL ".join(
         f"SELECT CAST({qid} AS BIGINT) AS qid, d.source AS value, "
         f"CAST(count(*) AS BIGINT) AS n "
@@ -451,6 +456,124 @@ def _facet_sql(top_n: int = 10) -> str:
     return (f"WITH {_tok_cte('whitespace')} SELECT qid, value, n "
             f"FROM ({counts}) QUALIFY row_number() OVER "
             f"(PARTITION BY qid ORDER BY n DESC, value ASC) <= {top_n}")
+
+
+# numeric doc values (NumericDocValues sidecar): sort-by-field
+# (TopFieldCollector), field collapsing (grouping module), and numeric
+# range facets (LongRangeFacetCounts) — all over the same FACET_QUERIES
+# mix; the sort/range column is the documents table's `n_chars`
+DV_RANGES = [("xs", 0, 150), ("s", 150, 250), ("m", 200, 400),
+             ("l", 400, 700), ("none", 5000, 9000)]
+
+
+def _dv_typed():
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    typed = []
+    for qid, q in FACET_QUERIES:
+        if isinstance(q, tuple):
+            op, terms = q
+            typed.append((qid, BooleanQuery(must=terms) if op == "and"
+                          else BooleanQuery(should=terms)))
+        else:
+            typed.append((qid, q))
+    return typed
+
+
+def _dv_spec_dicts():
+    return [(qid, ({"must": q[1]} if q[0] == "and" else {"should": q[1]})
+             if isinstance(q, tuple) else {"must": [q]})
+            for qid, q in FACET_QUERIES]
+
+
+def _dv_index(spark, sf_dir):
+    """The shared engine index + (once) the doc-values/facet sidecars."""
+    from pim_lucene_spark.operators.docvalues import (
+        build_numeric_docvalues, dv_dir)
+    from pim_lucene_spark.operators.facets import build_facet_index, facet_dir
+    m = _get_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if not os.path.isdir(os.path.join(dv_dir(m, "n_chars"), "data")):
+        build_numeric_docvalues(spark, m, "n_chars",
+                                dims=docs.select("doc_id", "n_chars"))
+    if not os.path.exists(os.path.join(facet_dir(m, "source"),
+                                       "values.json")):
+        build_facet_index(spark, m, "source",
+                          dims=docs.select("doc_id", "source"))
+    return m
+
+
+def _q_sort_by_field(spark, sf_dir):
+    """Sort(SortField('n_chars', LONG, reverse)) — top-k per query by
+    the doc-values column desc, doc_id tiebreak; per-partition k-best
+    cut so the exchange is O(P·k) regardless of match counts."""
+    from pim_lucene_spark.operators.docvalues import sort_by_field
+    m = _dv_index(spark, sf_dir)
+    return sort_by_field(spark, m, _dv_typed(), "n_chars", k=10,
+                         reverse=True)
+
+
+def _sort_by_field_sql(k: int = 10) -> str:
+    matches = " UNION ALL ".join(
+        f"SELECT CAST({qid} AS BIGINT) AS qid, h.doc_id, "
+        f"CAST(coalesce(d.n_chars, 0) AS BIGINT) AS sortval "
+        f"FROM ({_facet_mset(q)}) h "
+        f"JOIN documents d ON d.doc_id = h.doc_id"
+        for qid, q in FACET_QUERIES)
+    from pim_lucene_spark.oracle import _tok_cte
+    return (f"WITH {_tok_cte('whitespace')} "
+            f"SELECT qid, doc_id, sortval FROM ({matches}) "
+            f"QUALIFY row_number() OVER (PARTITION BY qid "
+            f"ORDER BY sortval DESC, doc_id ASC) <= {k}")
+
+
+def _q_collapse(spark, sf_dir):
+    """Field collapsing (grouping module, head=1): best doc per `source`
+    group, top-k groups by head score; only per-(query, group) heads
+    cross the exchange."""
+    from pim_lucene_spark.operators.docvalues import collapse_topk
+    m = _dv_index(spark, sf_dir)
+    res = collapse_topk(spark, m, _dv_typed(), "source", k=5,
+                        precision="float64")
+    return res.select("qid", "value", "doc_id",
+                      F.round("score", 6).alias("score"))
+
+
+def _collapse_sql(k: int = 5) -> str:
+    inner = oracle.boolean_bm25_sql(_dv_spec_dicts(), k=None,
+                                    round_scores=False)
+    return (f"WITH res AS ({inner}) "
+            f"SELECT qid, value, doc_id, ROUND(score, 6) AS score FROM ("
+            f"  SELECT r.qid, d.source AS value, r.doc_id, r.score,"
+            f"         row_number() OVER (PARTITION BY r.qid, d.source "
+            f"           ORDER BY r.score DESC, r.doc_id ASC) AS rn"
+            f"  FROM res r JOIN documents d ON d.doc_id = r.doc_id"
+            f"  WHERE d.source IS NOT NULL) "
+            f"WHERE rn = 1 QUALIFY row_number() OVER (PARTITION BY qid "
+            f"ORDER BY score DESC, doc_id ASC) <= {k}")
+
+
+def _q_facet_ranges(spark, sf_dir):
+    """LongRangeFacetCounts: per-query counts for overlapping [lo, hi)
+    ranges over the `n_chars` doc values, zero counts included."""
+    from pim_lucene_spark.operators.docvalues import facet_ranges
+    m = _dv_index(spark, sf_dir)
+    return facet_ranges(spark, m, _dv_typed(), "n_chars", DV_RANGES)
+
+
+def _facet_ranges_sql() -> str:
+    parts = []
+    for qid, q in FACET_QUERIES:
+        for lab, lo, hi in DV_RANGES:
+            parts.append(
+                f"SELECT CAST({qid} AS BIGINT) AS qid, "
+                f"'{lab}' AS label, CAST(count(*) AS BIGINT) AS n "
+                f"FROM ({_facet_mset(q)}) h "
+                f"JOIN documents d ON d.doc_id = h.doc_id "
+                f"WHERE coalesce(d.n_chars, 0) >= {lo} "
+                f"AND coalesce(d.n_chars, 0) < {hi}")
+    from pim_lucene_spark.oracle import _tok_cte
+    return (f"WITH {_tok_cte('whitespace')} "
+            + " UNION ALL ".join(parts))
 
 
 # DisjunctionMaxQuery specs — best-clause scoring with tie breakers
@@ -847,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_suggest_local": _q_suggest_local,
         "engine_count": _q_count,
         "engine_facet_counts": _q_facets,
+        "engine_sort_by_field": _q_sort_by_field,
+        "engine_collapse_topk": _q_collapse,
+        "engine_facet_ranges": _q_facet_ranges,
         "engine_constant_wrappers": _q_constant_wrappers,
         "engine_fallback_scan_bm25": _q_fallback_scan,
         "engine_slop_scan": _q_slop_scan,
@@ -1219,6 +1345,9 @@ def oracle_sql() -> dict[str, str]:
             _wrapper_specs(), k=10),
         "engine_count": oracle.count_sql(_count_specs()),
         "engine_facet_counts": _facet_sql(),
+        "engine_sort_by_field": _sort_by_field_sql(),
+        "engine_collapse_topk": _collapse_sql(),
+        "engine_facet_ranges": _facet_ranges_sql(),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)

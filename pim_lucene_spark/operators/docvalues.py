@@ -1,0 +1,260 @@
+"""Numeric doc values: sort-by-field, field collapsing, range facets.
+
+Lucene's ``NumericDocValues`` column (the ``.dvd`` forward index) as a
+per-partition int64 sidecar laid out exactly like the norms table and
+the facet ordinal blobs (``dv/col=<col>/data/pid=N``): a kernel task
+for partition N reads its own blob straight off the shared mount, never
+through a shuffle, and serving processes keep it resident.
+
+Three CPU-Lucene surfaces ride it inside the per-partition compound
+kernel (`plans/compound.py::_compound_core`):
+
+- :func:`sort_by_field` — ``IndexSearcher.search(query, n, Sort)`` with
+  ``SortField(col, Type.LONG, reverse)``: each partition ships only its
+  k best (value, doc) pairs, so the exchange is O(P·k) regardless of
+  match counts (``TopFieldCollector`` with ``trackScores=false``).
+- :func:`collapse_topk` — the grouping module's one-doc-per-group
+  collapse (``TopGroupsCollector`` head=1) over a facet ordinal
+  dimension: per (query, group) only the partition-best doc crosses,
+  O(queries × cardinality) never O(matches).
+- :func:`facet_ranges` — ``LongRangeFacetCounts``: per-query counts for
+  caller-given (possibly overlapping) ``[lo, hi)`` ranges, two binary
+  searches per range over the sorted matched values.
+
+The PIM reference offloads no doc-values surface; this is CPU-Lucene
+parity (like the query parser and facet families), anchored on
+``lucene/core`` sort / ``lucene/grouping`` / ``lucene/facet`` range
+semantics.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pim_lucene_spark.manifest import IndexManifest
+
+DV_BLOB_SCHEMA = T.StructType([
+    T.StructField("pid", T.IntegerType(), False),
+    T.StructField("num_docs", T.LongType(), False),
+    T.StructField("values", T.BinaryType(), False),
+])
+
+SORT_RESULT_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("sortval", T.LongType(), False),
+])
+
+COLLAPSE_KERNEL_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("code", T.IntegerType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+RANGE_KERNEL_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("ridx", T.IntegerType(), False),
+    T.StructField("n", T.LongType(), False),
+])
+
+# resident value blobs, keyed (dv dir, pid) — 8 bytes/doc, read once per
+# executor/serving process (the .dvd-resident analogue)
+_DV_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
+def dv_dir(manifest: IndexManifest, col: str) -> str:
+    return os.path.join(manifest.index_dir, "dv", f"col={col}")
+
+
+def build_numeric_docvalues(spark: SparkSession, manifest: IndexManifest,
+                            col: str, dims: DataFrame | None = None,
+                            missing: int = 0) -> str:
+    """Build the int64 doc-values sidecar for one column.
+
+    ``dims`` is any ``(doc_id, <col>)`` frame aligned to the index's
+    global doc ids; by default the column is read from the index's own
+    docs table (pass ``meta_cols=[col]`` to ``build_index`` to store it
+    there).  Nulls take ``missing`` (Lucene's numeric-sort missing
+    value, default 0).  Returns the doc-values directory.
+    """
+    P = manifest.num_partitions
+    if dims is None:
+        dims = spark.read.parquet(manifest.docs_path).select("doc_id", col)
+    dims = dims.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col(col).cast("long").alias("value"))
+    out = dv_dir(manifest, col)
+    miss = int(missing)
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        rel = pdf["doc_id"].to_numpy(np.int64) // P
+        order = np.argsort(rel, kind="stable")
+        rel = rel[order]
+        if rel.size and not np.array_equal(rel, np.arange(rel.size)):
+            raise ValueError(
+                f"doc-values partition {pid}: doc ids not dense; the "
+                "dims frame must cover the index's global id space")
+        vals = (pdf["value"].to_numpy()[order])
+        vals = pd.Series(vals).fillna(miss).to_numpy(np.int64)
+        return pd.DataFrame({"pid": [pid], "num_docs": [rel.size],
+                             "values": [vals.tobytes()]})
+
+    (dims.withColumn("pid", F.pmod(F.col("doc_id"), F.lit(P)).cast("int"))
+         .groupBy("pid").applyInPandas(kern, DV_BLOB_SCHEMA)
+         .write.mode("overwrite").partitionBy("pid")
+         .parquet(os.path.join(out, "data")))
+    return out
+
+
+def dv_values_for(dvdir: str, pid: int) -> np.ndarray:
+    """Partition ``pid``'s value array (int64, rel-doc aligned) — direct
+    per-task read off the shared mount, cached resident."""
+    key = (dvdir, pid)
+    hit = _DV_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+    part = os.path.join(dvdir, "data", f"pid={pid}")
+    if not os.path.isdir(part):
+        raise FileNotFoundError(
+            f"doc-values partition {part} not visible from this "
+            "executor; build_numeric_docvalues must run before querying "
+            "and the index needs a POSIX-visible shared mount")
+    blob = pq.read_table(part, columns=["values"]).column("values")[0]
+    vals = np.frombuffer(blob.as_py(), dtype=np.int64)
+    _DV_CACHE[key] = vals
+    return vals
+
+
+def _wrap_queries(queries):
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.dismax import DisMaxQuery
+    return [(qid, q if isinstance(q, (BooleanQuery, DisMaxQuery))
+             else BooleanQuery(must=[q]))
+            for qid, q in queries]
+
+
+def _manifests_of(index, default_field):
+    if isinstance(index, dict):
+        return index, default_field
+    m = IndexManifest.load(index) if isinstance(index, str) else index
+    return {default_field: m}, default_field
+
+
+def sort_by_field(spark: SparkSession, index, queries, col: str,
+                  k: int = 10, reverse: bool = False,
+                  default_field: str = "") -> DataFrame:
+    """Top-``k`` hits per query ordered by a numeric doc-values column:
+    ``(qid, doc_id, sortval)``, value asc (``reverse=True`` → desc),
+    ties by doc_id asc — ``Sort(SortField(col, LONG, reverse))``.
+
+    The plan: one postings pushdown scan → per-partition compound
+    kernel in sort mode (each partition emits its k best (value, doc)
+    pairs; matches index the resident sidecar, no value shuffle) → a
+    P·k-row rank window.  The sidecar for ``col`` must exist
+    (:func:`build_numeric_docvalues`).
+    """
+    from pim_lucene_spark.plans.compound import (_compound_kernel,
+                                                 _plan_aggregate_payload)
+    manifests, default_field = _manifests_of(index, default_field)
+    d = dv_dir(manifests[default_field], col)
+    specs, payload, postings = _plan_aggregate_payload(
+        spark, manifests, default_field, _wrap_queries(queries))
+    if postings is None:
+        return spark.createDataFrame([], SORT_RESULT_SCHEMA)
+    payload["sort"] = {"path": d, "reverse": bool(reverse), "k": int(k)}
+    res = (postings.groupBy("pid")
+           .applyInPandas(_compound_kernel(payload), SORT_RESULT_SCHEMA))
+    order = F.desc("sortval") if reverse else F.asc("sortval")
+    w = Window.partitionBy("qid").orderBy(order, F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).drop("rank"))
+
+
+def collapse_topk(spark: SparkSession, index, queries, dim: str,
+                  k: int = 10, precision: str = "float32",
+                  default_field: str = "") -> DataFrame:
+    """Field collapsing: the best-scoring doc per group value, top-``k``
+    groups per query by head score — ``(qid, value, doc_id, score)``,
+    ordered per query by (score desc, doc_id asc).
+
+    ``dim`` is a facet ordinal dimension (:func:`~pim_lucene_spark.
+    operators.facets.build_facet_index`); docs with a null dim value are
+    excluded (the grouping module's group-field contract).  Per
+    partition only per-(query, group) head rows cross the exchange.
+    """
+    from pim_lucene_spark.operators.facets import facet_dir, facet_values
+    from pim_lucene_spark.plans.compound import (_compound_kernel,
+                                                 _plan_aggregate_payload)
+    manifests, default_field = _manifests_of(index, default_field)
+    fdir = facet_dir(manifests[default_field], dim)
+    values = facet_values(fdir)
+    specs, payload, postings = _plan_aggregate_payload(
+        spark, manifests, default_field, _wrap_queries(queries),
+        precision=precision)
+    vals_df = F.broadcast(spark.createDataFrame(
+        list(enumerate(values)), "code int, value string"))
+    if postings is None:
+        return (spark.createDataFrame([], COLLAPSE_KERNEL_SCHEMA)
+                .join(vals_df, "code")
+                .select("qid", "value", "doc_id", "score"))
+    payload["collapse"] = {"path": fdir}
+    heads = (postings.groupBy("pid")
+             .applyInPandas(_compound_kernel(payload),
+                            COLLAPSE_KERNEL_SCHEMA))
+    # global head per (qid, group) = best over ≤ P partition heads
+    w_g = Window.partitionBy("qid", "code").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    w_k = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (heads.withColumn("rn", F.row_number().over(w_g))
+            .filter(F.col("rn") == 1).drop("rn")
+            .withColumn("rank", F.row_number().over(w_k))
+            .filter(F.col("rank") <= k).drop("rank")
+            .join(vals_df, "code")
+            .select("qid", "value", "doc_id", "score"))
+
+
+def facet_ranges(spark: SparkSession, index, queries, col: str,
+                 ranges: list[tuple[str, int, int]],
+                 default_field: str = "") -> DataFrame:
+    """Per-query match counts for numeric ``[lo, hi)`` ranges over a
+    doc-values column: ``(qid, label, n)`` with one row per (query,
+    range), zero counts included — ``LongRangeFacetCounts`` semantics
+    (ranges may overlap; each counts independently).
+
+    ``ranges``: ``(label, lo, hi)`` with unique labels.  The sidecar for
+    ``col`` must exist (:func:`build_numeric_docvalues`).
+    """
+    from pim_lucene_spark.plans.compound import (_compound_kernel,
+                                                 _plan_aggregate_payload)
+    labels = [r[0] for r in ranges]
+    if len(set(labels)) != len(labels):
+        raise ValueError("range labels must be unique")
+    manifests, default_field = _manifests_of(index, default_field)
+    d = dv_dir(manifests[default_field], col)
+    specs, payload, postings = _plan_aggregate_payload(
+        spark, manifests, default_field, _wrap_queries(queries))
+    scaffold = spark.createDataFrame(
+        [(int(qid), i, lab) for qid, _ in queries
+         for i, (lab, _, _) in enumerate(ranges)],
+        "qid long, ridx int, label string")
+    if postings is None:
+        return scaffold.select("qid", "label",
+                               F.lit(0).cast("long").alias("n"))
+    payload["ranges"] = {"path": d,
+                         "lo": [int(r[1]) for r in ranges],
+                         "hi": [int(r[2]) for r in ranges]}
+    agg = (postings.groupBy("pid")
+           .applyInPandas(_compound_kernel(payload), RANGE_KERNEL_SCHEMA)
+           .groupBy("qid", "ridx").agg(F.sum("n").alias("n")))
+    return (scaffold.join(agg, ["qid", "ridx"], "left")
+            .select("qid", "label",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n")))

@@ -585,6 +585,112 @@ def _compound_core(payload: dict, pid: int,
                              "code": np.concatenate(cs),
                              "n": np.concatenate(ns)})
 
+    if payload.get("sort"):
+        # sort-by-field (TopFieldCollector / Sort(SortField(LONG))
+        # semantics): matched rel docs index the partition's resident
+        # numeric doc-values array; the per-partition cut keeps the k
+        # best by (value, doc asc) so the exchange ships ≤ P·k rows no
+        # matter how many docs match — scores are never shipped
+        # (trackScores=false is the Lucene default for field sorts)
+        from pim_lucene_spark.operators.docvalues import dv_values_for
+        so = payload["sort"]
+        vals = dv_values_for(so["path"], pid)
+        sk = so["k"]
+        o_q, o_d, o_v = [], [], []
+        for spec in payload["specs"]:
+            docs, _ = _eval_spec(spec, eval_leaf, precision,
+                                 eval_ma=eval_ma)
+            if docs.size == 0:
+                continue
+            key = vals[docs]
+            order = np.lexsort((docs, -key if so["reverse"] else key))
+            if sk is not None and order.size > sk:
+                order = order[:sk]
+            o_q.append(np.full(order.size, spec["qid"], dtype=np.int64))
+            o_d.append(docs[order] * P + pid)
+            o_v.append(key[order])
+        if not o_q:
+            return pd.DataFrame(
+                {"qid": [], "doc_id": [], "sortval": []}).astype(
+                {"qid": np.int64, "doc_id": np.int64,
+                 "sortval": np.int64})
+        return pd.DataFrame({"qid": np.concatenate(o_q),
+                             "doc_id": np.concatenate(o_d),
+                             "sortval": np.concatenate(o_v)})
+
+    if payload.get("collapse"):
+        # field collapsing (lucene/grouping TopGroupsCollector, head=1):
+        # per (query, group ordinal) only the best-scoring doc leaves
+        # the kernel — the global group head is the max over partition
+        # heads, so the exchange is O(queries × cardinality), never
+        # O(matches); docs with a null/unseen group value drop (the
+        # grouping module's requiresGroupField contract)
+        from pim_lucene_spark.operators.facets import facet_codes_for
+        codes = facet_codes_for(payload["collapse"]["path"], pid)
+        c_q, c_c, c_d, c_s = [], [], [], []
+        for spec in payload["specs"]:
+            docs, scores = _eval_spec(spec, eval_leaf, precision,
+                                      eval_ma=eval_ma)
+            if docs.size == 0:
+                continue
+            grp = codes[docs]
+            keep = grp >= 0
+            docs, scores, grp = docs[keep], scores[keep], grp[keep]
+            if docs.size == 0:
+                continue
+            # (code asc, score desc, doc asc); first row per code = head
+            order = np.lexsort((docs, -scores, grp))
+            g_sorted = grp[order]
+            first = np.concatenate(
+                ([0], np.flatnonzero(g_sorted[1:] != g_sorted[:-1]) + 1))
+            heads = order[first]
+            c_q.append(np.full(heads.size, spec["qid"], dtype=np.int64))
+            c_c.append(g_sorted[first].astype(np.int32))
+            c_d.append(docs[heads] * P + pid)
+            c_s.append(scores[heads])
+        if not c_q:
+            return pd.DataFrame(
+                {"qid": [], "code": [], "doc_id": [], "score": []}).astype(
+                {"qid": np.int64, "code": np.int32, "doc_id": np.int64,
+                 "score": np.float64})
+        return pd.DataFrame({"qid": np.concatenate(c_q),
+                             "code": np.concatenate(c_c),
+                             "doc_id": np.concatenate(c_d),
+                             "score": np.concatenate(c_s)})
+
+    if payload.get("ranges"):
+        # numeric range facets (LongRangeFacetCounts): sort each query's
+        # matched values once, then every [lo, hi) range is two binary
+        # searches — O(m log m + R log m) per query-partition, ranges
+        # may overlap (the Lucene contract); only (qid, ridx, n) rows
+        # with n > 0 leave the kernel
+        from pim_lucene_spark.operators.docvalues import dv_values_for
+        ro = payload["ranges"]
+        vals = dv_values_for(ro["path"], pid)
+        lo = np.asarray(ro["lo"], dtype=np.int64)
+        hi = np.asarray(ro["hi"], dtype=np.int64)
+        r_q, r_r, r_n = [], [], []
+        for spec in payload["specs"]:
+            docs, _ = _eval_spec(spec, eval_leaf, precision,
+                                 eval_ma=eval_ma)
+            if docs.size == 0:
+                continue
+            sv = np.sort(vals[docs])
+            n = (np.searchsorted(sv, hi, side="left")
+                 - np.searchsorted(sv, lo, side="left"))
+            nz = np.flatnonzero(n)
+            if nz.size == 0:
+                continue
+            r_q.append(np.full(nz.size, spec["qid"], dtype=np.int64))
+            r_r.append(nz.astype(np.int32))
+            r_n.append(n[nz].astype(np.int64))
+        if not r_q:
+            return pd.DataFrame({"qid": [], "ridx": [], "n": []}).astype(
+                {"qid": np.int64, "ridx": np.int32, "n": np.int64})
+        return pd.DataFrame({"qid": np.concatenate(r_q),
+                             "ridx": np.concatenate(r_r),
+                             "n": np.concatenate(r_n)})
+
     flat, general = [], []
     for spec in payload["specs"]:
         if _FLAT_BATCH and _is_flat_should(spec):
@@ -786,11 +892,13 @@ def count_compound(spark: SparkSession,
 
 def _plan_aggregate_payload(spark: SparkSession,
                             manifests: dict[str, IndexManifest],
-                            default_field: str, queries):
+                            default_field: str, queries,
+                            precision: str = "float32"):
     """Shared driver-side planning for the aggregate-only kernel modes
-    (count, facet): specs + clause plan + per-field payload + pushdown
-    postings union.  ``postings`` is None when every clause analyzes to
-    index-wide-absent terms (nothing to launch)."""
+    (count, facet, sort, collapse, ranges): specs + clause plan +
+    per-field payload + pushdown postings union.  ``postings`` is None
+    when every clause analyzes to index-wide-absent terms (nothing to
+    launch)."""
     from pim_lucene_spark.plans.boolean import BooleanQuery
 
     b = _SpecBuilder(spark, manifests, default_field)
@@ -810,7 +918,7 @@ def _plan_aggregate_payload(spark: SparkSession,
         if not lv and not ma_here and not extra:
             continue
         if lv:
-            planned, needed = plan_queries(spark, m, lv, 1, "float32")
+            planned, needed = plan_queries(spark, m, lv, 1, precision)
         else:
             planned, needed = [], set()
         needed = set(needed) | extra
@@ -821,9 +929,9 @@ def _plan_aggregate_payload(spark: SparkSession,
         if not needed and not ma_here:
             continue
         avgdl = bm25.avg_field_length(m.sum_total_term_freq, m.doc_count,
-                                      "float32")
+                                      precision)
         fields_payload[f] = {
-            "cache": bm25.score_cache(avgdl, m.k1, m.b, "float32"),
+            "cache": bm25.score_cache(avgdl, m.k1, m.b, precision),
             "cache_key": (m.build_id or m.index_dir, m.doc_count,
                           m.sum_total_term_freq),
             "norms_path": m.norms_path,
@@ -844,7 +952,7 @@ def _plan_aggregate_payload(spark: SparkSession,
         "clauses": clause_plan,
         "fields": fields_payload,
         "k": None,
-        "precision": "float32",
+        "precision": precision,
         "num_partitions": int(num_partitions),
         "postings_cache_mb": 0,
         "has_matchall": bool(b.matchall_fields),

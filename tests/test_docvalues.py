@@ -1,0 +1,196 @@
+"""Numeric doc values (operators/docvalues.py): sort-by-field, field
+collapsing, and range facets vs brute-force differentials built from the
+engine's own full ranking, plus the plan property the design exists for
+(only bounded per-partition rows leave the kernel)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.operators.docvalues import (build_numeric_docvalues,
+                                                  collapse_topk,
+                                                  facet_ranges,
+                                                  sort_by_field)
+from pim_lucene_spark.operators.facets import build_facet_index
+from pim_lucene_spark.operators.index_build import build_index
+from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+from pim_lucene_spark.plans.query import PhraseQuery
+
+VOCAB = ["red", "green", "blue", "apple", "house", "sky", "the", "fast"]
+CATS = ["news", "blog", "wiki", None, "docs"]
+
+QUERIES = [
+    (0, "red"),
+    (1, PhraseQuery("the fast")),
+    (2, BooleanQuery(must=["red"], should=["sky"])),
+    (3, "zzz_absent"),
+]
+
+
+def _corpus(n=160, seed=23):
+    rng = np.random.default_rng(seed)
+    rows, cats, sizes = [], [], []
+    for i in range(n):
+        words = list(rng.choice(VOCAB, size=rng.integers(4, 14)))
+        if i % 4 == 0:
+            words += ["the", "fast"]
+        rows.append(" ".join(words))
+        cats.append(CATS[int(rng.integers(0, len(CATS)))])
+        # deliberately collision-heavy so value ties exercise the
+        # doc_id tiebreak, plus a few nulls for the missing-value path
+        sizes.append(None if i % 37 == 0 else int(rng.integers(0, 25)))
+    return pd.DataFrame({"doc_id": range(n), "content": rows,
+                         "category": cats, "size": sizes})
+
+
+@pytest.fixture(scope="module")
+def dvidx(spark, tmp_path_factory):
+    pdf = _corpus()
+    cfg = IndexConfig(num_partitions=4, num_segments=2, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(pdf),
+                    str(tmp_path_factory.mktemp("dv")), cfg,
+                    content_col="content", id_col="doc_id",
+                    meta_cols=["category", "size"])
+    build_facet_index(spark, m, "category")
+    build_numeric_docvalues(spark, m, "size")
+    return m, pdf
+
+
+def _full_ranking(spark, m):
+    """The engine's own complete match set per query (k big enough to be
+    exhaustive) — the differential base every mode is checked against."""
+    res = search_boolean(
+        spark, m, [(qid, q if isinstance(q, BooleanQuery)
+                    else BooleanQuery(must=[q])) for qid, q in QUERIES],
+        k=10_000, precision="float64").toPandas()
+    return res
+
+
+def test_sort_by_field_matches_bruteforce(spark, dvidx):
+    m, pdf = dvidx
+    base = _full_ranking(spark, m)
+    size_of = pdf.set_index("doc_id")["size"].fillna(0).astype(np.int64)
+    for reverse in (False, True):
+        got = (sort_by_field(spark, m, QUERIES, "size", k=7,
+                             reverse=reverse)
+               .toPandas().sort_values(["qid", "sortval", "doc_id"])
+               .reset_index(drop=True))
+        exp_rows = []
+        for qid in base.qid.unique():
+            docs = base[base.qid == qid].doc_id
+            sv = size_of.loc[docs].to_numpy()
+            order = np.lexsort((docs.to_numpy(),
+                                -sv if reverse else sv))[:7]
+            for i in order:
+                exp_rows.append((qid, int(docs.to_numpy()[i]),
+                                 int(sv[i])))
+        exp = (pd.DataFrame(exp_rows, columns=["qid", "doc_id", "sortval"])
+               .sort_values(["qid", "sortval", "doc_id"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+
+
+def test_sort_rank_order_is_field_order(spark, dvidx):
+    """The returned frame's window rank reflects (value, doc) order, not
+    score order."""
+    m, _ = dvidx
+    got = sort_by_field(spark, m, [(0, "red")], "size", k=50).toPandas()
+    sv = got.sortval.to_numpy()
+    assert (np.diff(sv) >= 0).all()
+
+
+def test_collapse_matches_bruteforce(spark, dvidx):
+    m, pdf = dvidx
+    base = _full_ranking(spark, m)
+    cat_of = pdf.set_index("doc_id")["category"]
+    got = (collapse_topk(spark, m, QUERIES, "category", k=3,
+                         precision="float64")
+           .toPandas().sort_values(["qid", "value"])
+           .reset_index(drop=True))
+    exp_rows = []
+    for qid in base.qid.unique():
+        sub = base[base.qid == qid].copy()
+        sub["value"] = cat_of.loc[sub.doc_id].to_numpy()
+        sub = sub[sub.value.notna()]
+        # head per group = (score desc, doc asc); then top-3 groups
+        sub = sub.sort_values(["score", "doc_id"],
+                              ascending=[False, True])
+        heads = sub.groupby("value", as_index=False).first()
+        heads = heads.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).head(3)
+        for r in heads.itertuples(index=False):
+            exp_rows.append((qid, r.value, int(r.doc_id),
+                             float(r.score)))
+    exp = (pd.DataFrame(exp_rows,
+                        columns=["qid", "value", "doc_id", "score"])
+           .sort_values(["qid", "value"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+
+
+def test_facet_ranges_match_bruteforce(spark, dvidx):
+    m, pdf = dvidx
+    base = _full_ranking(spark, m)
+    size_of = pdf.set_index("doc_id")["size"].fillna(0).astype(np.int64)
+    # overlapping + empty + full-span ranges (the LongRange contract)
+    ranges = [("small", 0, 8), ("mid", 5, 15), ("big", 15, 100),
+              ("none", 400, 500), ("all", 0, 100)]
+    got = (facet_ranges(spark, m, QUERIES, "size", ranges)
+           .toPandas().sort_values(["qid", "label"])
+           .reset_index(drop=True))
+    exp_rows = []
+    for qid, _ in QUERIES:
+        docs = base[base.qid == qid].doc_id
+        sv = size_of.loc[docs].to_numpy() if len(docs) else \
+            np.array([], dtype=np.int64)
+        for lab, lo, hi in ranges:
+            exp_rows.append((qid, lab,
+                             int(((sv >= lo) & (sv < hi)).sum())))
+    exp = (pd.DataFrame(exp_rows, columns=["qid", "label", "n"])
+           .sort_values(["qid", "label"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+
+
+def test_facet_ranges_duplicate_labels_rejected(spark, dvidx):
+    m, _ = dvidx
+    with pytest.raises(ValueError, match="unique"):
+        facet_ranges(spark, m, QUERIES, "size",
+                     [("a", 0, 5), ("a", 5, 10)])
+
+
+def test_sort_respects_deletes(spark, dvidx, tmp_path):
+    """Deleted docs never appear in a field-sorted page."""
+    import shutil
+
+    from pim_lucene_spark.manifest import IndexManifest
+    from pim_lucene_spark.operators.deletes import write_deletes
+    m, pdf = dvidx
+    dst = str(tmp_path / "deldv")
+    shutil.copytree(m.index_dir, dst)
+    md = write_deletes(spark, IndexManifest.load(dst),
+                       [int(i) for i in pdf.doc_id[::3]])
+    got = sort_by_field(spark, md, [(0, "red")], "size", k=100).toPandas()
+    assert not set(got.doc_id) & set(pdf.doc_id[::3])
+    base = _full_ranking(spark, m)
+    alive = base[(base.qid == 0) & (base.doc_id % 3 != 0)]
+    assert set(got.doc_id) == set(alive.doc_id)
+
+
+def test_sort_kernel_ships_at_most_p_times_k(spark, dvidx):
+    """The scale property: the exchange after the sort kernel carries
+    ≤ P·k rows per query no matter the match count."""
+    from pim_lucene_spark.operators.docvalues import (SORT_RESULT_SCHEMA,
+                                                      dv_dir)
+    from pim_lucene_spark.plans.compound import (_compound_kernel,
+                                                 _plan_aggregate_payload)
+    m, _ = dvidx
+    wrapped = [(0, BooleanQuery(must=["red"]))]
+    specs, payload, postings = _plan_aggregate_payload(
+        spark, {"": m}, "", wrapped)
+    payload["sort"] = {"path": dv_dir(m, "size"), "reverse": False,
+                       "k": 3}
+    rows = (postings.groupBy("pid")
+            .applyInPandas(_compound_kernel(payload), SORT_RESULT_SCHEMA)
+            .count())
+    assert rows <= m.num_partitions * 3
