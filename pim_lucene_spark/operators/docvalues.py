@@ -258,3 +258,63 @@ def facet_ranges(spark: SparkSession, index, queries, col: str,
             .select("qid", "label",
                     F.coalesce(F.col("n"), F.lit(0)).cast("long")
                     .alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# serving path (no Spark job): the same kernel modes over resident
+# sidecars, host-side merge — row-identical to the distributed plans
+# ---------------------------------------------------------------------------
+
+def sort_by_field_local(index, queries, col: str, k: int = 10,
+                        reverse: bool = False, default_field: str = "",
+                        pids: list[int] | None = None) -> pd.DataFrame:
+    """Serving-path :func:`sort_by_field` — NO Spark job; returns a
+    pandas frame (qid, doc_id, sortval), row-identical to the
+    distributed plan (differential-tested)."""
+    from pim_lucene_spark.plans.compound import search_compound_local
+    manifests, default_field = _manifests_of(index, default_field)
+    return search_compound_local(
+        manifests, _wrap_queries(queries), default_field=default_field,
+        pids=pids,
+        agg_mode={"kind": "sort", "path": dv_dir(manifests[default_field],
+                                                 col),
+                  "reverse": bool(reverse), "k": int(k)})
+
+
+def collapse_topk_local(index, queries, dim: str, k: int = 10,
+                        precision: str = "float32",
+                        default_field: str = "",
+                        pids: list[int] | None = None) -> pd.DataFrame:
+    """Serving-path :func:`collapse_topk` — NO Spark job; returns a
+    pandas frame (qid, value, doc_id, score)."""
+    from pim_lucene_spark.operators.facets import facet_dir, facet_values
+    from pim_lucene_spark.plans.compound import search_compound_local
+    manifests, default_field = _manifests_of(index, default_field)
+    fdir = facet_dir(manifests[default_field], dim)
+    return search_compound_local(
+        manifests, _wrap_queries(queries), precision=precision,
+        default_field=default_field, pids=pids,
+        agg_mode={"kind": "collapse", "path": fdir,
+                  "values": facet_values(fdir), "k": int(k)})
+
+
+def facet_ranges_local(index, queries,
+                       col: str, ranges: list[tuple[str, int, int]],
+                       default_field: str = "",
+                       pids: list[int] | None = None) -> pd.DataFrame:
+    """Serving-path :func:`facet_ranges` — NO Spark job; returns a
+    pandas frame (qid, label, n) with zero counts included."""
+    from pim_lucene_spark.plans.compound import search_compound_local
+    labels = [r[0] for r in ranges]
+    if len(set(labels)) != len(labels):
+        raise ValueError("range labels must be unique")
+    manifests, default_field = _manifests_of(index, default_field)
+    return search_compound_local(
+        manifests, _wrap_queries(queries), default_field=default_field,
+        pids=pids,
+        agg_mode={"kind": "ranges",
+                  "path": dv_dir(manifests[default_field], col),
+                  "lo": [int(r[1]) for r in ranges],
+                  "hi": [int(r[2]) for r in ranges],
+                  "labels": labels,
+                  "qids": [int(qid) for qid, _ in queries]})

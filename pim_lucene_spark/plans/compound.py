@@ -1415,7 +1415,8 @@ def search_compound_local(index, queries,
                           pids: list[int] | None = None,
                           default_field: str = "",
                           facet_dim: str | None = None,
-                          facet_top_n: int = 10) -> pd.DataFrame:
+                          facet_top_n: int = 10,
+                          agg_mode: dict | None = None) -> pd.DataFrame:
     """Serving-path boolean/dismax: the SAME compound kernel with NO
     Spark job — resident postings rows (``term IN`` pyarrow pushdown,
     shared with :func:`~pim_lucene_spark.operators.search.search_local`),
@@ -1438,6 +1439,13 @@ def search_compound_local(index, queries,
     returns per-query top-``facet_top_n`` buckets ``(qid, value, n)``
     counted over the resident ordinal sidecar (``k`` is ignored; the
     sidecar for the dim must exist — ``operators/facets.py``).
+
+    ``agg_mode`` (internal — use the ``*_local`` wrappers in
+    ``operators/docvalues.py``) switches to the sort / collapse /
+    ranges kernel modes over resident doc-values sidecars:
+    ``{"kind": "sort", "path", "reverse", "k"}``, ``{"kind":
+    "collapse", "path", "values", "k"}``, or ``{"kind": "ranges",
+    "path", "lo", "hi", "labels", "qids"}``.
     """
     from pim_lucene_spark.operators.search import (_local_live,
                                                    _local_norms,
@@ -1506,6 +1514,8 @@ def search_compound_local(index, queries,
         fdir = facet_dir(manifests[default_field], facet_dim)
         empty = pd.DataFrame({"qid": [], "value": [], "n": []}).astype(
             {"qid": np.int64, "value": str, "n": np.int64})
+    elif agg_mode is not None:
+        empty = _agg_mode_empty(agg_mode)
     if not (clause_plan or b.matchall_fields
             or any(b.extra_terms.values())) or not fields_payload:
         return empty
@@ -1521,6 +1531,8 @@ def search_compound_local(index, queries,
     }
     if facet_dim is not None:
         payload["facet"] = {"path": fdir}
+    elif agg_mode is not None:
+        payload[agg_mode["kind"]] = agg_mode
     # resident rows per field, regrouped per pid
     per_pid: dict[int, dict[str, dict]] = {}
     for f, needed in needed_by_field.items():
@@ -1555,9 +1567,62 @@ def search_compound_local(index, queries,
                               ascending=[True, False, True])
         return (agg.groupby("qid", sort=True).head(int(facet_top_n))
                 [["qid", "value", "n"]].reset_index(drop=True))
+    if agg_mode is not None:
+        return _agg_mode_merge(agg_mode, res)
     return (res.sort_values(["qid", "score", "doc_id"],
                             ascending=[True, False, True])
             .groupby("qid", sort=True).head(k).reset_index(drop=True))
+
+
+def _agg_mode_empty(agg_mode: dict) -> pd.DataFrame:
+    kind = agg_mode["kind"]
+    if kind == "sort":
+        return pd.DataFrame({"qid": [], "doc_id": [], "sortval": []}
+                            ).astype({"qid": np.int64, "doc_id": np.int64,
+                                      "sortval": np.int64})
+    if kind == "collapse":
+        return pd.DataFrame({"qid": [], "value": [], "doc_id": [],
+                             "score": []}).astype(
+            {"qid": np.int64, "value": str, "doc_id": np.int64,
+             "score": np.float64})
+    # ranges: zero counts for every (query, range), the scaffold shape
+    labels, qids = agg_mode["labels"], agg_mode["qids"]
+    return pd.DataFrame(
+        {"qid": np.repeat(np.asarray(qids, dtype=np.int64), len(labels)),
+         "label": np.tile(np.asarray(labels, dtype=object), len(qids)),
+         "n": np.zeros(len(labels) * len(qids), dtype=np.int64)})
+
+
+def _agg_mode_merge(agg_mode: dict, res: pd.DataFrame) -> pd.DataFrame:
+    """Host-side merge of per-pid kernel outputs for the doc-values
+    serving modes — the exact reduction the distributed windows run."""
+    kind = agg_mode["kind"]
+    if kind == "sort":
+        rev = bool(agg_mode["reverse"])
+        return (res.sort_values(["qid", "sortval", "doc_id"],
+                                ascending=[True, not rev, True])
+                .groupby("qid", sort=True).head(int(agg_mode["k"]))
+                .reset_index(drop=True))
+    if kind == "collapse":
+        vals = agg_mode["values"]
+        heads = (res.sort_values(["qid", "code", "score", "doc_id"],
+                                 ascending=[True, True, False, True])
+                 .groupby(["qid", "code"], sort=False).head(1))
+        heads = (heads.sort_values(["qid", "score", "doc_id"],
+                                   ascending=[True, False, True])
+                 .groupby("qid", sort=True).head(int(agg_mode["k"]))
+                 .reset_index(drop=True))
+        heads["value"] = heads.pop("code").map(lambda c: vals[int(c)])
+        return heads[["qid", "value", "doc_id", "score"]]
+    agg = (res.groupby(["qid", "ridx"], as_index=False)["n"].sum())
+    scaffold = _agg_mode_empty(agg_mode)
+    scaffold["ridx"] = np.tile(
+        np.arange(len(agg_mode["labels"]), dtype=np.int64),
+        len(agg_mode["qids"]))
+    out = scaffold.drop(columns=["n"]).merge(agg, on=["qid", "ridx"],
+                                             how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return out[["qid", "label", "n"]]
 
 
 def search_compound(spark: SparkSession,

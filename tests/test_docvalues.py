@@ -177,6 +177,50 @@ def test_sort_respects_deletes(spark, dvidx, tmp_path):
     assert set(got.doc_id) == set(alive.doc_id)
 
 
+def test_local_modes_match_distributed(spark, dvidx):
+    """Serving-path sort/collapse/ranges (no Spark job) == the
+    distributed plans, row-identical."""
+    from pim_lucene_spark.operators.docvalues import (collapse_topk_local,
+                                                      facet_ranges_local,
+                                                      sort_by_field_local)
+    m, _ = dvidx
+    ranges = [("small", 0, 8), ("mid", 5, 15), ("none", 400, 500)]
+    for reverse in (False, True):
+        a = (sort_by_field(spark, m, QUERIES, "size", k=7, reverse=reverse)
+             .toPandas().sort_values(["qid", "doc_id"])
+             .reset_index(drop=True))
+        b = (sort_by_field_local(m, QUERIES, "size", k=7, reverse=reverse)
+             .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+    a = (collapse_topk(spark, m, QUERIES, "category", k=3)
+         .toPandas().sort_values(["qid", "value"]).reset_index(drop=True))
+    b = (collapse_topk_local(m, QUERIES, "category", k=3)
+         .sort_values(["qid", "value"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+    a = (facet_ranges(spark, m, QUERIES, "size", ranges)
+         .toPandas().sort_values(["qid", "label"]).reset_index(drop=True))
+    b = (facet_ranges_local(m, QUERIES, "size", ranges)
+         .sort_values(["qid", "label"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+
+
+def test_local_sort_sharded_pids_merge(spark, dvidx):
+    """Shard-subset serving (pids=[...]) unions to the full answer when
+    every pid is covered — the sharded-server placement property."""
+    from pim_lucene_spark.operators.docvalues import sort_by_field_local
+    m, _ = dvidx
+    full = sort_by_field_local(m, QUERIES, "size", k=7)
+    halves = pd.concat([
+        sort_by_field_local(m, QUERIES, "size", k=7, pids=[0, 1]),
+        sort_by_field_local(m, QUERIES, "size", k=7, pids=[2, 3]),
+    ], ignore_index=True)
+    merged = (halves.sort_values(["qid", "sortval", "doc_id"])
+              .groupby("qid", sort=True).head(7).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        full.sort_values(["qid", "sortval", "doc_id"])
+        .reset_index(drop=True), merged)
+
+
 def test_sort_kernel_ships_at_most_p_times_k(spark, dvidx):
     """The scale property: the exchange after the sort kernel carries
     ≤ P·k rows per query no matter the match count."""
