@@ -75,6 +75,13 @@ MT_FUZZY_SPECS = [
     (820, FuzzyQuery("part", max_edits=2, transpositions=False, boost=1.5)),
     (821, FuzzyQuery("merge", max_edits=2, transpositions=False)),
 ]
+# SynonymQuery specs: (qid, [(term, term_boost), ...], boost) — merged
+# pseudo-term stats (df = max), freq = Σ boost·tf in declaration order
+SYN_SPECS = [
+    (860, [("merge", 1.0), ("join", 1.0)], 1.0),
+    (861, [("scan", 1.0), ("query", 0.5)], 1.5),
+    (862, [("vector", 1.0), ("zzznope", 1.0)], 1.0),
+]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 EMB_DIM = 64  # testdata embeddings.parquet dim (constant across sf)
 
@@ -602,6 +609,19 @@ def _q_dismax(spark, sf_dir):
     return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_synonym(spark, sf_dir):
+    """SynonymQuery (SynonymQuery.java): terms scored as one pseudo-term
+    — freq = Σ boost·tf per doc, one idf from the max docFreq; evaluated
+    in the compound kernel (per-partition union + top-k)."""
+    from pim_lucene_spark.plans.boolean import search_synonym
+    from pim_lucene_spark.plans.query import SynonymQuery
+    m = _get_index(spark, sf_dir)
+    qs = [(qid, SynonymQuery(tuple(tb), boost=b))
+          for qid, tb, b in SYN_SPECS]
+    res = search_synonym(spark, m, qs, k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_compound_count(spark, sf_dir):
     """IndexSearcher.count over the boolean specs — the count-only
     compound kernel (only per-partition counts cross the exchange)."""
@@ -965,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_matchall_boolean": _q_matchall_boolean,
         "engine_compound_count": _q_compound_count,
         "engine_dismax_topk": _q_dismax,
+        "engine_synonym_bm25": _q_synonym,
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
         "engine_suggest_local": _q_suggest_local,
@@ -1348,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_sort_by_field": _sort_by_field_sql(),
         "engine_collapse_topk": _collapse_sql(),
         "engine_facet_ranges": _facet_ranges_sql(),
+        "engine_synonym_bm25": oracle.synonym_bm25_sql(SYN_SPECS, k=10),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)

@@ -833,6 +833,26 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
     all_terms = sorted({t for ts, _ in term_lists.values() for t in ts})
     if not all_terms:
         return [], []
+    cache = term_doc_freqs(spark, manifest, all_terms)
+    doc_freq = {t: cache[t] for t in all_terms if cache[t] > 0}
+    planned = []
+    for qid, (terms, boost) in term_lists.items():
+        if not terms or any(t not in doc_freq for t in terms):
+            continue  # Q3: constant-zero weight
+        dfs = np.array([doc_freq[t] for t in terms], dtype=np.int64)
+        weight = bm25.phrase_weight(dfs, manifest.doc_count,
+                                    boost=boost, precision=precision)
+        planned.append((qid, tuple(terms), float(weight)))
+    needed_terms = sorted({t for _, ts, _ in planned for t in ts})
+    return planned, needed_terms
+
+
+def term_doc_freqs(spark: SparkSession | None, manifest: IndexManifest,
+                   all_terms: list[str]) -> dict[str, int]:
+    """doc_freq per exact term (0 for absent), via the cross-batch stats
+    cache — pyarrow pushdown when ``spark`` is None (serving path).
+    Terms are index terms, NOT analyzed text (``SynonymQuery`` and
+    expansion callers pass post-analysis terms)."""
     key = _stats_cache_key(manifest)
     cache = _TERM_STATS_CACHE.setdefault(key, {})
     _TERM_STATS_CACHE.move_to_end(key)
@@ -879,17 +899,7 @@ def plan_queries(spark: SparkSession, manifest: IndexManifest,
                 found = {r["term"]: int(r["doc_freq"]) for r in stats}
             for t in missing:
                 cache[t] = found.get(t, 0)
-    doc_freq = {t: cache[t] for t in all_terms if cache[t] > 0}
-    planned = []
-    for qid, (terms, boost) in term_lists.items():
-        if not terms or any(t not in doc_freq for t in terms):
-            continue  # Q3: constant-zero weight
-        dfs = np.array([doc_freq[t] for t in terms], dtype=np.int64)
-        weight = bm25.phrase_weight(dfs, manifest.doc_count,
-                                    boost=boost, precision=precision)
-        planned.append((qid, tuple(terms), float(weight)))
-    needed_terms = sorted({t for _, ts, _ in planned for t in ts})
-    return planned, needed_terms
+    return {t: cache[t] for t in all_terms}
 
 
 def _search_sync_rounds(spark, postings, payload: dict, k: int,

@@ -499,6 +499,64 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
             + " " + " UNION ALL ".join(selects))
 
 
+def synonym_bm25_sql(queries: list[tuple[int, list, float]],
+                     k: int | None = 10,
+                     tokenizer: str = "whitespace",
+                     round_scores: bool = True) -> str:
+    """SynonymQuery oracle → (qid, doc_id, score).
+
+    ``queries``: ``(qid, [(term, tboost), ...], boost)``.  Mirrors
+    ``SynonymQuery.java`` as the engine kernel runs it
+    (``plans/compound.py::_syn_match``, float64 mode): per-doc
+    ``freq = Σ tboostᵢ·tfᵢ`` accumulated in term-declaration order
+    (coalesce-0 chain — adding 0.0 is the identity, same bits as the
+    engine skipping absent terms), ONE idf from the merged pseudo-term
+    docFreq (``greatest`` of the per-term dfs; absent terms are df 0),
+    ``score = w − w/(1 + freq·cache)``, top-k (score desc, doc asc).
+    """
+    ctes, selects = [], []
+    for qid, term_boosts, boost in queries:
+        names = []
+        for j, (t, _) in enumerate(term_boosts):
+            cname = f"syn{qid}_t{j}"
+            ctes.append(
+                f"{cname} AS (SELECT doc_id, "
+                f"CAST(count(*) AS DOUBLE) AS tf FROM positions "
+                f"WHERE term = '{_q(t)}' GROUP BY doc_id)")
+            names.append(cname)
+        from_sql = ""
+        for i, c in enumerate(names):
+            alias = f"t{i}"
+            from_sql += (f"{c} {alias}" if i == 0
+                         else f" FULL JOIN {c} {alias} USING (doc_id)")
+        freq = "0.0"
+        for i, (_, tb) in enumerate(term_boosts):
+            freq = f"({freq} + {float(tb)!r} * coalesce(t{i}.tf, 0.0))"
+        dfs = ", ".join(
+            f"(SELECT count(DISTINCT doc_id) FROM positions "
+            f"WHERE term = '{_q(t)}')" for t, _ in term_boosts)
+        mdf = dfs if len(term_boosts) == 1 else f"greatest({dfs})"
+        weight = (f"({float(boost)!r} * ln(1.0 + "
+                  f"(CAST(n_docs AS DOUBLE) - {mdf} + 0.5) / "
+                  f"({mdf} + 0.5)))")
+        cache = _cache_sql(_quantized_dl("docl.dl"))
+        score = (f"({weight} - {weight} / "
+                 f"(1.0 + b.freq * {cache}))")
+        qualify = (f"QUALIFY row_number() OVER "
+                   f"(ORDER BY score DESC, doc_id ASC) <= {k}"
+                   if k is not None else "")
+        selects.append(
+            f"SELECT qid, doc_id, "
+            + ("round(score, 6)" if round_scores else "score")
+            + " AS score FROM ("
+            f"SELECT CAST({qid} AS BIGINT) AS qid, b.doc_id, "
+            f"{score} AS score "
+            f"FROM (SELECT doc_id, {freq} AS freq FROM {from_sql}) b "
+            f"JOIN docl ON docl.doc_id = b.doc_id, cstats) s {qualify}")
+    return (f"WITH {_tok_cte(tokenizer)}, " + ", ".join(ctes)
+            + " " + " UNION ALL ".join(selects))
+
+
 def dismax_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
                     tokenizer: str = "whitespace") -> str:
     """DisjunctionMaxQuery oracle → (qid, doc_id, score).

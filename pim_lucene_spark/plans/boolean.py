@@ -104,7 +104,7 @@ def _classify_clauses(queries, resolve_field):
     from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
                                                   MultiTermQueryT)
     from pim_lucene_spark.plans.query import (MatchAllDocsQuery,
-                                              PhraseQuery)
+                                              PhraseQuery, SynonymQuery)
 
     per_field: dict = {}
     meta, next_sid = [], [0]
@@ -140,6 +140,13 @@ def _classify_clauses(queries, resolve_field):
                     slot["matchall"].append(
                         (sid, float(clause.boost) * float(bq.boost)
                          if scoring else 1.0))
+                elif isinstance(clause, SynonymQuery):
+                    raise NotImplementedError(
+                        "SynonymQuery evaluates in the compound kernel "
+                        "(merged pseudo-term stats have no join-chain "
+                        "scorer); this index layout (cogroup norms or "
+                        "v<3) cannot host the kernel — rebuild the "
+                        "index or drop the synonym clause")
                 elif (isinstance(clause, PhraseQuery)
                       and int(clause.slop) != 0):
                     slot["sloppy"].append(
@@ -293,6 +300,27 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
             out = out.unionByName(p)
         return out
     return _search_boolean_join(spark, index, queries, k, precision)
+
+
+def search_synonym(spark: SparkSession, index, queries, k: int = 10,
+                   precision: str = "float32") -> DataFrame:
+    """Batched SynonymQuery search → DataFrame(qid, doc_id, score).
+
+    ``queries``: ``(qid, SynonymQuery)`` pairs.  Each evaluates as a
+    single-MUST boolean on the compound-kernel plan (single-clause sum
+    is the identity, so scores are the bare clause scores): per
+    partition the terms' co-located postings union, per-doc
+    ``freq = Σ boostᵢ·tfᵢ``, ONE BM25 weight from the merged pseudo-term
+    stats (df = max — ``SynonymQuery.java``), per-partition top-k out.
+    Requires a kernel-hostable index (v3+, direct norms).
+    """
+    from pim_lucene_spark.plans.query import SynonymQuery
+    for _, q in queries:
+        if not isinstance(q, SynonymQuery):
+            raise TypeError("queries must be (qid, SynonymQuery) pairs")
+    return search_boolean(
+        spark, index, [(qid, BooleanQuery(must=[q])) for qid, q in queries],
+        k=k, precision=precision)
 
 
 def _search_boolean_join(spark: SparkSession, index, queries, k,

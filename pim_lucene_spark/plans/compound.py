@@ -174,6 +174,35 @@ def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
     return docs, sc, counts[hit].astype(np.float64)
 
 
+def _syn_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
+               tboosts: tuple, weight: float, cache: np.ndarray,
+               precision: str
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One SynonymQuery clause's partition-local match set →
+    (docs ascending-unique, float64 scores, float64 freqs).
+
+    ``SynonymQuery.java`` scoring: the clause matches the UNION of the
+    terms' docs; per doc ``freq = Σ boostᵢ·tfᵢ`` accumulated in term-
+    declaration order (float32 in the Lucene-parity mode, exactly
+    ``FreqBoostTermScorer``'s float accumulator; float64 in oracle
+    mode), then ONE BM25 score against the merged pseudo-term weight —
+    the idf is never summed per term.
+    """
+    lps = [(ctx.get(t), tb) for t, tb in zip(terms, tboosts)
+           if t in ctx.by_term]
+    if not lps:
+        return _EMPTY_I64, _EMPTY_F64, _EMPTY_F64
+    acc = np.float32 if precision == "float32" else np.float64
+    docs = np.unique(np.concatenate([lp.rel_docs for lp, _ in lps]))
+    freq = np.zeros(docs.size, dtype=acc)
+    for lp, tb in lps:  # declaration order — deterministic float sum
+        freq[np.searchsorted(docs, lp.rel_docs)] += \
+            lp.freqs.astype(acc) * acc(tb)
+    sc = np.asarray(bm25.score(freq, norms[docs], weight, cache,
+                               precision), dtype=np.float64)
+    return docs, sc, freq.astype(np.float64)
+
+
 def _lookup(docs: np.ndarray, base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Positions of ``base`` entries inside sorted-unique ``docs`` plus a
     presence mask (vectorized sorted-merge membership)."""
@@ -468,6 +497,8 @@ def _compound_core(payload: dict, pid: int,
     # sorted match set and looks its candidates up in it.
     leaf_cache: dict[tuple, tuple] = {}
 
+    syn_boosts = payload.get("syn_boosts") or {}
+
     def eval_leaf(sid: int, cand: np.ndarray | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
         ent = clause_plan.get(sid)
@@ -476,6 +507,23 @@ def _compound_core(payload: dict, pid: int,
         f, terms, weight, slop = ent
         if f not in ctxs:  # no postings rows for this field here
             return _EMPTY_I64, _EMPTY_F64
+        tb = syn_boosts.get(sid)
+        if tb is not None:
+            # synonym clause: full union evaluation (a valid superset
+            # answer for candidate-restricted consumers), cached per
+            # (field, terms, weight) like any other reusable leaf
+            key = (ent, tb)
+            hit = leaf_cache.get(key)
+            if hit is None:
+                docs, sc, _ = _syn_match(ctxs[f], norms[f], terms, tb,
+                                         weight, fields[f]["cache"],
+                                         precision)
+                if live.get(f) is not None and docs.size:
+                    keep = live[f][docs]
+                    docs, sc = docs[keep], sc[keep]
+                hit = (docs, sc)
+                leaf_cache[key] = hit
+            return hit
         hit = leaf_cache.get(ent)
         if hit is not None:
             return hit
@@ -890,6 +938,36 @@ def count_compound(spark: SparkSession,
     return counts
 
 
+def _plan_syn_leaves(spark, manifest, syn: list, precision: str,
+                     field: str, clause_plan: dict,
+                     syn_boosts: dict) -> set:
+    """Stats planning for synonym leaves (``SynonymQuery.java`` merged
+    statistics): pseudo-docFreq = max over the clause's PRESENT terms,
+    idf computed once — ``weight = boost * idf(max df)``; absent terms
+    drop from the decode list (they contribute freq 0).  Fills
+    ``clause_plan[sid]`` / ``syn_boosts[sid]`` and returns the terms the
+    postings scan must push down."""
+    if not syn:
+        return set()
+    from pim_lucene_spark.operators.search import term_doc_freqs
+    all_terms = sorted({t for _, ts, _, _ in syn for t in ts})
+    dfs = term_doc_freqs(spark, manifest, all_terms)
+    needed: set = set()
+    for sid, ts, tbs, boost in syn:
+        present = [(t, tb) for t, tb in zip(ts, tbs) if dfs.get(t, 0) > 0]
+        if not present:
+            continue  # every term absent index-wide: empty clause
+        mdf = max(dfs[t] for t, _ in present)
+        w = bm25.phrase_weight(np.asarray([mdf], dtype=np.int64),
+                               manifest.doc_count, boost=boost,
+                               precision=precision)
+        clause_plan[sid] = (field, tuple(t for t, _ in present),
+                            float(w), 0)
+        syn_boosts[sid] = tuple(float(tb) for _, tb in present)
+        needed.update(t for t, _ in present)
+    return needed
+
+
 def _plan_aggregate_payload(spark: SparkSession,
                             manifests: dict[str, IndexManifest],
                             default_field: str, queries,
@@ -909,19 +987,22 @@ def _plan_aggregate_payload(spark: SparkSession,
         else:
             specs.append(b.dismax_spec(qid, q, default_field))
     clause_plan: dict[int, tuple] = {}
+    syn_boosts: dict[int, tuple] = {}
     fields_payload, scans = {}, []
     num_partitions = None
     for f, m in manifests.items():
         lv = b.leaves.get(f) or []
+        syn = b.syn_leaves.get(f) or []
         ma_here = f in b.matchall_fields
         extra = b.extra_terms.get(f) or set()
-        if not lv and not ma_here and not extra:
+        if not lv and not ma_here and not extra and not syn:
             continue
         if lv:
             planned, needed = plan_queries(spark, m, lv, 1, precision)
         else:
             planned, needed = [], set()
-        needed = set(needed) | extra
+        needed = set(needed) | extra | _plan_syn_leaves(
+            spark, m, syn, precision, f, clause_plan, syn_boosts)
         num_partitions = m.num_partitions
         for sid, ts, w in planned:
             clause_plan[sid] = (f, tuple(ts), float(w),
@@ -950,6 +1031,7 @@ def _plan_aggregate_payload(spark: SparkSession,
     payload = {
         "specs": specs,
         "clauses": clause_plan,
+        "syn_boosts": syn_boosts,
         "fields": fields_payload,
         "k": None,
         "precision": precision,
@@ -1012,9 +1094,10 @@ def clause_kernelable(clause, allow_fielded=None, manifests=None,
                                                   expand_const_local)
     from pim_lucene_spark.plans.query import (FieldedQuery,
                                               MatchAllDocsQuery,
-                                              PhraseQuery, TermQuery)
+                                              PhraseQuery, SynonymQuery,
+                                              TermQuery)
 
-    if isinstance(clause, MatchAllDocsQuery):
+    if isinstance(clause, (MatchAllDocsQuery, SynonymQuery)):
         return True
     if isinstance(clause, FieldedQuery):
         if allow_fielded is None:
@@ -1065,6 +1148,10 @@ class _SpecBuilder:
         # expansions): scanned alongside the scored leaves' terms but
         # never stats-planned (their score is a constant, not BM25)
         self.extra_terms: dict[str, set] = {f: set() for f in manifests}
+        # synonym leaves (SynonymQuery.java): (sid, terms, term_boosts,
+        # boost) — stats-planned with MERGED pseudo-term stats (df = max
+        # over terms), not the per-leaf Σidf path
+        self.syn_leaves: dict[str, list] = {f: [] for f in manifests}
         self._next_sid = 0
 
     def _leaf(self, field: str, text: str, boost: float) -> dict:
@@ -1138,6 +1225,15 @@ class _SpecBuilder:
             return {"kind": "const_or", "field": field,
                     "terms": tuple(exp),
                     "weight": float(clause.boost) * eff_boost}
+        from pim_lucene_spark.plans.query import SynonymQuery
+        if isinstance(clause, SynonymQuery):
+            sid = self._next_sid
+            self._next_sid += 1
+            self.syn_leaves[field].append(
+                (sid, tuple(t for t, _ in clause.terms),
+                 tuple(tb for _, tb in clause.terms),
+                 float(clause.boost) * eff_boost))
+            return {"kind": "scored", "sid": sid}
         text, cboost = _clause_text_boost(clause)
         d = self._leaf(field, text, cboost * eff_boost)
         slop = int(getattr(clause, "slop", 0))
@@ -1175,7 +1271,8 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
                   return_partial: bool = False,
                   matchall_fields: set | None = None,
                   extra_terms: dict | None = None,
-                  slops: dict[int, int] | None = None) -> DataFrame:
+                  slops: dict[int, int] | None = None,
+                  syn_leaves: dict[str, list] | None = None) -> DataFrame:
     """Run prepared compound specs through the per-partition kernel.
 
     One union scan (per-field ``term IN`` pushdown + field tag) →
@@ -1189,20 +1286,23 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
     """
     empty = spark.createDataFrame([], COMPOUND_SCHEMA)
     clause_plan: dict[int, tuple] = {}
+    syn_boosts: dict[int, tuple] = {}
     fields_payload: dict[str, dict] = {}
     scans = []
     num_partitions = None
     for f, m in manifests.items():
         lv = leaves.get(f) or []
+        syn = (syn_leaves or {}).get(f) or []
         ma_here = bool(matchall_fields) and f in matchall_fields
         extra = set((extra_terms or {}).get(f) or ())
-        if not lv and not ma_here and not extra:
+        if not lv and not ma_here and not extra and not syn:
             continue
         if lv:
             planned, needed = plan_queries(spark, m, lv, k, precision)
         else:
             planned, needed = [], set()
-        needed = set(needed) | extra
+        needed = set(needed) | extra | _plan_syn_leaves(
+            spark, m, syn, precision, f, clause_plan, syn_boosts)
         num_partitions = m.num_partitions
         for sid, terms, w in planned:
             clause_plan[sid] = (f, tuple(terms), float(w),
@@ -1230,6 +1330,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
     payload = {
         "specs": specs,
         "clauses": clause_plan,
+        "syn_boosts": syn_boosts,
         "fields": fields_payload,
         "k": int(k),
         "precision": precision,
@@ -1476,21 +1577,24 @@ def search_compound_local(index, queries,
         {"qid": np.int64, "doc_id": np.int64, "score": np.float64})
 
     clause_plan: dict[int, tuple] = {}
+    syn_boosts: dict[int, tuple] = {}
     fields_payload: dict[str, dict] = {}
     ckeys: dict[str, tuple] = {}
     needed_by_field: dict[str, list] = {}
     P = next(iter(manifests.values())).num_partitions
     for f, m in manifests.items():
         lv = b.leaves.get(f) or []
+        syn = b.syn_leaves.get(f) or []
         ma_here = f in b.matchall_fields
         extra = b.extra_terms.get(f) or set()
-        if not lv and not ma_here and not extra:
+        if not lv and not ma_here and not extra and not syn:
             continue
         if lv:
             planned, needed = plan_queries(None, m, lv, k, precision)
         else:
             planned, needed = [], set()
-        needed = set(needed) | extra
+        needed = set(needed) | extra | _plan_syn_leaves(
+            None, m, syn, precision, f, clause_plan, syn_boosts)
         for sid, ts, w in planned:
             clause_plan[sid] = (f, tuple(ts), float(w),
                                 b.slops.get(sid, 0))
@@ -1522,6 +1626,7 @@ def search_compound_local(index, queries,
     payload = {
         "specs": specs,
         "clauses": clause_plan,
+        "syn_boosts": syn_boosts,
         "fields": fields_payload,
         "k": int(k),
         "precision": precision,
@@ -1648,4 +1753,5 @@ def search_compound(spark: SparkSession,
     return eval_compound(spark, manifests, specs, b.leaves, k, precision,
                          postings_cache_mb=postings_cache_mb,
                          matchall_fields=b.matchall_fields,
-                         extra_terms=b.extra_terms, slops=b.slops)
+                         extra_terms=b.extra_terms, slops=b.slops,
+                         syn_leaves=b.syn_leaves)

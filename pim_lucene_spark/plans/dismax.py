@@ -122,7 +122,7 @@ def _search_dismax_join(spark: SparkSession, index, queries, k,
                         precision: str) -> DataFrame:
     from pim_lucene_spark.plans.boolean import _clause_text_boost
     from pim_lucene_spark.operators.search import search
-    from pim_lucene_spark.plans.query import PhraseQuery
+    from pim_lucene_spark.plans.query import PhraseQuery, SynonymQuery
     from pim_lucene_spark.plans.router import search_with_fallback
 
     sub, sloppy, slops, meta, next_sid = [], [], {}, [], 0
@@ -131,6 +131,11 @@ def _search_dismax_join(spark: SparkSession, index, queries, k,
             raise TypeError("queries must be (qid, DisMaxQuery) pairs")
         sids = []
         for clause in dq.clauses:
+            if isinstance(clause, SynonymQuery):
+                raise NotImplementedError(
+                    "SynonymQuery evaluates in the compound kernel "
+                    "(merged pseudo-term stats have no join-chain "
+                    "scorer); this index layout cannot host the kernel")
             text, cboost = _clause_text_boost(clause)
             sid = next_sid
             next_sid += 1

@@ -74,6 +74,35 @@ class MatchAllDocsQuery:
 
 
 @dataclass(frozen=True)
+class SynonymQuery:
+    """Terms that score as ONE pseudo-term (``SynonymQuery.java``):
+    per-doc frequency = Σ boostᵢ·tfᵢ over the matching terms (float
+    accumulation in declaration order), ONE BM25 weight from merged
+    stats (pseudo-docFreq = max over the terms' docFreq — idf computed
+    once, never summed).  ``terms`` entries are index terms (post-
+    analysis), optionally ``(term, boost)`` with the per-term boost in
+    (0, 1] (``SynonymQuery.Builder.addTerm`` contract); ``boost`` is the
+    usual BoostQuery top-level weight scale.
+    """
+
+    terms: tuple
+    boost: float = 1.0
+
+    def __post_init__(self):
+        norm = []
+        for t in self.terms:
+            term, tb = (t, 1.0) if isinstance(t, str) else t
+            tb = float(tb)
+            if not 0.0 < tb <= 1.0:
+                raise ValueError(
+                    f"synonym term boost must be in (0, 1], got {tb}")
+            norm.append((str(term), tb))
+        if not norm:
+            raise ValueError("SynonymQuery needs at least one term")
+        object.__setattr__(self, "terms", tuple(norm))
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery:
     """Wraps any engine query; every matching doc scores ``boost``
     (``ConstantScoreQuery.java`` — the wrapped query's scores are

@@ -1,0 +1,178 @@
+"""SynonymQuery (plans/query.py + compound kernel `_syn_match`):
+merged-stats scoring per ``SynonymQuery.java`` — freq = Σ boostᵢ·tfᵢ,
+one idf from the max docFreq — against a DuckDB replica, the engine's
+own term search (single-term identity), composition, serving-path and
+delete differentials."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pim_lucene_spark.config import IndexConfig
+from pim_lucene_spark.operators.index_build import build_index
+from pim_lucene_spark.operators.search import search
+from pim_lucene_spark.oracle import synonym_bm25_sql
+from pim_lucene_spark.plans.boolean import (BooleanQuery, search_boolean,
+                                            search_synonym)
+from pim_lucene_spark.plans.query import SynonymQuery
+
+VOCAB = ["quick", "fast", "rapid", "slow", "house", "car", "auto",
+         "the", "a"]
+
+
+def _corpus(n=140, seed=31):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        words = list(rng.choice(VOCAB, size=rng.integers(3, 16)))
+        rows.append(" ".join(words))
+    return pd.DataFrame({"doc_id": range(n), "content": rows})
+
+
+@pytest.fixture(scope="module")
+def synidx(spark, tmp_path_factory):
+    pdf = _corpus()
+    cfg = IndexConfig(num_partitions=4, num_segments=2, build_chunks=1)
+    m = build_index(spark, spark.createDataFrame(pdf),
+                    str(tmp_path_factory.mktemp("syn")), cfg,
+                    content_col="content", id_col="doc_id")
+    return m, pdf
+
+
+def _oracle(pdf, specs, k=10, round_scores=True):
+    con = duckdb.connect()
+    con.register("documents",
+                 pdf.rename(columns={"content": "text"}))
+    return (con.execute(synonym_bm25_sql(specs, k=k,
+                                         round_scores=round_scores))
+            .fetchdf())
+
+
+SPECS = [
+    (0, [("quick", 1.0), ("fast", 1.0), ("rapid", 1.0)], 1.0),
+    (1, [("car", 1.0), ("auto", 0.5)], 2.0),
+    (2, [("house", 0.25)], 1.0),
+    (3, [("slow", 1.0), ("zz_absent", 1.0)], 1.0),
+    (4, [("zz_absent", 1.0)], 1.0),
+]
+
+
+def _typed(specs):
+    return [(qid, SynonymQuery(tuple(tb), boost=b)) for qid, tb, b in specs]
+
+
+def test_synonym_matches_duckdb_oracle(spark, synidx):
+    m, pdf = synidx
+    got = (search_synonym(spark, m, _typed(SPECS), k=10,
+                          precision="float64")
+           .toPandas())
+    got["score"] = got["score"].round(6)
+    got = got.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    exp = (_oracle(pdf, SPECS, k=10)
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+
+
+def test_single_term_synonym_equals_term_search(spark, synidx):
+    """A one-term SynonymQuery is exactly a TermQuery: same pseudo-df,
+    same freq — float32 Lucene-parity bit identity."""
+    m, _ = synidx
+    syn = (search_synonym(spark, m, [(0, SynonymQuery(("house",)))],
+                          k=50, precision="float32")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    term = (search(spark, m, [(0, "house")], k=50, precision="float32")
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(syn) == len(term)
+    assert (syn.doc_id.to_numpy() == term.doc_id.to_numpy()).all()
+    assert (syn.score.to_numpy() == term.score.to_numpy()).all()  # bits
+
+
+def test_synonym_union_and_merged_stats(spark, synidx):
+    """The match set is the union of the terms' docs and every doc
+    scores with ONE weight built from the max docFreq."""
+    m, pdf = synidx
+    got = (search_synonym(spark, m,
+                          [(0, SynonymQuery(("quick", "rapid")))],
+                          k=1000, precision="float64").toPandas())
+    toks = pdf.content.str.split()
+    expect_docs = set(pdf.doc_id[toks.map(
+        lambda ts: "quick" in ts or "rapid" in ts)])
+    assert set(got.doc_id) == expect_docs
+    # a doc holding both terms scores HIGHER than the same tf split
+    # would under either term alone (freqs add before the saturation)
+    both = pdf.doc_id[toks.map(
+        lambda ts: "quick" in ts and "rapid" in ts)]
+    if len(both):
+        one = (search(spark, m, [(0, "quick")], k=1000,
+                      precision="float64").toPandas()
+               .set_index("doc_id").score)
+        d = int(both.iloc[0])
+        assert float(got.set_index("doc_id").score[d]) > float(one[d])
+
+
+def test_synonym_in_boolean_composes(spark, synidx):
+    """Synonym as a boolean clause: MUST composition sums the clause
+    scores in declaration order (float64 identity check)."""
+    m, _ = synidx
+    syn = SynonymQuery(("car", "auto"))
+    comp = (search_boolean(
+        spark, m, [(0, BooleanQuery(must=[syn, "house"]))],
+        k=1000, precision="float64").toPandas()
+        .set_index("doc_id").score)
+    syn_alone = (search_synonym(spark, m, [(0, syn)], k=1000,
+                                precision="float64").toPandas()
+                 .set_index("doc_id").score)
+    term_alone = (search(spark, m, [(0, "house")], k=1000,
+                         precision="float64").toPandas()
+                  .set_index("doc_id").score)
+    inter = syn_alone.index.intersection(term_alone.index)
+    assert set(comp.index) == set(inter)
+    for d in comp.index:
+        assert comp[d] == (0.0 + syn_alone[d]) + term_alone[d]
+
+
+def test_synonym_serving_matches_distributed(spark, synidx):
+    from pim_lucene_spark.plans.compound import search_compound_local
+    m, _ = synidx
+    qs = [(qid, BooleanQuery(must=[SynonymQuery(tuple(tb), boost=b)]))
+          for qid, tb, b in SPECS[:4]]
+    a = (search_boolean(spark, m, qs, k=10, precision="float32")
+         .toPandas().sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    b = (search_compound_local(m, qs, k=10, precision="float32")
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+
+
+def test_synonym_respects_deletes(spark, synidx, tmp_path):
+    import shutil
+
+    from pim_lucene_spark.manifest import IndexManifest
+    from pim_lucene_spark.operators.deletes import write_deletes
+    m, pdf = synidx
+    dst = str(tmp_path / "delsyn")
+    shutil.copytree(m.index_dir, dst)
+    md = write_deletes(spark, IndexManifest.load(dst),
+                       [int(i) for i in pdf.doc_id[::2]])
+    got = (search_synonym(spark, md,
+                          [(0, SynonymQuery(("quick", "fast")))],
+                          k=1000).toPandas())
+    assert not set(got.doc_id) & set(pdf.doc_id[::2])
+    assert len(got) > 0
+
+
+def test_synonym_join_plan_raises(spark, synidx):
+    from pim_lucene_spark.plans.boolean import _search_boolean_join
+    m, _ = synidx
+    with pytest.raises(NotImplementedError, match="compound kernel"):
+        _search_boolean_join(
+            spark, m,
+            [(0, BooleanQuery(must=[SynonymQuery(("quick",))]))],
+            10, "float32")
+
+
+def test_synonym_boost_validation():
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        SynonymQuery((("quick", 1.5),))
+    with pytest.raises(ValueError, match="at least one"):
+        SynonymQuery(())
