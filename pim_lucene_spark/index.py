@@ -164,11 +164,18 @@ class FullTextIndex:
                                                   to_tuple)
         from pim_lucene_spark.plans.router import search_with_fallback
 
+        from pim_lucene_spark.plans.query import SynonymQuery
+
         exact, sloppy, slops, boolean, dismax = [], [], {}, [], []
         mt_const, mt_scoring, wrappers = [], [], []
         for qid, q in queries:
             if isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery)):
                 wrappers.append((qid, q))
+                continue
+            if isinstance(q, SynonymQuery):
+                # merged-stats pseudo-term scoring — a single-MUST
+                # boolean on the compound kernel (sum identity)
+                boolean.append((qid, BooleanQuery(must=[q])))
                 continue
             if isinstance(q, BooleanQuery):
                 boolean.append((qid, q))
@@ -229,7 +236,7 @@ class FullTextIndex:
             # (constant scores never touch BM25 floats).
             from pim_lucene_spark.plans.query import PhraseQuery, TermQuery
             clause_ok = (str, TermQuery, PhraseQuery, BooleanQuery,
-                         MatchAllDocsQuery) + MultiTermQueryT
+                         MatchAllDocsQuery, SynonymQuery) + MultiTermQueryT
             wrapped, exotic = [], []
             for qid, q in wrappers:
                 if isinstance(q, MatchAllDocsQuery):
@@ -294,6 +301,53 @@ class FullTextIndex:
         typed = [(qid, parse_query(s, default_operator=default_operator))
                  for qid, s in query_strings]
         return self.query(typed, k=k, precision=precision)
+
+    # --- doc-values surfaces -------------------------------------------------
+    def build_docvalues(self, col: str, dims: DataFrame | None = None,
+                        missing: int = 0) -> str:
+        """Numeric doc-values sidecar for ``col`` (sort / range facets).
+        ``dims`` defaults to the index's own docs table."""
+        from pim_lucene_spark.operators.docvalues import \
+            build_numeric_docvalues
+        return build_numeric_docvalues(self.spark, self.manifest, col,
+                                       dims=dims, missing=missing)
+
+    def build_facets(self, dim: str, dims: DataFrame | None = None,
+                     max_cardinality: int = 100_000) -> str:
+        """Sorted-set ordinal sidecar for ``dim`` (facets / collapse)."""
+        from pim_lucene_spark.operators.facets import build_facet_index
+        return build_facet_index(self.spark, self.manifest, dim,
+                                 dims=dims, max_cardinality=max_cardinality)
+
+    def sort_by(self, queries, col: str, k: int = 10,
+                reverse: bool = False) -> DataFrame:
+        """``IndexSearcher.search(query, n, Sort)`` — top-k by the
+        numeric doc-values column, doc-id tiebreak."""
+        from pim_lucene_spark.operators.docvalues import sort_by_field
+        return sort_by_field(self.spark, self.manifest, queries, col,
+                             k=k, reverse=reverse)
+
+    def collapse(self, queries, dim: str, k: int = 10,
+                 precision: str = "float32") -> DataFrame:
+        """Best-scoring doc per ``dim`` group, top-k groups by head
+        score (grouping-module field collapse)."""
+        from pim_lucene_spark.operators.docvalues import collapse_topk
+        return collapse_topk(self.spark, self.manifest, queries, dim,
+                             k=k, precision=precision)
+
+    def facets(self, queries, dim: str, top_n: int = 10) -> DataFrame:
+        """Top facet buckets per query over an ordinal dimension."""
+        from pim_lucene_spark.operators.facets import facet_counts
+        return facet_counts(self.spark, self.manifest, queries, dim,
+                            top_n=top_n)
+
+    def facet_ranges(self, queries, col: str,
+                     ranges: list[tuple[str, int, int]]) -> DataFrame:
+        """Per-query counts for numeric ``[lo, hi)`` ranges
+        (``LongRangeFacetCounts``; overlap allowed, zeros included)."""
+        from pim_lucene_spark.operators.docvalues import facet_ranges
+        return facet_ranges(self.spark, self.manifest, queries, col,
+                            ranges)
 
     # --- introspection -----------------------------------------------------
     @property

@@ -58,7 +58,8 @@ def serve_local(manifest: IndexManifest, queries, k: int,
     from pim_lucene_spark.plans.dismax import DisMaxQuery
     from pim_lucene_spark.plans.multiterm import FuzzyQuery
     from pim_lucene_spark.plans.query import (ConstantScoreQuery,
-                                              MatchAllDocsQuery, to_tuple)
+                                              MatchAllDocsQuery,
+                                              SynonymQuery, to_tuple)
 
     plain, typed, wrap64 = [], [], []
     for qid, q in queries:
@@ -66,8 +67,9 @@ def serve_local(manifest: IndexManifest, queries, k: int,
             typed.append((qid, q))
         elif isinstance(q, str):
             plain.append((qid, q))
-        elif isinstance(q, FuzzyQuery):
-            # top-level fuzzy = scoring boolean over the expansion —
+        elif isinstance(q, (FuzzyQuery, SynonymQuery)):
+            # top-level fuzzy = scoring boolean over the expansion;
+            # top-level synonym = merged-stats pseudo-term — both
             # boolean-wrap onto the resident compound kernel (bit-equal
             # to the distributed route; differential-tested)
             typed.append((qid, BooleanQuery(must=[q])))

@@ -221,6 +221,22 @@ def test_local_sort_sharded_pids_merge(spark, dvidx):
         .reset_index(drop=True), merged)
 
 
+def test_facade_wrappers(spark, dvidx):
+    """FullTextIndex.sort_by / collapse / facet_ranges delegate to the
+    same plans (smoke + shape check)."""
+    from pim_lucene_spark.index import FullTextIndex
+    m, _ = dvidx
+    idx = FullTextIndex(spark, m)
+    s = idx.sort_by([(0, "red")], "size", k=5).toPandas()
+    assert list(s.columns) == ["qid", "doc_id", "sortval"] and len(s) == 5
+    c = idx.collapse([(0, "red")], "category", k=2).toPandas()
+    assert list(c.columns) == ["qid", "value", "doc_id", "score"]
+    assert len(c) == 2
+    r = idx.facet_ranges([(0, "red")], "size",
+                         [("lo", 0, 10), ("hi", 10, 100)]).toPandas()
+    assert len(r) == 2 and r.n.sum() > 0
+
+
 def test_sort_kernel_ships_at_most_p_times_k(spark, dvidx):
     """The scale property: the exchange after the sort kernel carries
     ≤ P·k rows per query no matter the match count."""

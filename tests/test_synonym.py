@@ -171,6 +171,26 @@ def test_synonym_join_plan_raises(spark, synidx):
             10, "float32")
 
 
+def test_facade_routes_synonym(spark, synidx):
+    """FullTextIndex.query and query_local both route SynonymQuery
+    through the compound kernel, row-identical."""
+    from pim_lucene_spark.index import FullTextIndex
+    m, _ = synidx
+    idx = FullTextIndex(spark, m)
+    q = SynonymQuery((("quick", 1.0), ("fast", 0.5)), boost=1.5)
+    a = (idx.query([(7, q)], k=10).toPandas()
+         [["qid", "doc_id", "score"]]
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (idx.query_local([(7, q)], k=10)
+         [["qid", "doc_id", "score"]]
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+    direct = (search_synonym(spark, m, [(7, q)], k=10).toPandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert (a.doc_id.to_numpy() == direct.doc_id.to_numpy()).all()
+    assert (a.score.to_numpy() == direct.score.to_numpy()).all()
+
+
 def test_synonym_boost_validation():
     with pytest.raises(ValueError, match=r"\(0, 1\]"):
         SynonymQuery((("quick", 1.5),))
