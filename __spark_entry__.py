@@ -397,6 +397,48 @@ def _q_count(spark, sf_dir):
     return count_matches(spark, m, _count_specs())
 
 
+# DirectSpellChecker did-you-mean: misspellings of the synthetic vocab;
+# transpositions=False keeps the DuckDB levenshtein oracle exact
+SPELL_QUERIES = [(870, "merg"), (871, "vectr"), (872, "spork"),
+                 (873, "windoe"), (874, "zzzzzz")]
+
+
+def _q_spell(spark, sf_dir):
+    """DirectSpellChecker.java semantics over the resident term
+    dictionary: candidates share the first char, sit within 2 edits,
+    rank by similarity desc / doc_freq desc / term asc."""
+    from pim_lucene_spark.plans.suggest import spell_suggest
+    m = _get_index(spark, sf_dir)
+    pdf = spell_suggest(m, SPELL_QUERIES, num_sug=5,
+                        transpositions=False)
+    pdf["sim"] = pdf["sim"].round(6)
+    return spark.createDataFrame(
+        pdf, "qid long, suggestion string, sim double, doc_freq long")
+
+
+def _spell_sql(num_sug: int = 5) -> str:
+    parts = []
+    for qid, q in SPELL_QUERIES:
+        qe = q.replace("'", "''")
+        sim = (f"(1.0 - CAST(levenshtein(term, '{qe}') AS DOUBLE) / "
+               f"least(length(term), {len(q)}))")
+        parts.append(
+            f"SELECT qid, suggestion, round(sim, 6) AS sim, doc_freq "
+            f"FROM (SELECT CAST({qid} AS BIGINT) AS qid, "
+            f"term AS suggestion, {sim} AS sim, doc_freq "
+            f"FROM spell_stats "
+            f"WHERE substr(term, 1, 1) = '{qe[0]}' AND term <> '{qe}' "
+            f"AND levenshtein(term, '{qe}') <= 2) s "
+            f"QUALIFY row_number() OVER (ORDER BY sim DESC, "
+            f"doc_freq DESC, suggestion ASC) <= {num_sug}")
+    from pim_lucene_spark.oracle import _tok_cte
+    return (f"WITH {_tok_cte('whitespace')}, "
+            f"spell_stats AS (SELECT term, "
+            f"CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq "
+            f"FROM positions GROUP BY term) "
+            + " UNION ALL ".join(parts))
+
+
 # faceted search (lucene/facet SortedSetDocValues ordinals): dimension =
 # the documents table's `source` column; queries mix term, phrase, a
 # MUST-intersection and a SHOULD-union boolean
@@ -986,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_compound_count": _q_compound_count,
         "engine_dismax_topk": _q_dismax,
         "engine_synonym_bm25": _q_synonym,
+        "engine_spell_suggest": _q_spell,
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
         "engine_suggest_local": _q_suggest_local,
@@ -1370,6 +1413,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_collapse_topk": _collapse_sql(),
         "engine_facet_ranges": _facet_ranges_sql(),
         "engine_synonym_bm25": oracle.synonym_bm25_sql(SYN_SPECS, k=10),
+        "engine_spell_suggest": _spell_sql(),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)

@@ -66,6 +66,96 @@ def suggest_terms_local(index: IndexManifest | str, prefix: str,
     return pdf.head(k).reset_index(drop=True)
 
 
+def spell_suggest(index: IndexManifest | str,
+                  terms: list[tuple[int, str]], num_sug: int = 5,
+                  max_edits: int = 2, prefix_length: int = 1,
+                  min_query_length: int = 4,
+                  max_query_frequency: float = 0.01,
+                  suggest_mode: str = "not_in_index",
+                  transpositions: bool = True):
+    """Did-you-mean suggestions — ``DirectSpellChecker.java`` semantics,
+    NO Spark job (the dictionary is the resident term-stats Parquet).
+
+    Per ``(qid, term)``: candidates share the first ``prefix_length``
+    chars (the error is never in the prefix — the FuzzyTermsEnum
+    contract), sit within ``max_edits`` (OSA when ``transpositions``,
+    plain Levenshtein otherwise), and rank by similarity
+    ``1 − ed/min(len(term), len(cand))`` desc, then doc_freq desc, then
+    term asc (``SuggestWordScoreComparator`` with a pinned string
+    tiebreak).  Similarity is computed in float64 from the integer edit
+    distance (Lucene emits the same value as float32; ≤1e-8 apart).
+
+    Gates: queries shorter than ``min_query_length`` get nothing;
+    ``suggest_mode='not_in_index'`` (the Lucene default) suggests only
+    for absent terms; ``'more_popular'`` requires candidates strictly
+    more frequent than the query term; ``'always'`` disables both.
+    Terms with docFreq above ``max_query_frequency·docCount`` (a ratio
+    when < 1, absolute otherwise) are considered correct.
+
+    Returns a pandas frame ``(qid, suggestion, sim, doc_freq)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pim_lucene_spark.operators.search import term_doc_freqs
+    from pim_lucene_spark.plans.multiterm import _vec_edit_distances
+
+    if suggest_mode not in ("not_in_index", "more_popular", "always"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+    manifest = IndexManifest.load(index) if isinstance(index, str) else index
+    qdfs = term_doc_freqs(None, manifest, sorted({t for _, t in terms}))
+    mqf = (max_query_frequency * manifest.doc_count
+           if 0 < max_query_frequency < 1 else max_query_frequency)
+    out = []
+    for qid, term in terms:
+        qdf = qdfs.get(term, 0)
+        if len(term) < min_query_length:
+            continue
+        if suggest_mode == "not_in_index" and qdf > 0:
+            continue
+        if mqf and qdf > mqf:
+            continue
+        prefix = term[:prefix_length]
+        filters = None
+        if prefix:
+            filters = [("term", ">=", prefix),
+                       ("term", "<", prefix + "\U0010FFFF")]
+        tbl = pq.read_table(manifest.stats_path,
+                            columns=["term", "doc_freq"],
+                            filters=filters)
+        col = tbl.column("term").combine_chunks()
+        mask = pc.less_equal(
+            pc.abs_checked(pc.subtract(pc.utf8_length(col), len(term))),
+            max_edits)
+        if prefix:
+            mask = pc.and_(mask, pc.starts_with(col, prefix))
+        cands = col.filter(mask).to_pylist()
+        dfs = np.asarray(tbl.column("doc_freq").combine_chunks()
+                         .filter(mask).to_pylist(), dtype=np.int64)
+        if not cands:
+            continue
+        eds = _vec_edit_distances(
+            [c[prefix_length:] for c in cands], term[prefix_length:],
+            transpositions)
+        rows = []
+        for c, df, ed in zip(cands, dfs, eds):
+            if ed == 0 or ed > max_edits:
+                continue
+            if suggest_mode == "more_popular" and df <= qdf:
+                continue
+            sim = 1.0 - float(ed) / min(len(c), len(term))
+            rows.append((c, sim, int(df)))
+        rows.sort(key=lambda r: (-r[1], -r[2], r[0]))
+        out.extend((qid, c, sim, df)
+                   for c, sim, df in rows[:num_sug])
+    return pd.DataFrame(out, columns=["qid", "suggestion", "sim",
+                                      "doc_freq"]).astype(
+        {"qid": np.int64, "suggestion": str, "sim": np.float64,
+         "doc_freq": np.int64})
+
+
 def count_matches(spark: SparkSession, index: IndexManifest | str,
                   queries: list[tuple[int, object]]) -> DataFrame:
     """Hit counts → (qid, n_hits) — ``IndexSearcher.count`` semantics.

@@ -115,3 +115,79 @@ def test_count_matches_boolean_and_dismax(spark, tmp_path):
     assert got[2] == search_dismax(spark, m, [batch[2]],
                                    k=10 ** 6).count()
     assert got[3] == 0
+
+
+# --- DirectSpellChecker (spell_suggest) -------------------------------------
+
+def test_spell_suggest_basic(spark, sidx):
+    """Misspelled absent terms get dictionary suggestions ranked by
+    similarity desc, doc_freq desc, term asc."""
+    from pim_lucene_spark.plans.suggest import spell_suggest
+    got = spell_suggest(sidx, [(0, "aple"), (1, "redd")], num_sug=5)
+    s0 = got[got.qid == 0]
+    # aple -> apple (ed 1, sim 1-1/4), applet (ed 2) ...
+    assert list(s0.suggestion)[0] == "apple"
+    assert abs(s0.sim.iloc[0] - (1 - 1 / 4)) < 1e-12
+    s1 = got[got.qid == 1]
+    assert list(s1.suggestion)[0] == "red"  # ed 1 beats reddish ed 3>2
+
+
+def test_spell_suggest_gates(spark, sidx):
+    from pim_lucene_spark.plans.suggest import spell_suggest
+    # present term: not_in_index mode suggests nothing
+    assert len(spell_suggest(sidx, [(0, "apple")])) == 0
+    # too short
+    assert len(spell_suggest(sidx, [(0, "apl")])) == 0
+    # always mode suggests even for present terms, excluding itself
+    got = spell_suggest(sidx, [(0, "apple")], suggest_mode="always",
+                        max_query_frequency=0)
+    assert "apple" not in set(got.suggestion)
+    assert "applet" in set(got.suggestion)
+
+
+def test_spell_suggest_prefix_constraint(spark, sidx):
+    """Candidates must share the first prefix_length chars: 'green'
+    never suggests for a 'r'-prefixed misspelling."""
+    from pim_lucene_spark.plans.suggest import spell_suggest
+    got = spell_suggest(sidx, [(0, "rreen")], num_sug=10)
+    assert "green" not in set(got.suggestion)
+
+
+def test_spell_suggest_more_popular(spark, sidx):
+    """more_popular mode requires candidate df > query-term df."""
+    from pim_lucene_spark.plans.suggest import spell_suggest
+    # applet (df 1) -> apple (df 3) qualifies; apricot (df 1) does not
+    got = spell_suggest(sidx, [(0, "applet")],
+                        suggest_mode="more_popular",
+                        max_query_frequency=0)
+    assert list(got.suggestion) == ["apple"]
+
+
+def test_spell_suggest_bruteforce_differential(spark, sidx):
+    """Full semantics vs a scalar brute force over the dictionary."""
+    import itertools
+
+    import numpy as np
+
+    from pim_lucene_spark.plans.multiterm import osa_distance
+    from pim_lucene_spark.plans.suggest import spell_suggest
+
+    vocab = {"red": 3, "apple": 3, "pie": 1, "applet": 1, "reddish": 1,
+             "green": 1, "apricot": 1, "jam": 1}
+    queries = ["aple", "pple", "gren", "apricto", "redz", "jamm",
+               "zzzz", "redi"]
+    got = spell_suggest(sidx, list(enumerate(queries)), num_sug=3)
+    for qid, q in enumerate(queries):
+        rows = []
+        for c, df in vocab.items():
+            if c[:1] != q[:1] or c == q:
+                continue
+            ed = osa_distance(c[1:], q[1:])
+            if ed == 0 or ed > 2:
+                continue
+            rows.append((c, 1.0 - ed / min(len(c), len(q)), df))
+        rows.sort(key=lambda r: (-r[1], -r[2], r[0]))
+        sub = got[got.qid == qid]
+        assert list(sub.suggestion) == [r[0] for r in rows[:3]], q
+        np.testing.assert_allclose(sub.sim.to_numpy(),
+                                   [r[1] for r in rows[:3]])
