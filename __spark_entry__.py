@@ -397,6 +397,20 @@ def _q_count(spark, sf_dir):
     return count_matches(spark, m, _count_specs())
 
 
+# MoreLikeThis: find-similar for fixed source docs (present at every sf)
+MLT_QUERIES = [(880, 0), (881, 17), (882, 63)]
+
+
+def _q_mlt(spark, sf_dir):
+    """MoreLikeThis.java: tf·idf interesting-term selection from the
+    source doc (ClassicSimilarity idf, gated), top-25 terms as one
+    pure-SHOULD BM25 boolean through the compound kernel."""
+    from pim_lucene_spark.plans.mlt import more_like_this
+    m = _get_index(spark, sf_dir)
+    res = more_like_this(spark, m, MLT_QUERIES, k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
 # DirectSpellChecker did-you-mean: misspellings of the synthetic vocab;
 # transpositions=False keeps the DuckDB levenshtein oracle exact
 SPELL_QUERIES = [(870, "merg"), (871, "vectr"), (872, "spork"),
@@ -1029,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dismax_topk": _q_dismax,
         "engine_synonym_bm25": _q_synonym,
         "engine_spell_suggest": _q_spell,
+        "engine_more_like_this": _q_mlt,
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
         "engine_suggest_local": _q_suggest_local,
@@ -1414,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_facet_ranges": _facet_ranges_sql(),
         "engine_synonym_bm25": oracle.synonym_bm25_sql(SYN_SPECS, k=10),
         "engine_spell_suggest": _spell_sql(),
+        "engine_more_like_this": oracle.mlt_bm25_sql(MLT_QUERIES, k=10),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)

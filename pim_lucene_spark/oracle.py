@@ -499,6 +499,61 @@ def boolean_bm25_sql(queries: list[tuple[int, dict]], k: int | None = 10,
             + " " + " UNION ALL ".join(selects))
 
 
+def mlt_bm25_sql(queries: list[tuple[int, int]], k: int | None = 10,
+                 max_query_terms: int = 25, min_term_freq: int = 2,
+                 min_doc_freq: int = 5, tokenizer: str = "whitespace",
+                 round_scores: bool = True) -> str:
+    """MoreLikeThis oracle → (qid, doc_id, score).
+
+    ``queries``: ``(qid, source_doc_id)``.  Mirrors ``plans/mlt.py``:
+    interesting-term selection (tf·idf with ClassicSimilarity's
+    ``ln((N+1)/(df+1)) + 1``, gated, score desc / term asc, top
+    ``max_query_terms``) entirely in SQL, then the pure-SHOULD BM25 sum
+    — per doc an ORDERED ``list_reduce`` fold over the clause scores in
+    term-asc order, the exact float64 association the engine's sorted
+    clause list produces."""
+    ctes = [
+        "mlt_df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)"
+        " AS df FROM positions GROUP BY term)"]
+    selects = []
+    cache = _cache_sql(_quantized_dl("docl.dl"))
+    for qid, src in queries:
+        sel_score = (f"(CAST(t.tf AS DOUBLE) * (ln("
+                     f"CAST(n_docs + 1 AS DOUBLE) / "
+                     f"CAST(s.df + 1 AS DOUBLE)) + 1.0))")
+        ctes.append(
+            f"mlt{qid}_tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf"
+            f" FROM positions WHERE doc_id = {int(src)} GROUP BY term)")
+        ctes.append(
+            f"mlt{qid}_sel AS (SELECT t.term, s.df "
+            f"FROM mlt{qid}_tf t JOIN mlt_df s USING (term), cstats "
+            f"WHERE t.tf >= {min_term_freq} AND s.df >= {min_doc_freq} "
+            f"QUALIFY row_number() OVER (ORDER BY {sel_score} DESC, "
+            f"t.term ASC) <= {max_query_terms})")
+        w = ("ln(1.0 + (CAST(n_docs AS DOUBLE) - sel.df + 0.5) / "
+             "(sel.df + 0.5))")
+        ctes.append(
+            f"mlt{qid}_m AS (SELECT p.doc_id, p.term, "
+            f"({w} - {w} / (1.0 + CAST(count(*) AS DOUBLE) * {cache})) "
+            f"AS cscore "
+            f"FROM positions p JOIN mlt{qid}_sel sel USING (term) "
+            f"JOIN docl ON docl.doc_id = p.doc_id, cstats "
+            f"GROUP BY p.doc_id, p.term, sel.df, docl.dl, "
+            f"cstats.n_docs, cstats.sum_dl)")
+        qualify = (f"QUALIFY row_number() OVER (ORDER BY score DESC, "
+                   f"doc_id ASC) <= {k}" if k is not None else "")
+        selects.append(
+            f"SELECT qid, doc_id, "
+            + ("round(score, 6)" if round_scores else "score")
+            + " AS score FROM ("
+            f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, "
+            f"list_reduce(list(cscore ORDER BY term ASC), "
+            f"(a, b) -> a + b) AS score "
+            f"FROM mlt{qid}_m GROUP BY doc_id) s {qualify}")
+    return (f"WITH {_tok_cte(tokenizer)}, " + ", ".join(ctes)
+            + " " + " UNION ALL ".join(selects))
+
+
 def synonym_bm25_sql(queries: list[tuple[int, list, float]],
                      k: int | None = 10,
                      tokenizer: str = "whitespace",
