@@ -442,7 +442,10 @@ def _spell_sql(num_sug: int = 5) -> str:
             f"term AS suggestion, {sim} AS sim, doc_freq "
             f"FROM spell_stats "
             f"WHERE substr(term, 1, 1) = '{qe[0]}' AND term <> '{qe}' "
-            f"AND levenshtein(term, '{qe}') <= 2) s "
+            f"AND levenshtein(term, '{qe}') <= 2 AND {sim} >= 0.5 "
+            # not_in_index gate: a present query term suggests nothing
+            f"AND NOT EXISTS (SELECT 1 FROM spell_stats pq "
+            f"WHERE pq.term = '{qe}')) s "
             f"QUALIFY row_number() OVER (ORDER BY sim DESC, "
             f"doc_freq DESC, suggestion ASC) <= {num_sug}")
     from pim_lucene_spark.oracle import _tok_cte

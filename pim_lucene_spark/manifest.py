@@ -121,3 +121,20 @@ class IndexManifest:
             data = json.load(f)
         data["index_dir"] = index_dir
         return cls(**data)
+
+
+def resolve_manifests(index, default_field: str = ""
+                      ) -> tuple[dict, str]:
+    """Normalize every index-argument shape the multi-surface entry
+    points accept — one manifest, an index-dir path, or a
+    ``{field: manifest|path}`` dict — to ``(manifests, default_field)``.
+    Shared by the facet / doc-values / compound serving surfaces so the
+    field-resolution rules can never diverge."""
+    if isinstance(index, dict):
+        manifests = {f: (IndexManifest.load(m) if isinstance(m, str)
+                         else m) for f, m in index.items()}
+        if default_field not in manifests:
+            default_field = next(iter(manifests))
+        return manifests, default_field
+    m = IndexManifest.load(index) if isinstance(index, str) else index
+    return {default_field: m}, default_field

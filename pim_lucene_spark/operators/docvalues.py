@@ -88,6 +88,13 @@ def build_numeric_docvalues(spark: SparkSession, manifest: IndexManifest,
         dims = spark.read.parquet(manifest.docs_path).select("doc_id", col)
     dims = dims.select(F.col("doc_id").cast("long").alias("doc_id"),
                        F.col(col).cast("long").alias("value"))
+    n = dims.count()
+    if n != manifest.doc_count:
+        raise ValueError(
+            f"doc-values dims frame has {n} rows but the index holds "
+            f"{manifest.doc_count} docs; the sidecar must cover the "
+            "whole doc space (a partial sidecar would crash or "
+            "mis-align query kernels)")
     out = dv_dir(manifest, col)
     miss = int(missing)
 
@@ -141,10 +148,20 @@ def _wrap_queries(queries):
 
 
 def _manifests_of(index, default_field):
-    if isinstance(index, dict):
-        return index, default_field
-    m = IndexManifest.load(index) if isinstance(index, str) else index
-    return {default_field: m}, default_field
+    from pim_lucene_spark.manifest import resolve_manifests
+    return resolve_manifests(index, default_field)
+
+
+def _check_ranges(ranges) -> list[str]:
+    """Unique labels + lo <= hi (the LongRange constructor contract —
+    an inverted range would otherwise count negative)."""
+    labels = [r[0] for r in ranges]
+    if len(set(labels)) != len(labels):
+        raise ValueError("range labels must be unique")
+    for lab, lo, hi in ranges:
+        if int(lo) > int(hi):
+            raise ValueError(f"range {lab!r}: lo {lo} > hi {hi}")
+    return labels
 
 
 def sort_by_field(spark: SparkSession, index, queries, col: str,
@@ -234,9 +251,7 @@ def facet_ranges(spark: SparkSession, index, queries, col: str,
     """
     from pim_lucene_spark.plans.compound import (_compound_kernel,
                                                  _plan_aggregate_payload)
-    labels = [r[0] for r in ranges]
-    if len(set(labels)) != len(labels):
-        raise ValueError("range labels must be unique")
+    labels = _check_ranges(ranges)
     manifests, default_field = _manifests_of(index, default_field)
     d = dv_dir(manifests[default_field], col)
     specs, payload, postings = _plan_aggregate_payload(
@@ -305,9 +320,7 @@ def facet_ranges_local(index, queries,
     """Serving-path :func:`facet_ranges` — NO Spark job; returns a
     pandas frame (qid, label, n) with zero counts included."""
     from pim_lucene_spark.plans.compound import search_compound_local
-    labels = [r[0] for r in ranges]
-    if len(set(labels)) != len(labels):
-        raise ValueError("range labels must be unique")
+    labels = _check_ranges(ranges)
     manifests, default_field = _manifests_of(index, default_field)
     return search_compound_local(
         manifests, _wrap_queries(queries), default_field=default_field,

@@ -75,6 +75,12 @@ def build_facet_index(spark: SparkSession, manifest: IndexManifest,
         dims = spark.read.parquet(manifest.docs_path).select("doc_id", dim)
     dims = dims.select(F.col("doc_id").cast("long").alias("doc_id"),
                        F.col(dim).cast("string").alias("value"))
+    n = dims.count()
+    if n != manifest.doc_count:
+        raise ValueError(
+            f"facet dims frame has {n} rows but the index holds "
+            f"{manifest.doc_count} docs; the ordinal sidecar must cover "
+            "the whole doc space")
     values = [r["value"] for r in
               (dims.select("value").where(F.col("value").isNotNull())
                .distinct().orderBy("value")
@@ -157,11 +163,8 @@ def facet_counts(spark: SparkSession,
                                                  _plan_aggregate_payload)
     from pim_lucene_spark.plans.dismax import DisMaxQuery
 
-    if isinstance(index, dict):
-        manifests = index
-    else:
-        m = IndexManifest.load(index) if isinstance(index, str) else index
-        manifests = {default_field: m}
+    from pim_lucene_spark.manifest import resolve_manifests
+    manifests, default_field = resolve_manifests(index, default_field)
     fdir = facet_dir(manifests[default_field], dim)
     values = facet_values(fdir)
 

@@ -651,7 +651,9 @@ def _compound_core(payload: dict, pid: int,
             if docs.size == 0:
                 continue
             key = vals[docs]
-            order = np.lexsort((docs, -key if so["reverse"] else key))
+            # descending via bitwise NOT (~k = -k-1): strictly monotone
+            # decreasing and overflow-free at INT64_MIN, unlike -k
+            order = np.lexsort((docs, ~key if so["reverse"] else key))
             if sk is not None and order.size > sk:
                 order = order[:sk]
             o_q.append(np.full(order.size, spec["qid"], dtype=np.int64))
@@ -1554,15 +1556,9 @@ def search_compound_local(index, queries,
                                                    plan_queries)
     from pim_lucene_spark.plans.boolean import BooleanQuery
 
-    if isinstance(index, dict):
-        manifests = {f: (IndexManifest.load(m) if isinstance(m, str)
-                         else m) for f, m in index.items()}
-        if default_field not in manifests:
-            default_field = next(iter(manifests))
-    else:
-        manifests = {"": (IndexManifest.load(index)
-                          if isinstance(index, str) else index)}
-        default_field = ""
+    from pim_lucene_spark.manifest import resolve_manifests
+    manifests, default_field = resolve_manifests(
+        index, default_field if isinstance(index, dict) else "")
     if len({m.num_partitions for m in manifests.values()}) != 1:
         raise ValueError("fields disagree on num_partitions; the "
                          "compound kernel needs one shared pid space")

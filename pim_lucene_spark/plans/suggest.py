@@ -71,6 +71,7 @@ def spell_suggest(index: IndexManifest | str,
                   max_edits: int = 2, prefix_length: int = 1,
                   min_query_length: int = 4,
                   max_query_frequency: float = 0.01,
+                  accuracy: float = 0.5,
                   suggest_mode: str = "not_in_index",
                   transpositions: bool = True):
     """Did-you-mean suggestions — ``DirectSpellChecker.java`` semantics,
@@ -86,18 +87,20 @@ def spell_suggest(index: IndexManifest | str,
     distance (Lucene emits the same value as float32; ≤1e-8 apart).
 
     Gates: queries shorter than ``min_query_length`` get nothing;
-    ``suggest_mode='not_in_index'`` (the Lucene default) suggests only
-    for absent terms; ``'more_popular'`` requires candidates strictly
-    more frequent than the query term; ``'always'`` disables both.
-    Terms with docFreq above ``max_query_frequency·docCount`` (a ratio
-    when < 1, absolute otherwise) are considered correct.
+    candidates below ``accuracy`` similarity are suppressed (the
+    DirectSpellChecker default 0.5); ``suggest_mode='not_in_index'``
+    (the Lucene default) suggests only for absent terms;
+    ``'more_popular'`` requires candidates strictly more frequent than
+    the query term; ``'always'`` disables both.  Terms with docFreq
+    above ``ceil(max_query_frequency·docCount)`` (a ratio when < 1,
+    absolute otherwise — the Lucene ceil) are considered correct.
 
     Returns a pandas frame ``(qid, suggestion, sim, doc_freq)``.
     """
+    import math
+
     import numpy as np
     import pandas as pd
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from pim_lucene_spark.operators.search import term_doc_freqs
     from pim_lucene_spark.plans.multiterm import _vec_edit_distances
@@ -106,7 +109,7 @@ def spell_suggest(index: IndexManifest | str,
         raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
     qdfs = term_doc_freqs(None, manifest, sorted({t for _, t in terms}))
-    mqf = (max_query_frequency * manifest.doc_count
+    mqf = (math.ceil(max_query_frequency * manifest.doc_count)
            if 0 < max_query_frequency < 1 else max_query_frequency)
     out = []
     for qid, term in terms:
@@ -118,22 +121,8 @@ def spell_suggest(index: IndexManifest | str,
         if mqf and qdf > mqf:
             continue
         prefix = term[:prefix_length]
-        filters = None
-        if prefix:
-            filters = [("term", ">=", prefix),
-                       ("term", "<", prefix + "\U0010FFFF")]
-        tbl = pq.read_table(manifest.stats_path,
-                            columns=["term", "doc_freq"],
-                            filters=filters)
-        col = tbl.column("term").combine_chunks()
-        mask = pc.less_equal(
-            pc.abs_checked(pc.subtract(pc.utf8_length(col), len(term))),
-            max_edits)
-        if prefix:
-            mask = pc.and_(mask, pc.starts_with(col, prefix))
-        cands = col.filter(mask).to_pylist()
-        dfs = np.asarray(tbl.column("doc_freq").combine_chunks()
-                         .filter(mask).to_pylist(), dtype=np.int64)
+        cands, dfs = _spell_candidates(manifest, prefix, len(term),
+                                       max_edits)
         if not cands:
             continue
         eds = _vec_edit_distances(
@@ -146,6 +135,8 @@ def spell_suggest(index: IndexManifest | str,
             if suggest_mode == "more_popular" and df <= qdf:
                 continue
             sim = 1.0 - float(ed) / min(len(c), len(term))
+            if sim < accuracy:
+                continue
             rows.append((c, sim, int(df)))
         rows.sort(key=lambda r: (-r[1], -r[2], r[0]))
         out.extend((qid, c, sim, df)
@@ -154,6 +145,44 @@ def spell_suggest(index: IndexManifest | str,
                                       "doc_freq"]).astype(
         {"qid": np.int64, "suggestion": str, "sim": np.float64,
          "doc_freq": np.int64})
+
+
+# candidate slices of the term dictionary, keyed by (index, prefix,
+# length window) — resident like the fuzzy-expansion cache so a serving
+# batch reads the stats Parquet once per distinct slice
+_SPELL_CAND_CACHE: dict = {}
+
+
+def _spell_candidates(manifest: IndexManifest, prefix: str, qlen: int,
+                      max_edits: int):
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = (manifest.build_id or manifest.index_dir, prefix, qlen,
+           max_edits)
+    hit = _SPELL_CAND_CACHE.get(key)
+    if hit is not None:
+        return hit
+    filters = None
+    if prefix:
+        filters = [("term", ">=", prefix),
+                   ("term", "<", prefix + "\U0010FFFF")]
+    tbl = pq.read_table(manifest.stats_path,
+                        columns=["term", "doc_freq"], filters=filters)
+    col = tbl.column("term").combine_chunks()
+    mask = pc.less_equal(
+        pc.abs_checked(pc.subtract(pc.utf8_length(col), qlen)),
+        max_edits)
+    if prefix:
+        mask = pc.and_(mask, pc.starts_with(col, prefix))
+    cands = col.filter(mask).to_pylist()
+    dfs = np.asarray(tbl.column("doc_freq").combine_chunks()
+                     .filter(mask).to_pylist(), dtype=np.int64)
+    if len(_SPELL_CAND_CACHE) > 4096:
+        _SPELL_CAND_CACHE.clear()
+    _SPELL_CAND_CACHE[key] = (cands, dfs)
+    return cands, dfs
 
 
 def count_matches(spark: SparkSession, index: IndexManifest | str,
@@ -172,13 +201,16 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
     from pim_lucene_spark.plans.dismax import DisMaxQuery
     from pim_lucene_spark.plans.multiterm import (MultiTermQueryT,
                                                   search_multiterm)
-    from pim_lucene_spark.plans.query import to_tuple
+    from pim_lucene_spark.plans.query import SynonymQuery, to_tuple
     from pim_lucene_spark.plans.router import search_with_fallback
 
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
     plain, multi, sloppy, slops, compound = [], [], [], {}, []
     for qid, q in queries:
-        if isinstance(q, (BooleanQuery, DisMaxQuery)):
+        if isinstance(q, SynonymQuery):
+            # count via the compound kernel like every other entry point
+            compound.append((qid, BooleanQuery(must=[q])))
+        elif isinstance(q, (BooleanQuery, DisMaxQuery)):
             compound.append((qid, q))
         elif isinstance(q, MultiTermQueryT):
             multi.append((qid, q))

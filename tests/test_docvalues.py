@@ -157,6 +157,51 @@ def test_facet_ranges_duplicate_labels_rejected(spark, dvidx):
     with pytest.raises(ValueError, match="unique"):
         facet_ranges(spark, m, QUERIES, "size",
                      [("a", 0, 5), ("a", 5, 10)])
+    with pytest.raises(ValueError, match="lo.*hi"):
+        facet_ranges(spark, m, QUERIES, "size", [("bad", 400, 150)])
+
+
+def test_partial_dims_frame_rejected(spark, dvidx):
+    """A sidecar covering only part of the doc space must fail at BUILD
+    time, not crash kernels at query time."""
+    m, pdf = dvidx
+    part = spark.createDataFrame(pdf.head(40)[["doc_id", "size"]])
+    with pytest.raises(ValueError, match="cover"):
+        build_numeric_docvalues(spark, m, "size", dims=part)
+    with pytest.raises(ValueError, match="cover"):
+        build_facet_index(spark, m, "category",
+                          dims=spark.createDataFrame(
+                              pdf.head(40)[["doc_id", "category"]]))
+
+
+def test_reverse_sort_int64_min_sentinel(spark, dvidx):
+    """missing=INT64_MIN must sort LAST under reverse=True (the -key
+    negation would overflow and rank it first)."""
+    m, pdf = dvidx
+    sentinel = np.iinfo(np.int64).min
+    build_numeric_docvalues(
+        spark, m, "size",
+        dims=spark.createDataFrame(pdf[["doc_id", "size"]]),
+        missing=sentinel)
+    from pim_lucene_spark.operators.docvalues import _DV_CACHE
+    _DV_CACHE.clear()  # overwrote the sidecar in place
+    try:
+        got = (sort_by_field(spark, m, [(0, "red")], "size", k=1000,
+                             reverse=True).toPandas()
+               .sort_values(["sortval", "doc_id"],
+                            ascending=[False, True])
+               .reset_index(drop=True))
+        null_docs = set(pdf.doc_id[pdf["size"].isna()])
+        hit_nulls = [d for d in got.doc_id if d in null_docs]
+        if hit_nulls:  # every sentinel doc sits at the tail
+            tail = list(got.doc_id)[-len(hit_nulls):]
+            assert set(hit_nulls) == set(tail)
+            assert got.sortval.iloc[-1] == sentinel
+    finally:  # restore the default sidecar for other tests
+        build_numeric_docvalues(
+            spark, m, "size",
+            dims=spark.createDataFrame(pdf[["doc_id", "size"]]))
+        _DV_CACHE.clear()
 
 
 def test_sort_respects_deletes(spark, dvidx, tmp_path):

@@ -185,7 +185,10 @@ def test_spell_suggest_bruteforce_differential(spark, sidx):
             ed = osa_distance(c[1:], q[1:])
             if ed == 0 or ed > 2:
                 continue
-            rows.append((c, 1.0 - ed / min(len(c), len(q)), df))
+            sim = 1.0 - ed / min(len(c), len(q))
+            if sim < 0.5:  # DirectSpellChecker accuracy default
+                continue
+            rows.append((c, sim, df))
         rows.sort(key=lambda r: (-r[1], -r[2], r[0]))
         sub = got[got.qid == qid]
         assert list(sub.suggestion) == [r[0] for r in rows[:3]], q

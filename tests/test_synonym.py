@@ -191,6 +191,19 @@ def test_facade_routes_synonym(spark, synidx):
     assert (a.score.to_numpy() == direct.score.to_numpy()).all()
 
 
+def test_count_matches_synonym(spark, synidx):
+    """IndexSearcher.count parity for bare SynonymQuery (wraps onto the
+    count-only compound kernel like the other entry points)."""
+    from pim_lucene_spark.plans.suggest import count_matches
+    m, pdf = synidx
+    got = (count_matches(spark, m,
+                         [(0, SynonymQuery(("quick", "rapid")))])
+           .toPandas().set_index("qid").n_hits)
+    toks = pdf.content.str.split()
+    exp = int(toks.map(lambda ts: "quick" in ts or "rapid" in ts).sum())
+    assert int(got[0]) == exp
+
+
 def test_synonym_boost_validation():
     with pytest.raises(ValueError, match=r"\(0, 1\]"):
         SynonymQuery((("quick", 1.5),))
