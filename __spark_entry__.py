@@ -397,6 +397,45 @@ def _q_count(spark, sf_dir):
     return count_matches(spark, m, _count_specs())
 
 
+# DrillDownQuery: base query + facet-value constraints on `source`
+DRILL_QUERIES = [
+    (890, "fast", ["src1", "src2", "src3"]),
+    (891, "merge batch", ["src4", "src5"]),
+    (892, "scan", ["zzz_nope"]),
+]
+
+
+def _q_drilldown(spark, sf_dir):
+    """DrillDownQuery.java: non-scoring facet FILTER clauses tested
+    against the resident ordinal sidecar inside the compound kernel;
+    score = the base query's BM25 score."""
+    from pim_lucene_spark.operators.facets import drill_down
+    m = _dv_index(spark, sf_dir)
+    res = drill_down(spark, m,
+                     [(qid, q, {"source": vals})
+                      for qid, q, vals in DRILL_QUERIES],
+                     k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _drilldown_sql(k: int = 10) -> str:
+    parts = []
+    for qid, q, vals in DRILL_QUERIES:
+        terms = oracle.tokenize_one(q, "whitespace")
+        inset = ", ".join(f"'{v}'" for v in vals)
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, s.doc_id, "
+            f"round(s.score, 6) AS score "
+            f"FROM ({oracle._clause_select(terms, 1.0)}) s "
+            f"JOIN documents d ON d.doc_id = s.doc_id "
+            f"WHERE d.source IN ({inset}) "
+            f"QUALIFY row_number() OVER (ORDER BY s.score DESC, "
+            f"s.doc_id ASC) <= {k}")
+    from pim_lucene_spark.oracle import _tok_cte
+    return (f"WITH {_tok_cte('whitespace')} "
+            + " UNION ALL ".join(parts))
+
+
 # MoreLikeThis: find-similar for fixed source docs (present at every sf)
 MLT_QUERIES = [(880, 0), (881, 17), (882, 63)]
 
@@ -1047,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_synonym_bm25": _q_synonym,
         "engine_spell_suggest": _q_spell,
         "engine_more_like_this": _q_mlt,
+        "engine_drilldown": _q_drilldown,
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
         "engine_suggest_local": _q_suggest_local,
@@ -1433,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_synonym_bm25": oracle.synonym_bm25_sql(SYN_SPECS, k=10),
         "engine_spell_suggest": _spell_sql(),
         "engine_more_like_this": oracle.mlt_bm25_sql(MLT_QUERIES, k=10),
+        "engine_drilldown": _drilldown_sql(),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)

@@ -357,6 +357,14 @@ class FullTextIndex:
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(self.manifest.docs_path)
 
+    def get_docs(self, doc_ids) -> DataFrame:
+        """Stored-fields fetch (``StoredFields.document``): the listed
+        docs' stored rows, id-pushdown scan — the hits→content join a
+        search consumer runs after top-k."""
+        ids = [int(d) for d in doc_ids]
+        from pyspark.sql import functions as F
+        return self.docs().filter(F.col("doc_id").isin(ids))
+
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(self.manifest.stats_path)
 

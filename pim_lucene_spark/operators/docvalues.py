@@ -121,18 +121,23 @@ def build_numeric_docvalues(spark: SparkSession, manifest: IndexManifest,
 
 def dv_values_for(dvdir: str, pid: int) -> np.ndarray:
     """Partition ``pid``'s value array (int64, rel-doc aligned) — direct
-    per-task read off the shared mount, cached resident."""
-    key = (dvdir, pid)
-    hit = _DV_CACHE.get(key)
-    if hit is not None:
-        return hit
+    per-task read off the shared mount, cached resident.  The cache key
+    includes the partition dir's mtime (one ~µs stat per call) so an
+    in-place sidecar rebuild can never serve stale blobs from a
+    long-lived executor/serving process."""
     import pyarrow.parquet as pq
     part = os.path.join(dvdir, "data", f"pid={pid}")
-    if not os.path.isdir(part):
+    try:
+        mt = os.stat(part).st_mtime_ns
+    except FileNotFoundError:
         raise FileNotFoundError(
             f"doc-values partition {part} not visible from this "
             "executor; build_numeric_docvalues must run before querying "
-            "and the index needs a POSIX-visible shared mount")
+            "and the index needs a POSIX-visible shared mount") from None
+    key = (dvdir, pid, mt)
+    hit = _DV_CACHE.get(key)
+    if hit is not None:
+        return hit
     blob = pq.read_table(part, columns=["values"]).column("values")[0]
     vals = np.frombuffer(blob.as_py(), dtype=np.int64)
     _DV_CACHE[key] = vals

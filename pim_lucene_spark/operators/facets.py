@@ -123,18 +123,23 @@ def facet_values(fdir: str) -> list[str]:
 
 def facet_codes_for(fdir: str, pid: int) -> np.ndarray:
     """Partition ``pid``'s ordinal array (int32, rel-doc aligned) —
-    direct per-task read off the shared mount, cached resident."""
-    key = (fdir, pid)
-    hit = _CODES_CACHE.get(key)
-    if hit is not None:
-        return hit
+    direct per-task read off the shared mount, cached resident.  The
+    cache key includes the partition dir's mtime (one ~µs stat per
+    call) so an in-place sidecar rebuild can never serve stale blobs
+    from a long-lived executor/serving process."""
     import pyarrow.parquet as pq
     part = os.path.join(fdir, "data", f"pid={pid}")
-    if not os.path.isdir(part):
+    try:
+        mt = os.stat(part).st_mtime_ns
+    except FileNotFoundError:
         raise FileNotFoundError(
             f"facet partition {part} not visible from this executor; "
             "build_facet_index must run before facet_counts and the "
-            "index needs a POSIX-visible shared mount")
+            "index needs a POSIX-visible shared mount") from None
+    key = (fdir, pid, mt)
+    hit = _CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
     blob = pq.read_table(part, columns=["codes"]).column("codes")[0].as_py()
     codes = np.frombuffer(blob, dtype=np.int32)
     _CODES_CACHE[key] = codes
@@ -187,6 +192,67 @@ def facet_counts(spark: SparkSession,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_n)
             .select("qid", "value", "n"))
+
+
+def drill_down(spark: SparkSession, index, queries, k: int = 10,
+               precision: str = "float32",
+               default_field: str = "") -> DataFrame:
+    """DrillDownQuery (``lucene/facet DrillDownQuery.java``): a base
+    query constrained by facet values — OR within a dimension, AND
+    across dimensions, all non-scoring FILTER clauses tested against
+    the resident ordinal sidecars inside the compound kernel.
+
+    ``queries``: ``(qid, base_query | None, {dim: [values]})`` — a None
+    base drills over all live docs (Lucene's pure-browse form).
+    Returns (qid, doc_id, score), score = the base query's BM25 score
+    (0.0 for pure browse, doc-id-asc order).
+    """
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    from pim_lucene_spark.plans.query import (FacetFilterQuery,
+                                              MatchAllDocsQuery)
+    typed = []
+    for qid, base, drills in queries:
+        filters = [FacetFilterQuery(dim, tuple(vals))
+                   for dim, vals in sorted(drills.items())]
+        if not filters:
+            raise ValueError(f"query {qid}: drill-down needs at least "
+                             "one dimension constraint")
+        if base is None:
+            base = MatchAllDocsQuery(boost=0.0)
+        typed.append((qid, BooleanQuery(must=[base], filter=filters)))
+    return search_boolean(spark, index, typed, k=k, precision=precision)
+
+
+def drill_sideways(spark: SparkSession, index, qid_base_drills,
+                   dims: list[str], k: int = 10, top_n: int = 10,
+                   precision: str = "float32",
+                   default_field: str = "") -> tuple:
+    """DrillSideways (``DrillSideways.java``): drill-down hits PLUS,
+    for each dimension in ``dims``, facet counts computed with THAT
+    dimension's own constraint removed (so the UI can still show the
+    sibling buckets of a selected value).
+
+    Returns ``(hits_df, {dim: counts_df})`` — hits as in
+    :func:`drill_down`, counts as in :func:`facet_counts`.
+    """
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.query import (FacetFilterQuery,
+                                              MatchAllDocsQuery)
+    hits = drill_down(spark, index, qid_base_drills, k=k,
+                      precision=precision, default_field=default_field)
+    side = {}
+    for dim in dims:
+        cq = []
+        for qid, base, drills in qid_base_drills:
+            others = [FacetFilterQuery(d, tuple(v))
+                      for d, v in sorted(drills.items()) if d != dim]
+            b = MatchAllDocsQuery(boost=0.0) if base is None else base
+            cq.append((qid, BooleanQuery(must=[b], filter=others)
+                       if others or not isinstance(b, BooleanQuery)
+                       else b))
+        side[dim] = facet_counts(spark, index, cq, dim, top_n=top_n,
+                                 default_field=default_field)
+    return hits, side
 
 
 def facet_counts_local(index, queries, dim: str, top_n: int = 10,

@@ -103,7 +103,8 @@ def _classify_clauses(queries, resolve_field):
 
     from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
                                                   MultiTermQueryT)
-    from pim_lucene_spark.plans.query import (MatchAllDocsQuery,
+    from pim_lucene_spark.plans.query import (FacetFilterQuery,
+                                              MatchAllDocsQuery,
                                               PhraseQuery, SynonymQuery)
 
     per_field: dict = {}
@@ -140,13 +141,14 @@ def _classify_clauses(queries, resolve_field):
                     slot["matchall"].append(
                         (sid, float(clause.boost) * float(bq.boost)
                          if scoring else 1.0))
-                elif isinstance(clause, SynonymQuery):
+                elif isinstance(clause, (SynonymQuery, FacetFilterQuery)):
                     raise NotImplementedError(
-                        "SynonymQuery evaluates in the compound kernel "
-                        "(merged pseudo-term stats have no join-chain "
-                        "scorer); this index layout (cogroup norms or "
-                        "v<3) cannot host the kernel — rebuild the "
-                        "index or drop the synonym clause")
+                        f"{type(clause).__name__} evaluates in the "
+                        "compound kernel (merged stats / resident "
+                        "ordinal arrays have no join-chain form); this "
+                        "index layout (cogroup norms or v<3) cannot "
+                        "host the kernel — rebuild the index or drop "
+                        "the clause")
                 elif (isinstance(clause, PhraseQuery)
                       and int(clause.slop) != 0):
                     slot["sloppy"].append(

@@ -243,10 +243,12 @@ def _eval_spec(spec: dict, eval_leaf, precision: str,
             # candidate restriction short-circuits to the candidates
             # themselves (every doc matches *:*)
             return eval_ma(cl, c)
-        if cl["kind"] == "const_or":
+        if cl["kind"] in ("const_or", "dv_filter"):
             # constant-score multiterm: union of the expansion's
             # co-located match sets at a constant score (Lucene's
             # CONSTANT_SCORE rewrite builds a bit set, not a scorer);
+            # dv_filter: drill-down ordinal test over the resident
+            # doc-values array (score 0, Occur.FILTER semantics);
             # eval_ma dispatches on the clause kind
             return eval_ma(cl, c)
         return _eval_spec(cl["spec"], eval_leaf, precision, c, eval_ma)
@@ -553,6 +555,27 @@ def _compound_core(payload: dict, pid: int,
 
     def eval_ma(cl: dict, cand: np.ndarray | None = None
                 ) -> tuple[np.ndarray, np.ndarray]:
+        if cl["kind"] == "dv_filter":
+            # drill-down ordinal test (DrillDownQuery FILTER clause):
+            # index the resident ordinal array, never postings.  With a
+            # candidate set the test is a pure lookup; the full form
+            # enumerates live matching docs of this partition.
+            from pim_lucene_spark.operators.facets import facet_codes_for
+            codes = facet_codes_for(cl["path"], pid)
+            want = np.asarray(cl["codes"], dtype=np.int32)
+            if want.size == 0:
+                return _EMPTY_I64, _EMPTY_F64
+            if cand is not None:
+                docs = cand[np.isin(codes[cand], want)]
+            else:
+                docs = np.flatnonzero(np.isin(codes, want)).astype(
+                    np.int64)
+                f = cl.get("field")
+                lv = live.get(f if f in live else
+                              next(iter(live), None))
+                if lv is not None and docs.size:
+                    docs = docs[lv[docs]]
+            return docs, np.zeros(docs.size, dtype=np.float64)
         w = float(cl["weight"])
         if cl["kind"] == "const_or":
             # constant-score multiterm: sorted union of the expansion's
@@ -1094,12 +1117,14 @@ def clause_kernelable(clause, allow_fielded=None, manifests=None,
     from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
                                                   MultiTermQueryT,
                                                   expand_const_local)
-    from pim_lucene_spark.plans.query import (FieldedQuery,
+    from pim_lucene_spark.plans.query import (FacetFilterQuery,
+                                              FieldedQuery,
                                               MatchAllDocsQuery,
                                               PhraseQuery, SynonymQuery,
                                               TermQuery)
 
-    if isinstance(clause, (MatchAllDocsQuery, SynonymQuery)):
+    if isinstance(clause, (MatchAllDocsQuery, SynonymQuery,
+                           FacetFilterQuery)):
         return True
     if isinstance(clause, FieldedQuery):
         if allow_fielded is None:
@@ -1227,7 +1252,25 @@ class _SpecBuilder:
             return {"kind": "const_or", "field": field,
                     "terms": tuple(exp),
                     "weight": float(clause.boost) * eff_boost}
-        from pim_lucene_spark.plans.query import SynonymQuery
+        from pim_lucene_spark.plans.query import (FacetFilterQuery,
+                                                  SynonymQuery)
+        if isinstance(clause, FacetFilterQuery):
+            # drill-down constraint: values resolve to ordinals against
+            # the dim's value dictionary at spec-build time (driver-side
+            # POSIX read, cached); the kernel tests the resident ordinal
+            # array — no postings, no exchange
+            from pim_lucene_spark.operators.facets import (facet_dir,
+                                                           facet_values)
+            fdir = facet_dir(self.manifests[field], clause.dim)
+            code_of = {v: i for i, v in enumerate(facet_values(fdir))}
+            codes = tuple(sorted(code_of[v] for v in clause.values
+                                 if v in code_of))
+            # pure drill-down queries enumerate the doc space without
+            # postings — the matchall machinery (forced norms/live load
+            # + the per-pid seed row) provides exactly that
+            self.matchall_fields.add(field)
+            return {"kind": "dv_filter", "field": field, "path": fdir,
+                    "codes": codes}
         if isinstance(clause, SynonymQuery):
             sid = self._next_sid
             self._next_sid += 1

@@ -103,6 +103,26 @@ class SynonymQuery:
 
 
 @dataclass(frozen=True)
+class FacetFilterQuery:
+    """Matches docs whose facet ordinal for ``dim`` is one of
+    ``values`` — the drill-down constraint of ``DrillDownQuery.java``
+    (OR within a dimension, AND across dimensions via multiple FILTER
+    clauses).  Non-scoring: Lucene adds drill-down terms with
+    ``Occur.FILTER``; in a scoring role the contribution is 0.  Needs
+    the dimension's ordinal sidecar
+    (:func:`~pim_lucene_spark.operators.facets.build_facet_index`)."""
+
+    dim: str
+    values: tuple
+
+    def __post_init__(self):
+        vals = tuple(sorted({str(v) for v in self.values}))
+        if not vals:
+            raise ValueError("FacetFilterQuery needs at least one value")
+        object.__setattr__(self, "values", vals)
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery:
     """Wraps any engine query; every matching doc scores ``boost``
     (``ConstantScoreQuery.java`` — the wrapped query's scores are

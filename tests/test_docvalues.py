@@ -183,8 +183,8 @@ def test_reverse_sort_int64_min_sentinel(spark, dvidx):
         spark, m, "size",
         dims=spark.createDataFrame(pdf[["doc_id", "size"]]),
         missing=sentinel)
-    from pim_lucene_spark.operators.docvalues import _DV_CACHE
-    _DV_CACHE.clear()  # overwrote the sidecar in place
+    # no cache clear needed: dv_values_for keys by the partition dir's
+    # mtime, so the rebuilt sidecar invalidates even in live executors
     try:
         got = (sort_by_field(spark, m, [(0, "red")], "size", k=1000,
                              reverse=True).toPandas()
@@ -201,7 +201,6 @@ def test_reverse_sort_int64_min_sentinel(spark, dvidx):
         build_numeric_docvalues(
             spark, m, "size",
             dims=spark.createDataFrame(pdf[["doc_id", "size"]]))
-        _DV_CACHE.clear()
 
 
 def test_sort_respects_deletes(spark, dvidx, tmp_path):

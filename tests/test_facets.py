@@ -128,3 +128,90 @@ def test_facet_local_matches_distributed(spark, fidx):
     b = (facet_counts_local(m, queries, "category", top_n=10)
          .sort_values(["qid", "value"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+
+
+# --- DrillDownQuery / DrillSideways ------------------------------------------
+
+def test_drill_down_matches_bruteforce(spark, fidx):
+    """Base query AND facet constraint: hits = base matches whose
+    category is in the drill set, scores = the base clause's scores."""
+    from pim_lucene_spark.operators.facets import drill_down
+    from pim_lucene_spark.plans.boolean import search_boolean
+    m, pdf = fidx
+    got = (drill_down(spark, m,
+                      [(0, "red", {"category": ["news", "blog"]})],
+                      k=1000, precision="float64").toPandas())
+    base = (search_boolean(spark, m,
+                           [(0, BooleanQuery(must=["red"]))],
+                           k=1000, precision="float64").toPandas()
+            .set_index("doc_id").score)
+    cat = pdf.set_index("doc_id").category
+    exp_docs = {d for d in base.index if cat[d] in ("news", "blog")}
+    assert set(got.doc_id) == exp_docs
+    for _, r in got.iterrows():
+        assert r.score == base[r.doc_id]
+
+
+def test_drill_down_pure_browse(spark, fidx):
+    """base=None: every live doc with the facet value, score 0."""
+    from pim_lucene_spark.operators.facets import drill_down
+    m, pdf = fidx
+    got = (drill_down(spark, m, [(0, None, {"category": ["wiki"]})],
+                      k=10_000).toPandas())
+    exp = set(pdf.doc_id[pdf.category == "wiki"])
+    assert set(got.doc_id) == exp
+    assert (got.score == 0.0).all()
+
+
+def test_drill_down_multi_dim_and_unknown_value(spark, fidx):
+    from pim_lucene_spark.operators.facets import drill_down
+    m, pdf = fidx
+    # unknown value in the drill set is just an empty disjunct
+    got = (drill_down(spark, m,
+                      [(0, "red", {"category": ["news", "zzz_nope"]})],
+                      k=1000).toPandas())
+    cat = pdf.set_index("doc_id").category
+    assert all(cat[d] == "news" for d in got.doc_id)
+    # all-unknown values -> no hits
+    got2 = (drill_down(spark, m, [(1, "red", {"category": ["zzz"]})],
+                       k=1000).toPandas())
+    assert len(got2) == 0
+
+
+def test_drill_sideways_counts(spark, fidx):
+    """Per-dim counts with that dim's own constraint removed equal the
+    plain facet counts of the base query."""
+    from pim_lucene_spark.operators.facets import drill_sideways
+    m, pdf = fidx
+    hits, side = drill_sideways(
+        spark, m, [(0, "red", {"category": ["news"]})],
+        dims=["category"], k=1000, top_n=10)
+    cat = pdf.set_index("doc_id").category
+    hd = hits.toPandas()
+    assert all(cat[d] == "news" for d in hd.doc_id)
+    counts = side["category"].toPandas()
+    exp = _brute(pdf, lambda c: "red" in c.split())
+    got_pairs = list(zip(
+        counts.sort_values(["n", "value"],
+                           ascending=[False, True]).value,
+        counts.sort_values(["n", "value"],
+                           ascending=[False, True]).n))
+    assert got_pairs == [(v, n) for v, n in exp]
+
+
+def test_drill_down_serving_matches_distributed(spark, fidx):
+    from pim_lucene_spark.operators.facets import drill_down
+    from pim_lucene_spark.plans.compound import search_compound_local
+    from pim_lucene_spark.plans.query import FacetFilterQuery
+    m, _ = fidx
+    q = BooleanQuery(must=["red"],
+                     filter=[FacetFilterQuery("category",
+                                              ("news", "blog"))])
+    a = (drill_down(spark, m,
+                    [(0, "red", {"category": ["news", "blog"]})],
+                    k=10).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (search_compound_local(m, [(0, q)], k=10)
+         .sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
