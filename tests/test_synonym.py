@@ -204,6 +204,29 @@ def test_count_matches_synonym(spark, synidx):
     assert int(got[0]) == exp
 
 
+def test_synonym_random_fuzz_vs_oracle(spark, synidx):
+    """Randomized synonym sets (sizes, boosts, absent terms) — engine
+    float64 == the DuckDB replica, rounded hash-style."""
+    m, pdf = synidx
+    rng = np.random.default_rng(7)
+    pool = VOCAB + ["zz_absent", "zz_gone"]
+    specs = []
+    for qid in range(14):
+        nt = int(rng.integers(1, 5))
+        terms = list(rng.choice(pool, size=nt, replace=False))
+        tbs = [(t, float(np.round(rng.uniform(0.05, 1.0), 3)))
+               for t in terms]
+        specs.append((qid, tbs, float(np.round(rng.uniform(0.5, 3.0),
+                                               3))))
+    got = (search_synonym(spark, m, _typed(specs), k=20,
+                          precision="float64").toPandas())
+    got["score"] = got["score"].round(6)
+    got = got.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    exp = (_oracle(pdf, specs, k=20)
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+
+
 def test_synonym_boost_validation():
     with pytest.raises(ValueError, match=r"\(0, 1\]"):
         SynonymQuery((("quick", 1.5),))
