@@ -171,10 +171,16 @@ def _check_ranges(ranges) -> list[str]:
 
 def sort_by_field(spark: SparkSession, index, queries, col: str,
                   k: int = 10, reverse: bool = False,
+                  after: dict | None = None,
                   default_field: str = "") -> DataFrame:
     """Top-``k`` hits per query ordered by a numeric doc-values column:
     ``(qid, doc_id, sortval)``, value asc (``reverse=True`` → desc),
     ties by doc_id asc — ``Sort(SortField(col, LONG, reverse))``.
+
+    ``after`` pages like ``IndexSearcher.searchAfter`` over
+    ``TopFieldDocs``: ``{qid: (sortval, doc_id)}`` of the previous
+    page's last hit — the mark filters INSIDE the kernel before the
+    per-partition cut, so page 50 ships the same ≤ P·k rows as page 1.
 
     The plan: one postings pushdown scan → per-partition compound
     kernel in sort mode (each partition emits its k best (value, doc)
@@ -190,7 +196,9 @@ def sort_by_field(spark: SparkSession, index, queries, col: str,
         spark, manifests, default_field, _wrap_queries(queries))
     if postings is None:
         return spark.createDataFrame([], SORT_RESULT_SCHEMA)
-    payload["sort"] = {"path": d, "reverse": bool(reverse), "k": int(k)}
+    payload["sort"] = {"path": d, "reverse": bool(reverse), "k": int(k),
+                       "after": {int(q): (int(v), int(dc))
+                                 for q, (v, dc) in (after or {}).items()}}
     res = (postings.groupBy("pid")
            .applyInPandas(_compound_kernel(payload), SORT_RESULT_SCHEMA))
     order = F.desc("sortval") if reverse else F.asc("sortval")
@@ -287,6 +295,7 @@ def facet_ranges(spark: SparkSession, index, queries, col: str,
 
 def sort_by_field_local(index, queries, col: str, k: int = 10,
                         reverse: bool = False, default_field: str = "",
+                        after: dict | None = None,
                         pids: list[int] | None = None) -> pd.DataFrame:
     """Serving-path :func:`sort_by_field` — NO Spark job; returns a
     pandas frame (qid, doc_id, sortval), row-identical to the
@@ -298,7 +307,9 @@ def sort_by_field_local(index, queries, col: str, k: int = 10,
         pids=pids,
         agg_mode={"kind": "sort", "path": dv_dir(manifests[default_field],
                                                  col),
-                  "reverse": bool(reverse), "k": int(k)})
+                  "reverse": bool(reverse), "k": int(k),
+                  "after": {int(q): (int(v), int(dc))
+                            for q, (v, dc) in (after or {}).items()}})
 
 
 def collapse_topk_local(index, queries, dim: str, k: int = 10,

@@ -667,6 +667,7 @@ def _compound_core(payload: dict, pid: int,
         so = payload["sort"]
         vals = dv_values_for(so["path"], pid)
         sk = so["k"]
+        after = so.get("after") or {}
         o_q, o_d, o_v = [], [], []
         for spec in payload["specs"]:
             docs, _ = _eval_spec(spec, eval_leaf, precision,
@@ -674,6 +675,21 @@ def _compound_core(payload: dict, pid: int,
             if docs.size == 0:
                 continue
             key = vals[docs]
+            mark = after.get(spec["qid"])
+            if mark is not None:
+                # searchAfter for field sorts (TopFieldDocs paging):
+                # strictly past the previous page's last (value, doc)
+                # mark, filtered BEFORE the per-partition cut so deep
+                # pages ship the same ≤ P·k rows as page one
+                av, ad = int(mark[0]), int(mark[1])
+                gdocs = docs * P + pid
+                if so["reverse"]:
+                    keep = (key < av) | ((key == av) & (gdocs > ad))
+                else:
+                    keep = (key > av) | ((key == av) & (gdocs > ad))
+                docs, key = docs[keep], key[keep]
+                if docs.size == 0:
+                    continue
             # descending via bitwise NOT (~k = -k-1): strictly monotone
             # decreasing and overflow-free at INT64_MIN, unlike -k
             order = np.lexsort((docs, ~key if so["reverse"] else key))

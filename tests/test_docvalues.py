@@ -265,6 +265,44 @@ def test_local_sort_sharded_pids_merge(spark, dvidx):
         .reset_index(drop=True), merged)
 
 
+def test_sort_search_after_pages(spark, dvidx):
+    """Field-sort paging: walking pages via after-marks re-assembles
+    the full ranking exactly (value-tie walks included), both
+    directions, distributed and serving."""
+    from pim_lucene_spark.operators.docvalues import sort_by_field_local
+    m, _ = dvidx
+    for reverse in (False, True):
+        full = (sort_by_field(spark, m, [(0, "red")], "size", k=60,
+                              reverse=reverse).toPandas()
+                .sort_values(["sortval", "doc_id"],
+                             ascending=[not reverse, True])
+                .reset_index(drop=True))
+        pages, mark = [], None
+        for _ in range(12):
+            pg = (sort_by_field(spark, m, [(0, "red")], "size", k=5,
+                                reverse=reverse,
+                                after=None if mark is None
+                                else {0: mark}).toPandas()
+                  .sort_values(["sortval", "doc_id"],
+                               ascending=[not reverse, True])
+                  .reset_index(drop=True))
+            if not len(pg):
+                break
+            pages.append(pg)
+            mark = (int(pg.sortval.iloc[-1]), int(pg.doc_id.iloc[-1]))
+        walked = pd.concat(pages, ignore_index=True)
+        pd.testing.assert_frame_equal(walked, full)
+        # serving path pages identically
+        pg2 = (sort_by_field_local(m, [(0, "red")], "size", k=5,
+                                   reverse=reverse,
+                                   after={0: (int(full.sortval[4]),
+                                              int(full.doc_id[4]))})
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            pg2.astype(full.dtypes.to_dict()),
+            full.iloc[5:10].reset_index(drop=True))
+
+
 def test_facade_wrappers(spark, dvidx):
     """FullTextIndex.sort_by / collapse / facet_ranges delegate to the
     same plans (smoke + shape check)."""
