@@ -292,14 +292,21 @@ class FullTextIndex:
 
     def parse_and_query(self, query_strings, k: int = 10,
                         default_operator: str = "or",
-                        precision: str = "float32") -> DataFrame:
+                        precision: str = "float32",
+                        synonyms: dict | None = None) -> DataFrame:
         """Classic query-string search: each entry of ``query_strings``
         is ``(qid, "lucene query syntax")`` (see ``plans/parser.py`` for
         the supported grammar); parsed queries route through
-        :meth:`query` as one mixed typed batch."""
-        from pim_lucene_spark.plans.parser import parse_query
+        :meth:`query` as one mixed typed batch.  ``synonyms`` applies
+        query-time term expansion (``plans/parser.py::apply_synonyms``,
+        the SynonymGraphFilter use-case)."""
+        from pim_lucene_spark.plans.parser import (apply_synonyms,
+                                                   parse_query)
         typed = [(qid, parse_query(s, default_operator=default_operator))
                  for qid, s in query_strings]
+        if synonyms:
+            typed = [(qid, apply_synonyms(q, synonyms))
+                     for qid, q in typed]
         return self.query(typed, k=k, precision=precision)
 
     # --- doc-values surfaces -------------------------------------------------

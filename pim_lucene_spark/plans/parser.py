@@ -329,3 +329,62 @@ def _parse_group(toks, i: int, depth: int, default_operator: str,
     if _dangling():
         raise ValueError("dangling operator at end of query")
     return _finalize(clauses), i
+
+
+def apply_synonyms(query, synonyms: dict):
+    """Query-time synonym expansion — the ``SynonymGraphFilter``
+    use-case at the query layer: every single-term scoring leaf whose
+    term has an entry in ``synonyms`` becomes a
+    :class:`~pim_lucene_spark.plans.query.SynonymQuery` over
+    ``(term, *synonyms[term])``, preserving the leaf's boost (merged
+    pseudo-term stats, freq = Σ boost·tf — ``SynonymQuery.java``).
+
+    ``synonyms`` maps ``term -> [syn, ...]`` or ``[(syn, boost), ...]``
+    (per-synonym boosts in (0, 1]).  Multi-token phrases are left
+    untouched (graph-position phrase synonyms are out of scope —
+    term-level expansion is the common analyzer configuration).
+    Recurses through Boolean/DisMax/Fielded/ConstantScore structure;
+    multiterm, fuzzy, sloppy-phrase and matchall leaves pass through.
+    """
+    from dataclasses import replace
+
+    from pim_lucene_spark.plans.dismax import DisMaxQuery
+    from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                              FieldedQuery, SynonymQuery)
+
+    def leaf(term: str, boost: float):
+        syns = synonyms.get(term)
+        if not syns:
+            return None
+        entries = [(term, 1.0)]
+        for s in syns:
+            entries.append((s, 1.0) if isinstance(s, str) else tuple(s))
+        return SynonymQuery(tuple(entries), boost=boost)
+
+    def walk(q):
+        if isinstance(q, str):
+            toks = q.split()
+            if len(toks) == 1:
+                return leaf(toks[0], 1.0) or q
+            return q
+        if isinstance(q, TermQuery):
+            return leaf(q.term, float(q.boost)) or q
+        if isinstance(q, PhraseQuery):
+            toks = q.text.split()
+            if len(toks) == 1 and int(q.slop) == 0:
+                return leaf(toks[0], float(q.boost)) or q
+            return q
+        if isinstance(q, BooleanQuery):
+            return replace(q, **{role: tuple(walk(c) for c in
+                                             getattr(q, role))
+                                 for role in ("must", "should",
+                                              "must_not", "filter")})
+        if isinstance(q, DisMaxQuery):
+            return replace(q, clauses=tuple(walk(c) for c in q.clauses))
+        if isinstance(q, FieldedQuery):
+            return FieldedQuery(q.field, walk(q.query))
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(walk(q.query), boost=q.boost)
+        return q
+
+    return walk(query)

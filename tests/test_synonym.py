@@ -227,6 +227,40 @@ def test_synonym_random_fuzz_vs_oracle(spark, synidx):
     pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
 
 
+def test_apply_synonyms_expansion(spark, synidx):
+    """Query-time synonym maps: parsed strings expand term leaves into
+    SynonymQuery (boosts preserved), phrases and structure untouched,
+    and the facade end-to-end equals the manual typed query."""
+    from pim_lucene_spark.index import FullTextIndex
+    from pim_lucene_spark.plans.parser import apply_synonyms, parse_query
+    m, _ = synidx
+    syn_map = {"quick": ["fast", ("rapid", 0.5)]}
+    q = apply_synonyms(parse_query("quick house^2"), syn_map)
+    exp_leaf = SynonymQuery((("quick", 1.0), ("fast", 1.0),
+                             ("rapid", 0.5)))
+    assert exp_leaf in q.should
+    # boosted term leaf keeps its boost on the SynonymQuery
+    q2 = apply_synonyms(parse_query("quick^3"), syn_map)
+    leaves = list(getattr(q2, "should", ())) or [q2]
+    syn_leaves = [c for c in leaves if isinstance(c, SynonymQuery)]
+    assert syn_leaves and syn_leaves[0].boost == 3.0
+    # phrase untouched
+    q3 = apply_synonyms(parse_query('"quick house"'), syn_map)
+    assert not isinstance(q3, SynonymQuery)
+    # end-to-end facade == manual typed batch
+    idx = FullTextIndex(spark, m)
+    a = (idx.parse_and_query([(0, "quick house")], k=20,
+                             precision="float64", synonyms=syn_map)
+         .toPandas()[["qid", "doc_id", "score"]]
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (search_boolean(spark, m,
+                        [(0, BooleanQuery(should=[exp_leaf, "house"]))],
+                        k=20, precision="float64").toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert (a.doc_id.to_numpy() == b.doc_id.to_numpy()).all()
+    assert (a.score.to_numpy() == b.score.to_numpy()).all()
+
+
 def test_synonym_boost_validation():
     with pytest.raises(ValueError, match=r"\(0, 1\]"):
         SynonymQuery((("quick", 1.5),))
