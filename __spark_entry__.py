@@ -397,6 +397,37 @@ def _q_count(spark, sf_dir):
     return count_matches(spark, m, _count_specs())
 
 
+def _q_facet_stats(spark, sf_dir):
+    """Association-facet aggregation: per-bucket count/sum/min/max/mean
+    of `n_chars` over matched docs, kernel-aggregated (only per-bucket
+    rows cross the exchange)."""
+    from pim_lucene_spark.operators.docvalues import facet_stats
+    m = _dv_index(spark, sf_dir)
+    return facet_stats(spark, m, _dv_typed(), "source", "n_chars",
+                       top_n=10)
+
+
+def _facet_stats_sql(top_n: int = 10) -> str:
+    parts = []
+    for qid, q in FACET_QUERIES:
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, d.source AS value, "
+            f"CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(coalesce(d.n_chars, 0)) AS BIGINT) AS sum_val, "
+            f"CAST(min(coalesce(d.n_chars, 0)) AS BIGINT) AS min_val, "
+            f"CAST(max(coalesce(d.n_chars, 0)) AS BIGINT) AS max_val "
+            f"FROM ({_facet_mset(q)}) h "
+            f"JOIN documents d ON d.doc_id = h.doc_id "
+            f"WHERE d.source IS NOT NULL GROUP BY d.source")
+    from pim_lucene_spark.oracle import _tok_cte
+    return (f"WITH {_tok_cte('whitespace')} "
+            f"SELECT qid, value, n, sum_val, min_val, max_val, "
+            f"CAST(sum_val AS DOUBLE) / CAST(n AS DOUBLE) AS avg_val "
+            f"FROM ({' UNION ALL '.join(parts)}) "
+            f"QUALIFY row_number() OVER (PARTITION BY qid "
+            f"ORDER BY n DESC, value ASC) <= {top_n}")
+
+
 # DrillDownQuery: base query + facet-value constraints on `source`
 DRILL_QUERIES = [
     (890, "fast", ["src1", "src2", "src3"]),
@@ -1087,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_spell_suggest": _q_spell,
         "engine_more_like_this": _q_mlt,
         "engine_drilldown": _q_drilldown,
+        "engine_facet_stats": _q_facet_stats,
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
         "engine_suggest_local": _q_suggest_local,
@@ -1474,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_spell_suggest": _spell_sql(),
         "engine_more_like_this": oracle.mlt_bm25_sql(MLT_QUERIES, k=10),
         "engine_drilldown": _drilldown_sql(),
+        "engine_facet_stats": _facet_stats_sql(),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)

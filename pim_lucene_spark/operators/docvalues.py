@@ -288,6 +288,68 @@ def facet_ranges(spark: SparkSession, index, queries, col: str,
                     .alias("n")))
 
 
+FACET_STATS_KERNEL_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType(), False),
+    T.StructField("code", T.IntegerType(), False),
+    T.StructField("n", T.LongType(), False),
+    T.StructField("sum", T.LongType(), False),
+    T.StructField("mn", T.LongType(), False),
+    T.StructField("mx", T.LongType(), False),
+])
+
+
+def facet_stats(spark: SparkSession, index, queries, dim: str, col: str,
+                top_n: int = 10, default_field: str = "") -> DataFrame:
+    """Association-facet aggregation (lucene/facet value associations /
+    the terms-agg-with-stats shape): per query, per ``dim`` bucket, the
+    count / sum / min / max / mean of the numeric doc-values column
+    ``col`` over matched docs — ``(qid, value, n, sum_val, min_val,
+    max_val, avg_val)``, top-``top_n`` buckets by (n desc, value asc).
+
+    Aggregation runs inside the per-partition kernel against the
+    resident ordinal + value sidecars; only per-bucket aggregate rows
+    cross the exchange (O(queries × cardinality), never O(matches)).
+    Both sidecars must exist (:func:`~pim_lucene_spark.operators.facets.
+    build_facet_index`, :func:`build_numeric_docvalues`).
+    """
+    from pim_lucene_spark.operators.facets import facet_dir, facet_values
+    from pim_lucene_spark.plans.compound import (_compound_kernel,
+                                                 _plan_aggregate_payload)
+    manifests, default_field = _manifests_of(index, default_field)
+    fdir = facet_dir(manifests[default_field], dim)
+    values = facet_values(fdir)
+    vals_df = F.broadcast(spark.createDataFrame(
+        list(enumerate(values)), "code int, value string"))
+    specs, payload, postings = _plan_aggregate_payload(
+        spark, manifests, default_field, _wrap_queries(queries))
+    if postings is None:
+        return (spark.createDataFrame([], FACET_STATS_KERNEL_SCHEMA)
+                .join(vals_df, "code")
+                .select("qid", "value", "n",
+                        F.col("sum").alias("sum_val"),
+                        F.col("mn").alias("min_val"),
+                        F.col("mx").alias("max_val"),
+                        F.lit(0.0).alias("avg_val")))
+    payload["facet_stats"] = {"ord_path": fdir,
+                              "val_path": dv_dir(
+                                  manifests[default_field], col)}
+    agg = (postings.groupBy("pid")
+           .applyInPandas(_compound_kernel(payload),
+                          FACET_STATS_KERNEL_SCHEMA)
+           .groupBy("qid", "code")
+           .agg(F.sum("n").alias("n"),
+                F.sum("sum").alias("sum_val"),
+                F.min("mn").alias("min_val"),
+                F.max("mx").alias("max_val")))
+    w = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("value"))
+    return (agg.join(vals_df, "code")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select("qid", "value", "n", "sum_val", "min_val", "max_val",
+                    (F.col("sum_val").cast("double")
+                     / F.col("n").cast("double")).alias("avg_val")))
+
+
 # ---------------------------------------------------------------------------
 # serving path (no Spark job): the same kernel modes over resident
 # sidecars, host-side merge — row-identical to the distributed plans

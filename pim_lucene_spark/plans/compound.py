@@ -656,6 +656,54 @@ def _compound_core(payload: dict, pid: int,
                              "code": np.concatenate(cs),
                              "n": np.concatenate(ns)})
 
+    if payload.get("facet_stats"):
+        # association-facet aggregation (TaxonomyFacetIntAssociations /
+        # the terms-agg-with-stats shape): per (query, bucket) the
+        # count, sum, min and max of a numeric doc value over matched
+        # docs — one bincount + grouped min/max per query against the
+        # RESIDENT ordinal + value arrays; only per-bucket aggregate
+        # rows cross the exchange, O(queries × cardinality) never
+        # O(matches)
+        from pim_lucene_spark.operators.docvalues import dv_values_for
+        from pim_lucene_spark.operators.facets import facet_codes_for
+        fs = payload["facet_stats"]
+        codes = facet_codes_for(fs["ord_path"], pid)
+        vals = dv_values_for(fs["val_path"], pid)
+        f_q, f_c, f_n, f_s, f_mn, f_mx = [], [], [], [], [], []
+        for spec in payload["specs"]:
+            docs, _ = _eval_spec(spec, eval_leaf, precision,
+                                 eval_ma=eval_ma)
+            if docs.size == 0:
+                continue
+            grp = codes[docs]
+            keep = grp >= 0
+            grp, dv = grp[keep], vals[docs[keep]]
+            if grp.size == 0:
+                continue
+            n = np.bincount(grp)
+            s = np.zeros(n.size, dtype=np.int64)  # exact int64 sum
+            np.add.at(s, grp, dv)
+            mn = np.full(n.size, np.iinfo(np.int64).max, dtype=np.int64)
+            mx = np.full(n.size, np.iinfo(np.int64).min, dtype=np.int64)
+            np.minimum.at(mn, grp, dv)
+            np.maximum.at(mx, grp, dv)
+            nz = np.flatnonzero(n)
+            f_q.append(np.full(nz.size, spec["qid"], dtype=np.int64))
+            f_c.append(nz.astype(np.int32))
+            f_n.append(n[nz].astype(np.int64))
+            f_s.append(s[nz])
+            f_mn.append(mn[nz])
+            f_mx.append(mx[nz])
+        cols = ["qid", "code", "n", "sum", "mn", "mx"]
+        if not f_q:
+            return pd.DataFrame({c: [] for c in cols}).astype(
+                {"qid": np.int64, "code": np.int32, "n": np.int64,
+                 "sum": np.int64, "mn": np.int64, "mx": np.int64})
+        return pd.DataFrame(dict(zip(cols, [
+            np.concatenate(f_q), np.concatenate(f_c),
+            np.concatenate(f_n), np.concatenate(f_s),
+            np.concatenate(f_mn), np.concatenate(f_mx)])))
+
     if payload.get("sort"):
         # sort-by-field (TopFieldCollector / Sort(SortField(LONG))
         # semantics): matched rel docs index the partition's resident

@@ -303,6 +303,38 @@ def test_sort_search_after_pages(spark, dvidx):
             full.iloc[5:10].reset_index(drop=True))
 
 
+def test_facet_stats_matches_bruteforce(spark, dvidx):
+    """Per-bucket count/sum/min/max/mean of the numeric dv over matched
+    docs == pandas aggregation of the engine's own match set."""
+    from pim_lucene_spark.operators.docvalues import facet_stats
+    m, pdf = dvidx
+    base = _full_ranking(spark, m)
+    size_of = pdf.set_index("doc_id")["size"].fillna(0).astype(np.int64)
+    cat_of = pdf.set_index("doc_id")["category"]
+    got = (facet_stats(spark, m, QUERIES, "category", "size", top_n=10)
+           .toPandas().sort_values(["qid", "value"])
+           .reset_index(drop=True))
+    exp_rows = []
+    for qid in base.qid.unique():
+        sub = pd.DataFrame({
+            "value": cat_of.loc[base[base.qid == qid].doc_id].to_numpy(),
+            "v": size_of.loc[base[base.qid == qid].doc_id].to_numpy()})
+        sub = sub[sub.value.notna()]
+        g = sub.groupby("value")["v"]
+        agg = pd.DataFrame({"n": g.size(), "sum_val": g.sum(),
+                            "min_val": g.min(), "max_val": g.max()})
+        agg = agg.sort_values(["n"], ascending=False).head(10)
+        for v, r in agg.iterrows():
+            exp_rows.append((qid, v, int(r.n), int(r.sum_val),
+                             int(r.min_val), int(r.max_val),
+                             r.sum_val / r.n))
+    exp = (pd.DataFrame(exp_rows, columns=["qid", "value", "n",
+                                           "sum_val", "min_val",
+                                           "max_val", "avg_val"])
+           .sort_values(["qid", "value"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+
+
 def test_facade_wrappers(spark, dvidx):
     """FullTextIndex.sort_by / collapse / facet_ranges delegate to the
     same plans (smoke + shape check)."""
