@@ -355,6 +355,24 @@ def facet_stats(spark: SparkSession, index, queries, dim: str, col: str,
 # sidecars, host-side merge — row-identical to the distributed plans
 # ---------------------------------------------------------------------------
 
+def facet_stats_local(index, queries, dim: str, col: str,
+                      top_n: int = 10, default_field: str = "",
+                      pids: list[int] | None = None) -> pd.DataFrame:
+    """Serving-path :func:`facet_stats` — NO Spark job; returns a
+    pandas frame (qid, value, n, sum_val, min_val, max_val, avg_val),
+    row-identical to the distributed plan (differential-tested)."""
+    from pim_lucene_spark.operators.facets import facet_dir, facet_values
+    from pim_lucene_spark.plans.compound import search_compound_local
+    manifests, default_field = _manifests_of(index, default_field)
+    fdir = facet_dir(manifests[default_field], dim)
+    return search_compound_local(
+        manifests, _wrap_queries(queries), default_field=default_field,
+        pids=pids,
+        agg_mode={"kind": "facet_stats", "ord_path": fdir,
+                  "val_path": dv_dir(manifests[default_field], col),
+                  "values": facet_values(fdir), "top_n": int(top_n)})
+
+
 def sort_by_field_local(index, queries, col: str, k: int = 10,
                         reverse: bool = False, default_field: str = "",
                         after: dict | None = None,

@@ -1784,6 +1784,13 @@ def search_compound_local(index, queries,
 
 def _agg_mode_empty(agg_mode: dict) -> pd.DataFrame:
     kind = agg_mode["kind"]
+    if kind == "facet_stats":
+        return pd.DataFrame({"qid": [], "value": [], "n": [],
+                             "sum_val": [], "min_val": [], "max_val": [],
+                             "avg_val": []}).astype(
+            {"qid": np.int64, "value": str, "n": np.int64,
+             "sum_val": np.int64, "min_val": np.int64,
+             "max_val": np.int64, "avg_val": np.float64})
     if kind == "sort":
         return pd.DataFrame({"qid": [], "doc_id": [], "sortval": []}
                             ).astype({"qid": np.int64, "doc_id": np.int64,
@@ -1805,6 +1812,20 @@ def _agg_mode_merge(agg_mode: dict, res: pd.DataFrame) -> pd.DataFrame:
     """Host-side merge of per-pid kernel outputs for the doc-values
     serving modes — the exact reduction the distributed windows run."""
     kind = agg_mode["kind"]
+    if kind == "facet_stats":
+        vals = agg_mode["values"]
+        agg = (res.groupby(["qid", "code"], as_index=False)
+               .agg(n=("n", "sum"), sum_val=("sum", "sum"),
+                    min_val=("mn", "min"), max_val=("mx", "max")))
+        agg["value"] = agg.pop("code").map(lambda c: vals[int(c)])
+        agg = agg.sort_values(["qid", "n", "value"],
+                              ascending=[True, False, True])
+        agg = (agg.groupby("qid", sort=True)
+               .head(int(agg_mode["top_n"])).reset_index(drop=True))
+        agg["avg_val"] = agg["sum_val"].astype(np.float64) / \
+            agg["n"].astype(np.float64)
+        return agg[["qid", "value", "n", "sum_val", "min_val",
+                    "max_val", "avg_val"]]
     if kind == "sort":
         rev = bool(agg_mode["reverse"])
         return (res.sort_values(["qid", "sortval", "doc_id"],

@@ -335,6 +335,18 @@ def test_facet_stats_matches_bruteforce(spark, dvidx):
     pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
 
 
+def test_facet_stats_local_matches_distributed(spark, dvidx):
+    from pim_lucene_spark.operators.docvalues import (facet_stats,
+                                                      facet_stats_local)
+    m, _ = dvidx
+    a = (facet_stats(spark, m, QUERIES, "category", "size", top_n=10)
+         .toPandas().sort_values(["qid", "value"])
+         .reset_index(drop=True))
+    b = (facet_stats_local(m, QUERIES, "category", "size", top_n=10)
+         .sort_values(["qid", "value"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+
+
 def test_facade_wrappers(spark, dvidx):
     """FullTextIndex.sort_by / collapse / facet_ranges delegate to the
     same plans (smoke + shape check)."""
