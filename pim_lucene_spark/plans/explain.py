@@ -60,6 +60,9 @@ def explain(index: IndexManifest | str, query, doc_id: int,
         return _explain_boolean(manifest, query, doc_id, precision)
     if isinstance(query, DisMaxQuery):
         return _explain_dismax(manifest, query, doc_id, precision)
+    from pim_lucene_spark.plans.query import SynonymQuery
+    if isinstance(query, SynonymQuery):
+        return _explain_synonym(manifest, query, doc_id, precision)
 
     from pim_lucene_spark.functions import bm25
     from pim_lucene_spark.functions.tokenize import tokenize_one
@@ -136,6 +139,75 @@ def explain(index: IndexManifest | str, query, doc_id: int,
     }
 
 
+def _explain_synonym(manifest, q, doc_id: int, precision: str) -> dict:
+    """SynonymWeight explain: one BM25 score from the merged
+    pseudo-term stats (idf of the max docFreq) against the boosted
+    frequency sum — bit-identical to the kernel's ``_syn_match``."""
+    import pyarrow.parquet as pq
+
+    from pim_lucene_spark.functions import bm25
+    from pim_lucene_spark.functions.smallfloat import byte4_to_int
+    from pim_lucene_spark.functions.tokenize import tokenize_one
+    from pim_lucene_spark.operators.search import _local_norms
+
+    terms = [t for t, _ in q.terms]
+    stats = pq.read_table(manifest.stats_path,
+                          filters=[("term", "in", terms)])
+    df_map = dict(zip(stats.column("term").to_pylist(),
+                      stats.column("doc_freq").to_pylist()))
+    doc_count = manifest.doc_count
+    doc = pq.read_table(
+        manifest.docs_path,
+        filters=[("doc_id", "in", [int(doc_id)])]).to_pylist()
+    if not doc:
+        raise ValueError(f"doc_id {doc_id} not in the index")
+    tokens = tokenize_one(doc[0]["text"] if "text" in doc[0]
+                          else doc[0]["content"], manifest.tokenizer)
+    acc = np.float32 if precision == "float32" else np.float64
+    freq = acc(0.0)
+    per_term, mdf = [], 0
+    for t, tb in q.terms:
+        df = int(df_map.get(t, 0))
+        tf = tokens.count(t) if df else 0
+        per_term.append({"term": t, "term_boost": float(tb),
+                         "doc_freq": df, "tf": tf})
+        if df:
+            mdf = max(mdf, df)
+            if tf:
+                freq = freq + acc(tf) * acc(tb)
+    matches = bool(mdf) and float(freq) > 0.0
+    if not matches:
+        return {"doc_id": int(doc_id), "query": "SynonymQuery",
+                "matches": False, "score": 0.0, "per_term": per_term}
+    weight = bm25.phrase_weight(np.asarray([mdf], dtype=np.int64),
+                                doc_count, boost=float(q.boost),
+                                precision=precision)
+    P = manifest.num_partitions
+    pid, rel = int(doc_id) % P, int(doc_id) // P
+    ckey = ("explain", manifest.build_id or manifest.index_dir)
+    norm_byte = int(_local_norms(manifest, ckey, pid)[rel])
+    avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
+                                  doc_count, precision)
+    cache = bm25.score_cache(avgdl, manifest.k1, manifest.b, precision)
+    score = float(bm25.score(np.asarray([freq]),
+                             np.asarray([norm_byte]), float(weight),
+                             cache, precision)[0])
+    return {
+        "doc_id": int(doc_id), "query": "SynonymQuery", "matches": True,
+        "score": score,
+        "description": ("freq = sum(term_boost * tf) in declaration "
+                        "order; weight = boost * idf(max docFreq) — "
+                        "SynonymQuery.java merged statistics"),
+        "boost": float(q.boost), "weight": float(weight),
+        "freq": float(freq), "pseudo_doc_freq": int(mdf),
+        "per_term": per_term, "norm_byte": norm_byte,
+        "quantized_doc_length": int(byte4_to_int(
+            np.array([norm_byte], dtype=np.int64))[0]),
+        "avgdl": float(avgdl), "cache": float(cache[norm_byte]),
+        "precision": precision,
+    }
+
+
 def _boosted_clause(clause, mul: float):
     """Materialize a clause with the enclosing boolean's boost folded in
     (BooleanWeight passes its boost to scoring sub-weights)."""
@@ -144,8 +216,10 @@ def _boosted_clause(clause, mul: float):
 
     from dataclasses import replace
 
-    from pim_lucene_spark.plans.query import MatchAllDocsQuery
-    if isinstance(clause, (BooleanQuery, MatchAllDocsQuery)):
+    from pim_lucene_spark.plans.query import (MatchAllDocsQuery,
+                                              SynonymQuery)
+    if isinstance(clause, (BooleanQuery, MatchAllDocsQuery,
+                           SynonymQuery)):
         return replace(clause, boost=float(clause.boost) * mul)
     text = getattr(clause, "text", clause)
     if not isinstance(text, str):
@@ -165,8 +239,10 @@ def _explain_clause(manifest, clause, doc_id: int, precision: str) -> dict:
     from pim_lucene_spark.functions.tokenize import tokenize_one
     from pim_lucene_spark.plans.boolean import BooleanQuery
 
-    from pim_lucene_spark.plans.query import MatchAllDocsQuery
-    if not isinstance(clause, (BooleanQuery, MatchAllDocsQuery)):
+    from pim_lucene_spark.plans.query import (MatchAllDocsQuery,
+                                              SynonymQuery)
+    if not isinstance(clause, (BooleanQuery, MatchAllDocsQuery,
+                               SynonymQuery)):
         text = getattr(clause, "text", clause)
         if isinstance(text, str) and \
                 not tokenize_one(text, manifest.tokenizer):

@@ -261,6 +261,30 @@ def test_apply_synonyms_expansion(spark, synidx):
     assert (a.score.to_numpy() == b.score.to_numpy()).all()
 
 
+def test_explain_synonym_bit_identity(spark, synidx):
+    """explain(SynonymQuery) score == the kernel's score for every
+    matching doc, both precisions; also as a boolean clause."""
+    from pim_lucene_spark.plans.explain import explain
+    m, _ = synidx
+    q = SynonymQuery((("car", 1.0), ("auto", 0.5)), boost=1.5)
+    for prec in ("float32", "float64"):
+        res = (search_synonym(spark, m, [(0, q)], k=1000,
+                              precision=prec).toPandas())
+        for _, r in res.iterrows():
+            e = explain(m, q, int(r.doc_id), precision=prec)
+            assert e["matches"] and e["score"] == r.score, (prec, r)
+    bq = BooleanQuery(must=[q, "house"])
+    res = (search_boolean(spark, m, [(0, bq)], k=1000,
+                          precision="float32").toPandas())
+    from pim_lucene_spark.plans.explain import explain as ex
+    for _, r in res.iterrows():
+        e = ex(m, bq, int(r.doc_id), precision="float32")
+        assert e["matches"] and e["score"] == r.score
+    # non-matching doc
+    miss = explain(m, SynonymQuery(("zz_absent",)), 0)
+    assert not miss["matches"] and miss["score"] == 0.0
+
+
 def test_synonym_boost_validation():
     with pytest.raises(ValueError, match=r"\(0, 1\]"):
         SynonymQuery((("quick", 1.5),))
