@@ -506,21 +506,26 @@ class MultiFieldIndex:
 
     def parse_and_query(self, query_strings, k: int = 10,
                         default_operator: str = "or",
-                        precision: str = "float32") -> DataFrame:
+                        precision: str = "float32",
+                        synonyms: dict | None = None) -> DataFrame:
         """Classic query strings WITH ``field:`` bindings — e.g.
         ``'+title:merge body:scan*'``.  Each parsed query becomes a
         boolean whose clauses evaluate on their field's sub-index
         (unfielded clauses take the default field), composed by the
         shared join chain; single clauses run as a one-MUST boolean
-        (identical score).  Returns (qid, doc_id, score)."""
+        (identical score).  ``synonyms`` applies query-time term
+        expansion (``apply_synonyms``).  Returns (qid, doc_id, score)."""
         from pim_lucene_spark.plans.boolean import (BooleanQuery,
                                                     search_boolean_fields)
-        from pim_lucene_spark.plans.parser import parse_query
+        from pim_lucene_spark.plans.parser import (apply_synonyms,
+                                                   parse_query)
 
         typed = []
         for qid, s in query_strings:
             q = parse_query(s, default_operator=default_operator,
                             allow_fields=True)
+            if synonyms:
+                q = apply_synonyms(q, synonyms)
             if not isinstance(q, BooleanQuery):
                 q = BooleanQuery(must=[q])
             typed.append((qid, q))

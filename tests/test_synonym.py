@@ -247,6 +247,11 @@ def test_apply_synonyms_expansion(spark, synidx):
     # phrase untouched
     q3 = apply_synonyms(parse_query('"quick house"'), syn_map)
     assert not isinstance(q3, SynonymQuery)
+    # fielded clauses recurse
+    from pim_lucene_spark.plans.query import FieldedQuery
+    q4 = apply_synonyms(FieldedQuery("title", "quick"), syn_map)
+    assert isinstance(q4, FieldedQuery)
+    assert isinstance(q4.query, SynonymQuery)
     # end-to-end facade == manual typed batch
     idx = FullTextIndex(spark, m)
     a = (idx.parse_and_query([(0, "quick house")], k=20,
