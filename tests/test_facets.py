@@ -215,3 +215,32 @@ def test_drill_down_serving_matches_distributed(spark, fidx):
          .sort_values("doc_id").reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+
+
+def test_drill_down_random_fuzz(spark, fidx):
+    """Random (base term/phrase, drill value subsets, deletes-free)
+    drill-downs vs a pandas brute force over the corpus."""
+    import numpy as np
+
+    from pim_lucene_spark.operators.facets import drill_down
+    m, pdf = fidx
+    rng = np.random.default_rng(13)
+    cats = [c for c in CATS if c is not None]
+    bases = ["red", "green", "blue", "the fast", "apple house", None]
+    queries, exps = [], {}
+    for qid in range(10):
+        base = bases[int(rng.integers(0, len(bases)))]
+        vals = list(rng.choice(cats, size=int(rng.integers(1, 4)),
+                               replace=False))
+        queries.append((qid, base, {"category": vals}))
+        if base is None:
+            match = pdf.content.map(lambda c: True)
+        elif " " in base:
+            match = pdf.content.map(lambda c, b=base: b in c)
+        else:
+            match = pdf.content.map(lambda c, b=base: b in c.split())
+        exps[qid] = set(pdf.doc_id[match
+                                   & pdf.category.isin(vals)])
+    got = drill_down(spark, m, queries, k=10_000).toPandas()
+    for qid in range(10):
+        assert set(got[got.qid == qid].doc_id) == exps[qid], qid
