@@ -305,7 +305,8 @@ class FullTextIndex:
         typed = [(qid, parse_query(s, default_operator=default_operator))
                  for qid, s in query_strings]
         if synonyms:
-            typed = [(qid, apply_synonyms(q, synonyms))
+            typed = [(qid, apply_synonyms(q, synonyms,
+                                          self.manifest.tokenizer))
                      for qid, q in typed]
         return self.query(typed, k=k, precision=precision)
 
@@ -525,7 +526,9 @@ class MultiFieldIndex:
             q = parse_query(s, default_operator=default_operator,
                             allow_fields=True)
             if synonyms:
-                q = apply_synonyms(q, synonyms)
+                q = apply_synonyms(
+                    q, synonyms,
+                    self.manifests[self.default_field].tokenizer)
             if not isinstance(q, BooleanQuery):
                 q = BooleanQuery(must=[q])
             typed.append((qid, q))

@@ -63,9 +63,10 @@ RANGE_KERNEL_SCHEMA = T.StructType([
     T.StructField("n", T.LongType(), False),
 ])
 
-# resident value blobs, keyed (dv dir, pid) — 8 bytes/doc, read once per
-# executor/serving process (the .dvd-resident analogue)
-_DV_CACHE: dict[tuple[str, int], np.ndarray] = {}
+# resident value blobs, keyed (dv dir, pid) -> (mtime_ns, values) —
+# 8 bytes/doc, read once per executor/serving process (the
+# .dvd-resident analogue); the stored mtime invalidates on rebuild
+_DV_CACHE: dict[tuple[str, int], tuple[int, np.ndarray]] = {}
 
 
 def dv_dir(manifest: IndexManifest, col: str) -> str:
@@ -134,13 +135,13 @@ def dv_values_for(dvdir: str, pid: int) -> np.ndarray:
             f"doc-values partition {part} not visible from this "
             "executor; build_numeric_docvalues must run before querying "
             "and the index needs a POSIX-visible shared mount") from None
-    key = (dvdir, pid, mt)
+    key = (dvdir, pid)
     hit = _DV_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == mt:
+        return hit[1]
     blob = pq.read_table(part, columns=["values"]).column("values")[0]
     vals = np.frombuffer(blob.as_py(), dtype=np.int64)
-    _DV_CACHE[key] = vals
+    _DV_CACHE[key] = (mt, vals)  # replaces a stale rebuild's entry
     return vals
 
 
@@ -171,8 +172,8 @@ def _check_ranges(ranges) -> list[str]:
 
 def sort_by_field(spark: SparkSession, index, queries, col: str,
                   k: int = 10, reverse: bool = False,
-                  after: dict | None = None,
-                  default_field: str = "") -> DataFrame:
+                  default_field: str = "",
+                  after: dict | None = None) -> DataFrame:
     """Top-``k`` hits per query ordered by a numeric doc-values column:
     ``(qid, doc_id, sortval)``, value asc (``reverse=True`` → desc),
     ties by doc_id asc — ``Sort(SortField(col, LONG, reverse))``.
@@ -333,6 +334,7 @@ def facet_stats(spark: SparkSession, index, queries, dim: str, col: str,
     payload["facet_stats"] = {"ord_path": fdir,
                               "val_path": dv_dir(
                                   manifests[default_field], col)}
+    from pim_lucene_spark.operators.facets import ranked_buckets
     agg = (postings.groupBy("pid")
            .applyInPandas(_compound_kernel(payload),
                           FACET_STATS_KERNEL_SCHEMA)
@@ -341,13 +343,11 @@ def facet_stats(spark: SparkSession, index, queries, dim: str, col: str,
                 F.sum("sum").alias("sum_val"),
                 F.min("mn").alias("min_val"),
                 F.max("mx").alias("max_val")))
-    w = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("value"))
-    return (agg.join(vals_df, "code")
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_n)
-            .select("qid", "value", "n", "sum_val", "min_val", "max_val",
-                    (F.col("sum_val").cast("double")
-                     / F.col("n").cast("double")).alias("avg_val")))
+    return ranked_buckets(
+        agg, vals_df, top_n,
+        ["qid", "value", "n", "sum_val", "min_val", "max_val",
+         (F.col("sum_val").cast("double")
+          / F.col("n").cast("double")).alias("avg_val")])
 
 
 # ---------------------------------------------------------------------------
@@ -375,8 +375,8 @@ def facet_stats_local(index, queries, dim: str, col: str,
 
 def sort_by_field_local(index, queries, col: str, k: int = 10,
                         reverse: bool = False, default_field: str = "",
-                        after: dict | None = None,
-                        pids: list[int] | None = None) -> pd.DataFrame:
+                        pids: list[int] | None = None,
+                        after: dict | None = None) -> pd.DataFrame:
     """Serving-path :func:`sort_by_field` — NO Spark job; returns a
     pandas frame (qid, doc_id, sortval), row-identical to the
     distributed plan (differential-tested)."""

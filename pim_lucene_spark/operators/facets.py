@@ -45,9 +45,10 @@ FACET_COUNT_SCHEMA = T.StructType([
     T.StructField("n", T.LongType(), False),
 ])
 
-# resident ordinal blobs, keyed (facet dir, pid) — 4 bytes/doc, read
-# once per executor/serving process (the .nvd-resident analogue)
-_CODES_CACHE: dict[tuple[str, int], np.ndarray] = {}
+# resident ordinal blobs, keyed (facet dir, pid) -> (mtime_ns, codes)
+# — 4 bytes/doc, read once per executor/serving process (the
+# .nvd-resident analogue); the stored mtime invalidates on rebuild
+_CODES_CACHE: dict[tuple[str, int], tuple[int, np.ndarray]] = {}
 
 
 def facet_dir(manifest: IndexManifest, dim: str) -> str:
@@ -136,13 +137,13 @@ def facet_codes_for(fdir: str, pid: int) -> np.ndarray:
             f"facet partition {part} not visible from this executor; "
             "build_facet_index must run before facet_counts and the "
             "index needs a POSIX-visible shared mount") from None
-    key = (fdir, pid, mt)
+    key = (fdir, pid)
     hit = _CODES_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == mt:
+        return hit[1]
     blob = pq.read_table(part, columns=["codes"]).column("codes")[0].as_py()
     codes = np.frombuffer(blob, dtype=np.int32)
-    _CODES_CACHE[key] = codes
+    _CODES_CACHE[key] = (mt, codes)  # replaces a stale rebuild's entry
     return codes
 
 
@@ -187,29 +188,43 @@ def facet_counts(spark: SparkSession,
     agg = (postings.groupBy("pid")
            .applyInPandas(_compound_kernel(payload), FACET_COUNT_SCHEMA)
            .groupBy("qid", "code").agg(F.sum("n").alias("n")))
+    return ranked_buckets(agg, vals_df, top_n, ["qid", "value", "n"])
+
+
+def ranked_buckets(agg: DataFrame, vals_df: DataFrame, top_n: int,
+                   select_cols) -> DataFrame:
+    """Shared tail of every bucketed facet plan: broadcast-join the
+    value dictionary, rank per query by the Lucene ``FacetResult``
+    order (n desc, value asc), keep ``top_n``, project
+    ``select_cols``."""
     w = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("value"))
     return (agg.join(vals_df, "code")
             .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_n)
-            .select("qid", "value", "n"))
+            .filter(F.col("rank") <= top_n).drop("rank")
+            .select(*select_cols))
 
 
 def drill_down(spark: SparkSession, index, queries, k: int = 10,
-               precision: str = "float32",
-               default_field: str = "") -> DataFrame:
+               precision: str = "float32") -> DataFrame:
     """DrillDownQuery (``lucene/facet DrillDownQuery.java``): a base
     query constrained by facet values — OR within a dimension, AND
     across dimensions, all non-scoring FILTER clauses tested against
     the resident ordinal sidecars inside the compound kernel.
 
-    ``queries``: ``(qid, base_query | None, {dim: [values]})`` — a None
-    base drills over all live docs (Lucene's pure-browse form).
-    Returns (qid, doc_id, score), score = the base query's BM25 score
-    (0.0 for pure browse, doc-id-asc order).
+    ``index`` is ONE index (manifest/path — the single-searcher shape
+    of the Lucene API; its facet sidecars hold the dims).  ``queries``:
+    ``(qid, base_query | None, {dim: [values]})`` — a None base drills
+    over all live docs (Lucene's pure-browse form).  Returns
+    (qid, doc_id, score), score = the base query's BM25 score (0.0 for
+    pure browse, doc-id-asc order).
     """
     from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
     from pim_lucene_spark.plans.query import (FacetFilterQuery,
                                               MatchAllDocsQuery)
+    if isinstance(index, dict):
+        raise ValueError(
+            "drill_down takes one index; for multi-field indexes bind "
+            "clauses with FieldedQuery and use search_boolean_fields")
     typed = []
     for qid, base, drills in queries:
         filters = [FacetFilterQuery(dim, tuple(vals))
@@ -225,12 +240,12 @@ def drill_down(spark: SparkSession, index, queries, k: int = 10,
 
 def drill_sideways(spark: SparkSession, index, qid_base_drills,
                    dims: list[str], k: int = 10, top_n: int = 10,
-                   precision: str = "float32",
-                   default_field: str = "") -> tuple:
+                   precision: str = "float32") -> tuple:
     """DrillSideways (``DrillSideways.java``): drill-down hits PLUS,
     for each dimension in ``dims``, facet counts computed with THAT
     dimension's own constraint removed (so the UI can still show the
-    sibling buckets of a selected value).
+    sibling buckets of a selected value).  One index, like
+    :func:`drill_down`.
 
     Returns ``(hits_df, {dim: counts_df})`` — hits as in
     :func:`drill_down`, counts as in :func:`facet_counts`.
@@ -239,7 +254,7 @@ def drill_sideways(spark: SparkSession, index, qid_base_drills,
     from pim_lucene_spark.plans.query import (FacetFilterQuery,
                                               MatchAllDocsQuery)
     hits = drill_down(spark, index, qid_base_drills, k=k,
-                      precision=precision, default_field=default_field)
+                      precision=precision)
     side = {}
     for dim in dims:
         cq = []
@@ -250,8 +265,7 @@ def drill_sideways(spark: SparkSession, index, qid_base_drills,
             cq.append((qid, BooleanQuery(must=[b], filter=others)
                        if others or not isinstance(b, BooleanQuery)
                        else b))
-        side[dim] = facet_counts(spark, index, cq, dim, top_n=top_n,
-                                 default_field=default_field)
+        side[dim] = facet_counts(spark, index, cq, dim, top_n=top_n)
     return hits, side
 
 

@@ -570,9 +570,15 @@ def _compound_core(payload: dict, pid: int,
             else:
                 docs = np.flatnonzero(np.isin(codes, want)).astype(
                     np.int64)
-                f = cl.get("field")
-                lv = live.get(f if f in live else
-                              next(iter(live), None))
+                f = cl["field"]
+                if f not in live:
+                    # the spec builder forces this field resident via
+                    # matchall_fields — absence is a planning bug, and
+                    # a wrong field's delete vector must never apply
+                    raise KeyError(
+                        f"dv_filter field {f!r} has no resident "
+                        "norms/live state (planning bug)")
+                lv = live[f]
                 if lv is not None and docs.size:
                     docs = docs[lv[docs]]
             return docs, np.zeros(docs.size, dtype=np.float64)
@@ -680,20 +686,20 @@ def _compound_core(payload: dict, pid: int,
             grp, dv = grp[keep], vals[docs[keep]]
             if grp.size == 0:
                 continue
-            n = np.bincount(grp)
-            s = np.zeros(n.size, dtype=np.int64)  # exact int64 sum
-            np.add.at(s, grp, dv)
-            mn = np.full(n.size, np.iinfo(np.int64).max, dtype=np.int64)
-            mx = np.full(n.size, np.iinfo(np.int64).min, dtype=np.int64)
-            np.minimum.at(mn, grp, dv)
-            np.maximum.at(mx, grp, dv)
-            nz = np.flatnonzero(n)
-            f_q.append(np.full(nz.size, spec["qid"], dtype=np.int64))
-            f_c.append(nz.astype(np.int32))
-            f_n.append(n[nz].astype(np.int64))
-            f_s.append(s[nz])
-            f_mn.append(mn[nz])
-            f_mx.append(mx[nz])
+            # grouped reduction via one sort + reduceat (vectorized;
+            # the ufunc.at idiom is an order of magnitude slower) —
+            # int64 reduceat sums are exact
+            order = np.argsort(grp, kind="stable")
+            g, v = grp[order], dv[order]
+            first = np.concatenate(
+                ([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
+            f_q.append(np.full(first.size, spec["qid"], dtype=np.int64))
+            f_c.append(g[first].astype(np.int32))
+            f_n.append(np.diff(np.append(first, g.size))
+                       .astype(np.int64))
+            f_s.append(np.add.reduceat(v, first))
+            f_mn.append(np.minimum.reduceat(v, first))
+            f_mx.append(np.maximum.reduceat(v, first))
         cols = ["qid", "code", "n", "sum", "mn", "mx"]
         if not f_q:
             return pd.DataFrame({c: [] for c in cols}).astype(

@@ -331,48 +331,69 @@ def _parse_group(toks, i: int, depth: int, default_operator: str,
     return _finalize(clauses), i
 
 
-def apply_synonyms(query, synonyms: dict):
+def apply_synonyms(query, synonyms: dict, tokenizer: str = "whitespace"):
     """Query-time synonym expansion — the ``SynonymGraphFilter``
     use-case at the query layer: every single-term scoring leaf whose
-    term has an entry in ``synonyms`` becomes a
+    ANALYZED term has an entry in ``synonyms`` becomes a
     :class:`~pim_lucene_spark.plans.query.SynonymQuery` over
     ``(term, *synonyms[term])``, preserving the leaf's boost (merged
     pseudo-term stats, freq = Σ boost·tf — ``SynonymQuery.java``).
 
     ``synonyms`` maps ``term -> [syn, ...]`` or ``[(syn, boost), ...]``
-    (per-synonym boosts in (0, 1]).  Multi-token phrases are left
-    untouched (graph-position phrase synonyms are out of scope —
-    term-level expansion is the common analyzer configuration).
-    Recurses through Boolean/DisMax/Fielded/ConstantScore structure;
-    multiterm, fuzzy, sloppy-phrase and matchall leaves pass through.
+    (per-synonym boosts in (0, 1]).  Map keys, map values, and leaf
+    texts are all analyzed with ``tokenizer`` (pass the INDEX's
+    tokenizer — ``manifest.tokenizer``) before matching, because
+    ``SynonymQuery.terms`` are post-analysis index terms; an entry that
+    analyzes to anything but one token is rejected.  Multi-token
+    phrases are left untouched (graph-position phrase synonyms are out
+    of scope — term-level expansion is the common analyzer
+    configuration).  Recurses through Boolean/DisMax/Fielded/
+    ConstantScore structure; multiterm, fuzzy, sloppy-phrase and
+    matchall leaves pass through.
     """
     from dataclasses import replace
 
+    from pim_lucene_spark.functions.tokenize import tokenize_one
     from pim_lucene_spark.plans.dismax import DisMaxQuery
     from pim_lucene_spark.plans.query import (ConstantScoreQuery,
                                               FieldedQuery, SynonymQuery)
 
-    def leaf(term: str, boost: float):
-        syns = synonyms.get(term)
+    def one_token(text, what):
+        toks = tokenize_one(str(text), tokenizer)
+        if len(toks) != 1:
+            raise ValueError(
+                f"synonym map {what} {text!r} analyzes to {len(toks)} "
+                f"tokens under the {tokenizer!r} tokenizer; entries "
+                "must be single terms")
+        return toks[0]
+
+    norm_map = {}
+    for key, syns in synonyms.items():
+        entries = []
+        for s in syns:
+            term, tb = (s, 1.0) if isinstance(s, str) else s
+            entries.append((one_token(term, "synonym"), float(tb)))
+        norm_map[one_token(key, "key")] = entries
+
+    def leaf(text: str, boost: float):
+        toks = tokenize_one(text, tokenizer)
+        if len(toks) != 1:
+            return None
+        syns = norm_map.get(toks[0])
         if not syns:
             return None
-        entries = [(term, 1.0)]
-        for s in syns:
-            entries.append((s, 1.0) if isinstance(s, str) else tuple(s))
-        return SynonymQuery(tuple(entries), boost=boost)
+        return SynonymQuery(tuple([(toks[0], 1.0)] + syns), boost=boost)
 
     def walk(q):
         if isinstance(q, str):
-            toks = q.split()
-            if len(toks) == 1:
-                return leaf(toks[0], 1.0) or q
+            if len(q.split()) == 1:
+                return leaf(q, 1.0) or q
             return q
         if isinstance(q, TermQuery):
             return leaf(q.term, float(q.boost)) or q
         if isinstance(q, PhraseQuery):
-            toks = q.text.split()
-            if len(toks) == 1 and int(q.slop) == 0:
-                return leaf(toks[0], float(q.boost)) or q
+            if len(q.text.split()) == 1 and int(q.slop) == 0:
+                return leaf(q.text, float(q.boost)) or q
             return q
         if isinstance(q, BooleanQuery):
             return replace(q, **{role: tuple(walk(c) for c in
