@@ -23,14 +23,16 @@ from pim_lucene_spark.plans.dismax import DisMaxQuery
 from pim_lucene_spark.plans.multiterm import (FuzzyQuery, PrefixQuery,
                                               RegexpQuery, TermRangeQuery,
                                               WildcardQuery)
-from pim_lucene_spark.plans.parser import parse_query
+from pim_lucene_spark.plans.parser import apply_synonyms, parse_query
 from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                          FacetFilterQuery,
                                           MatchAllDocsQuery, PhraseQuery,
-                                          TermQuery)
+                                          SynonymQuery, TermQuery)
 
 __all__ = ["FullTextIndex", "IndexConfig", "IndexManifest",
            "MultiFieldIndex", "PhraseQuery", "TermQuery", "BooleanQuery",
            "DisMaxQuery", "PrefixQuery", "WildcardQuery", "TermRangeQuery",
            "RegexpQuery", "FuzzyQuery", "MatchAllDocsQuery",
-           "ConstantScoreQuery", "parse_query"]
-__version__ = "0.3.0"
+           "ConstantScoreQuery", "SynonymQuery", "FacetFilterQuery",
+           "parse_query", "apply_synonyms"]
+__version__ = "0.4.0"
