@@ -244,3 +244,17 @@ def test_drill_down_random_fuzz(spark, fidx):
     got = drill_down(spark, m, queries, k=10_000).toPandas()
     for qid in range(10):
         assert set(got[got.qid == qid].doc_id) == exps[qid], qid
+
+
+def test_count_matches_drill_down(spark, fidx):
+    """IndexSearcher.count over a drill-down boolean (matchall base +
+    facet FILTER) rides the count-only compound kernel."""
+    from pim_lucene_spark.plans.query import (FacetFilterQuery,
+                                              MatchAllDocsQuery)
+    from pim_lucene_spark.plans.suggest import count_matches
+    m, pdf = fidx
+    q = BooleanQuery(must=[MatchAllDocsQuery()],
+                     filter=[FacetFilterQuery("category", ("news",))])
+    got = (count_matches(spark, m, [(0, q)])
+           .toPandas().set_index("qid").n_hits)
+    assert int(got[0]) == int((pdf.category == "news").sum())
