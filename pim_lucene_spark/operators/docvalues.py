@@ -210,15 +210,19 @@ def sort_by_field(spark: SparkSession, index, queries, col: str,
 
 def collapse_topk(spark: SparkSession, index, queries, dim: str,
                   k: int = 10, precision: str = "float32",
-                  default_field: str = "") -> DataFrame:
-    """Field collapsing: the best-scoring doc per group value, top-``k``
-    groups per query by head score — ``(qid, value, doc_id, score)``,
-    ordered per query by (score desc, doc_id asc).
+                  default_field: str = "",
+                  group_size: int = 1) -> DataFrame:
+    """Field collapsing / grouping (lucene/grouping ``TopGroups``): the
+    top-``group_size`` docs per group value, for the top-``k`` groups
+    per query ranked by their HEAD (best) doc's score —
+    ``(qid, value, doc_id, score)``; ``group_size=1`` is classic
+    collapse (one head per group).
 
     ``dim`` is a facet ordinal dimension (:func:`~pim_lucene_spark.
     operators.facets.build_facet_index`); docs with a null dim value are
     excluded (the grouping module's group-field contract).  Per
-    partition only per-(query, group) head rows cross the exchange.
+    partition only per-(query, group) top-``group_size`` rows cross the
+    exchange.
     """
     from pim_lucene_spark.operators.facets import facet_dir, facet_values
     from pim_lucene_spark.plans.compound import (_compound_kernel,
@@ -235,19 +239,23 @@ def collapse_topk(spark: SparkSession, index, queries, dim: str,
         return (spark.createDataFrame([], COLLAPSE_KERNEL_SCHEMA)
                 .join(vals_df, "code")
                 .select("qid", "value", "doc_id", "score"))
-    payload["collapse"] = {"path": fdir}
-    heads = (postings.groupBy("pid")
-             .applyInPandas(_compound_kernel(payload),
-                            COLLAPSE_KERNEL_SCHEMA))
-    # global head per (qid, group) = best over ≤ P partition heads
+    payload["collapse"] = {"path": fdir, "group_size": int(group_size)}
+    rows = (postings.groupBy("pid")
+            .applyInPandas(_compound_kernel(payload),
+                           COLLAPSE_KERNEL_SCHEMA))
+    # global per-group top-H = merge of ≤ P partition top-Hs; groups
+    # rank per query by their head (rank-1) row
     w_g = Window.partitionBy("qid", "code").orderBy(
         F.desc("score"), F.asc("doc_id"))
     w_k = Window.partitionBy("qid").orderBy(
         F.desc("score"), F.asc("doc_id"))
-    return (heads.withColumn("rn", F.row_number().over(w_g))
-            .filter(F.col("rn") == 1).drop("rn")
-            .withColumn("rank", F.row_number().over(w_k))
-            .filter(F.col("rank") <= k).drop("rank")
+    rows = (rows.withColumn("rn", F.row_number().over(w_g))
+            .filter(F.col("rn") <= group_size))
+    groups = (rows.filter(F.col("rn") == 1)
+              .withColumn("rank", F.row_number().over(w_k))
+              .filter(F.col("rank") <= k)
+              .select("qid", "code"))
+    return (rows.join(groups, ["qid", "code"]).drop("rn")
             .join(vals_df, "code")
             .select("qid", "value", "doc_id", "score"))
 
@@ -395,7 +403,8 @@ def sort_by_field_local(index, queries, col: str, k: int = 10,
 def collapse_topk_local(index, queries, dim: str, k: int = 10,
                         precision: str = "float32",
                         default_field: str = "",
-                        pids: list[int] | None = None) -> pd.DataFrame:
+                        pids: list[int] | None = None,
+                        group_size: int = 1) -> pd.DataFrame:
     """Serving-path :func:`collapse_topk` — NO Spark job; returns a
     pandas frame (qid, value, doc_id, score)."""
     from pim_lucene_spark.operators.facets import facet_dir, facet_values
@@ -406,7 +415,8 @@ def collapse_topk_local(index, queries, dim: str, k: int = 10,
         manifests, _wrap_queries(queries), precision=precision,
         default_field=default_field, pids=pids,
         agg_mode={"kind": "collapse", "path": fdir,
-                  "values": facet_values(fdir), "k": int(k)})
+                  "values": facet_values(fdir), "k": int(k),
+                  "group_size": int(group_size)})
 
 
 def facet_ranges_local(index, queries,

@@ -762,14 +762,16 @@ def _compound_core(payload: dict, pid: int,
                              "sortval": np.concatenate(o_v)})
 
     if payload.get("collapse"):
-        # field collapsing (lucene/grouping TopGroupsCollector, head=1):
-        # per (query, group ordinal) only the best-scoring doc leaves
-        # the kernel — the global group head is the max over partition
-        # heads, so the exchange is O(queries × cardinality), never
+        # field collapsing / grouping (lucene/grouping
+        # TopGroupsCollector): per (query, group ordinal) only the
+        # group_size best-scoring docs leave the kernel — the global
+        # per-group top-H is the merge of partition top-Hs, so the
+        # exchange is O(queries × cardinality × group_size), never
         # O(matches); docs with a null/unseen group value drop (the
         # grouping module's requiresGroupField contract)
         from pim_lucene_spark.operators.facets import facet_codes_for
         codes = facet_codes_for(payload["collapse"]["path"], pid)
+        H = int(payload["collapse"].get("group_size", 1))
         c_q, c_c, c_d, c_s = [], [], [], []
         for spec in payload["specs"]:
             docs, scores = _eval_spec(spec, eval_leaf, precision,
@@ -781,16 +783,18 @@ def _compound_core(payload: dict, pid: int,
             docs, scores, grp = docs[keep], scores[keep], grp[keep]
             if docs.size == 0:
                 continue
-            # (code asc, score desc, doc asc); first row per code = head
+            # (code asc, score desc, doc asc); first H rows per code
             order = np.lexsort((docs, -scores, grp))
             g_sorted = grp[order]
             first = np.concatenate(
                 ([0], np.flatnonzero(g_sorted[1:] != g_sorted[:-1]) + 1))
-            heads = order[first]
-            c_q.append(np.full(heads.size, spec["qid"], dtype=np.int64))
-            c_c.append(g_sorted[first].astype(np.int32))
-            c_d.append(docs[heads] * P + pid)
-            c_s.append(scores[heads])
+            sizes = np.diff(np.append(first, g_sorted.size))
+            within = np.arange(g_sorted.size) - np.repeat(first, sizes)
+            sel = order[within < H]
+            c_q.append(np.full(sel.size, spec["qid"], dtype=np.int64))
+            c_c.append(grp[sel].astype(np.int32))
+            c_d.append(docs[sel] * P + pid)
+            c_s.append(scores[sel])
         if not c_q:
             return pd.DataFrame(
                 {"qid": [], "code": [], "doc_id": [], "score": []}).astype(
@@ -1840,15 +1844,18 @@ def _agg_mode_merge(agg_mode: dict, res: pd.DataFrame) -> pd.DataFrame:
                 .reset_index(drop=True))
     if kind == "collapse":
         vals = agg_mode["values"]
-        heads = (res.sort_values(["qid", "code", "score", "doc_id"],
-                                 ascending=[True, True, False, True])
-                 .groupby(["qid", "code"], sort=False).head(1))
-        heads = (heads.sort_values(["qid", "score", "doc_id"],
-                                   ascending=[True, False, True])
-                 .groupby("qid", sort=True).head(int(agg_mode["k"]))
-                 .reset_index(drop=True))
-        heads["value"] = heads.pop("code").map(lambda c: vals[int(c)])
-        return heads[["qid", "value", "doc_id", "score"]]
+        H = int(agg_mode.get("group_size", 1))
+        rows = (res.sort_values(["qid", "code", "score", "doc_id"],
+                                ascending=[True, True, False, True])
+                .groupby(["qid", "code"], sort=False).head(H))
+        heads = rows.groupby(["qid", "code"], sort=False).head(1)
+        top = (heads.sort_values(["qid", "score", "doc_id"],
+                                 ascending=[True, False, True])
+               .groupby("qid", sort=True).head(int(agg_mode["k"]))
+               [["qid", "code"]])
+        rows = rows.merge(top, on=["qid", "code"]).reset_index(drop=True)
+        rows["value"] = rows.pop("code").map(lambda c: vals[int(c)])
+        return rows[["qid", "value", "doc_id", "score"]]
     agg = (res.groupby(["qid", "ridx"], as_index=False)["n"].sum())
     scaffold = _agg_mode_empty(agg_mode)
     scaffold["ridx"] = np.tile(

@@ -129,6 +129,46 @@ def test_collapse_matches_bruteforce(spark, dvidx):
     pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
 
 
+def test_collapse_group_size_matches_bruteforce(spark, dvidx):
+    """group_size>1 (TopGroups): top-H docs within each of the top-k
+    groups ranked by head score — vs a pandas brute force, plus the
+    serving path."""
+    from pim_lucene_spark.operators.docvalues import collapse_topk_local
+    m, pdf = dvidx
+    base = _full_ranking(spark, m)
+    cat_of = pdf.set_index("doc_id")["category"]
+    H, K = 3, 2
+    got = (collapse_topk(spark, m, QUERIES, "category", k=K,
+                         precision="float64", group_size=H)
+           .toPandas().sort_values(["qid", "value", "doc_id"])
+           .reset_index(drop=True))
+    exp_rows = []
+    for qid in base.qid.unique():
+        sub = base[base.qid == qid].copy()
+        sub["value"] = cat_of.loc[sub.doc_id].to_numpy()
+        sub = sub[sub.value.notna()].sort_values(
+            ["score", "doc_id"], ascending=[False, True])
+        within = sub.groupby("value").cumcount()
+        sub = sub[within < H]
+        heads = (sub.groupby("value", as_index=False).first()
+                 .sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(K))
+        keep = sub[sub.value.isin(set(heads.value))]
+        for r in keep.itertuples(index=False):
+            exp_rows.append((qid, r.value, int(r.doc_id),
+                             float(r.score)))
+    exp = (pd.DataFrame(exp_rows,
+                        columns=["qid", "value", "doc_id", "score"])
+           .sort_values(["qid", "value", "doc_id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+    loc = (collapse_topk_local(m, QUERIES, "category", k=K,
+                               precision="float64", group_size=H)
+           .sort_values(["qid", "value", "doc_id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(loc.dtypes.to_dict()), loc)
+
+
 def test_facet_ranges_match_bruteforce(spark, dvidx):
     m, pdf = dvidx
     base = _full_ranking(spark, m)
