@@ -258,3 +258,24 @@ def test_count_matches_drill_down(spark, fidx):
     got = (count_matches(spark, m, [(0, q)])
            .toPandas().set_index("qid").n_hits)
     assert int(got[0]) == int((pdf.category == "news").sum())
+
+
+def test_facade_routes_bare_facet_filter(spark, fidx):
+    """FullTextIndex.query and query_local route a bare
+    FacetFilterQuery as pure browse (constant score 0), row-identical."""
+    from pim_lucene_spark.index import FullTextIndex
+    from pim_lucene_spark.plans.query import FacetFilterQuery
+    m, pdf = fidx
+    idx = FullTextIndex(spark, m)
+    q = FacetFilterQuery("category", ("wiki",))
+    a = (idx.query([(5, q)], k=10_000).toPandas()
+         [["qid", "doc_id", "score"]]
+         .sort_values("doc_id").reset_index(drop=True))
+    exp = set(pdf.doc_id[pdf.category == "wiki"])
+    assert set(a.doc_id) == exp and (a.score == 0.0).all()
+    b = (idx.query_local([(5, q)], k=10_000)
+         [["qid", "doc_id", "score"]]
+         .sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        a.astype(b.dtypes.to_dict()), b.reset_index(drop=True))
