@@ -269,6 +269,33 @@ def drill_sideways(spark: SparkSession, index, qid_base_drills,
     return hits, side
 
 
+def drill_down_local(index, queries, k: int = 10,
+                     precision: str = "float32",
+                     pids: list[int] | None = None) -> pd.DataFrame:
+    """Serving-path :func:`drill_down` — NO Spark job: the same typed
+    booleans (matchall-or-base MUST + facet FILTER clauses) through the
+    resident compound kernel; returns a pandas frame
+    (qid, doc_id, score), row-identical to the distributed plan."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery
+    from pim_lucene_spark.plans.compound import search_compound_local
+    from pim_lucene_spark.plans.query import (FacetFilterQuery,
+                                              MatchAllDocsQuery)
+    if isinstance(index, dict):
+        raise ValueError("drill_down_local takes one index")
+    typed = []
+    for qid, base, drills in queries:
+        filters = [FacetFilterQuery(dim, tuple(vals))
+                   for dim, vals in sorted(drills.items())]
+        if not filters:
+            raise ValueError(f"query {qid}: drill-down needs at least "
+                             "one dimension constraint")
+        if base is None:
+            base = MatchAllDocsQuery(boost=0.0)
+        typed.append((qid, BooleanQuery(must=[base], filter=filters)))
+    return search_compound_local(index, typed, k=k, precision=precision,
+                                 pids=pids)
+
+
 def facet_counts_local(index, queries, dim: str, top_n: int = 10,
                        default_field: str = "",
                        pids: list[int] | None = None) -> pd.DataFrame:

@@ -279,3 +279,17 @@ def test_facade_routes_bare_facet_filter(spark, fidx):
     import pandas as pd
     pd.testing.assert_frame_equal(
         a.astype(b.dtypes.to_dict()), b.reset_index(drop=True))
+
+
+def test_drill_down_local_matches_distributed(spark, fidx):
+    from pim_lucene_spark.operators.facets import (drill_down,
+                                                   drill_down_local)
+    m, _ = fidx
+    qs = [(0, "red", {"category": ["news", "blog"]}),
+          (1, None, {"category": ["wiki"]})]
+    a = (drill_down(spark, m, qs, k=10).toPandas()
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    b = (drill_down_local(m, qs, k=10)
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
