@@ -397,6 +397,33 @@ def _q_count(spark, sf_dir):
     return count_matches(spark, m, _count_specs())
 
 
+def _q_collapse_groups(spark, sf_dir):
+    """TopGroups (grouping module): top-2 docs within each of the top-3
+    `source` groups per query, groups ranked by head score."""
+    from pim_lucene_spark.operators.docvalues import collapse_topk
+    m = _dv_index(spark, sf_dir)
+    res = collapse_topk(spark, m, _dv_typed(), "source", k=3,
+                        precision="float64", group_size=2)
+    return res.select("qid", "value", "doc_id",
+                      F.round("score", 6).alias("score"))
+
+
+def _collapse_groups_sql(k: int = 3, h: int = 2) -> str:
+    inner = oracle.boolean_bm25_sql(_dv_spec_dicts(), k=None,
+                                    round_scores=False)
+    return (f"WITH res AS ({inner}), g AS ("
+            f"  SELECT r.qid, d.source AS value, r.doc_id, r.score,"
+            f"         row_number() OVER (PARTITION BY r.qid, d.source "
+            f"           ORDER BY r.score DESC, r.doc_id ASC) AS rn"
+            f"  FROM res r JOIN documents d ON d.doc_id = r.doc_id"
+            f"  WHERE d.source IS NOT NULL), "
+            f"heads AS (SELECT qid, value FROM g WHERE rn = 1 "
+            f"  QUALIFY row_number() OVER (PARTITION BY qid "
+            f"    ORDER BY score DESC, doc_id ASC) <= {k}) "
+            f"SELECT g.qid, g.value, g.doc_id, ROUND(g.score, 6) AS score "
+            f"FROM g JOIN heads USING (qid, value) WHERE g.rn <= {h}")
+
+
 def _q_facet_stats(spark, sf_dir):
     """Association-facet aggregation: per-bucket count/sum/min/max/mean
     of `n_chars` over matched docs, kernel-aggregated (only per-bucket
@@ -1119,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_more_like_this": _q_mlt,
         "engine_drilldown": _q_drilldown,
         "engine_facet_stats": _q_facet_stats,
+        "engine_collapse_groups": _q_collapse_groups,
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
         "engine_suggest_local": _q_suggest_local,
@@ -1507,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_more_like_this": oracle.mlt_bm25_sql(MLT_QUERIES, k=10),
         "engine_drilldown": _drilldown_sql(),
         "engine_facet_stats": _facet_stats_sql(),
+        "engine_collapse_groups": _collapse_groups_sql(),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)
