@@ -397,6 +397,45 @@ def _q_count(spark, sf_dir):
     return count_matches(spark, m, _count_specs())
 
 
+def _q_dv_range(spark, sf_dir):
+    """NumericDocValuesField.newSlowRangeQuery as a boolean FILTER:
+    inclusive [lo, hi] tested against the resident value sidecar —
+    score = the base clause's BM25 score."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    from pim_lucene_spark.plans.query import DocValuesRangeQuery
+    m = _dv_index(spark, sf_dir)
+    qs = [(895, BooleanQuery(
+               must=["fast"],
+               filter=[DocValuesRangeQuery("n_chars", 100, 300)])),
+          (896, BooleanQuery(
+               must=["merge batch"],
+               filter=[DocValuesRangeQuery("n_chars", 0, 5000)])),
+          (897, BooleanQuery(
+               must=["scan"],
+               filter=[DocValuesRangeQuery("n_chars", 5000, 9000)]))]
+    res = search_boolean(spark, m, qs, k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _dv_range_sql(k: int = 10) -> str:
+    parts = []
+    for qid, q, lo, hi in [(895, "fast", 100, 300),
+                           (896, "merge batch", 0, 5000),
+                           (897, "scan", 5000, 9000)]:
+        terms = oracle.tokenize_one(q, "whitespace")
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, s.doc_id, "
+            f"round(s.score, 6) AS score "
+            f"FROM ({oracle._clause_select(terms, 1.0)}) s "
+            f"JOIN documents d ON d.doc_id = s.doc_id "
+            f"WHERE coalesce(d.n_chars, 0) BETWEEN {lo} AND {hi} "
+            f"QUALIFY row_number() OVER (ORDER BY s.score DESC, "
+            f"s.doc_id ASC) <= {k}")
+    from pim_lucene_spark.oracle import _tok_cte
+    return (f"WITH {_tok_cte('whitespace')} "
+            + " UNION ALL ".join(parts))
+
+
 def _q_collapse_groups(spark, sf_dir):
     """TopGroups (grouping module): top-2 docs within each of the top-3
     `source` groups per query, groups ranked by head score."""
@@ -1147,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_drilldown": _q_drilldown,
         "engine_facet_stats": _q_facet_stats,
         "engine_collapse_groups": _q_collapse_groups,
+        "engine_dv_range": _q_dv_range,
         "engine_parsed_query": _q_parsed,
         "engine_suggest": _q_suggest,
         "engine_suggest_local": _q_suggest_local,
@@ -1536,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_drilldown": _drilldown_sql(),
         "engine_facet_stats": _facet_stats_sql(),
         "engine_collapse_groups": _collapse_groups_sql(),
+        "engine_dv_range": _dv_range_sql(),
         "engine_parsed_query": (
             "SELECT qid, doc_id, score FROM ("
             + oracle.phrase_bm25_sql(PARSE_PHRASE_SPECS, k=10)

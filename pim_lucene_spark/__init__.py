@@ -25,6 +25,7 @@ from pim_lucene_spark.plans.multiterm import (FuzzyQuery, PrefixQuery,
                                               WildcardQuery)
 from pim_lucene_spark.plans.parser import apply_synonyms, parse_query
 from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                          DocValuesRangeQuery,
                                           FacetFilterQuery,
                                           MatchAllDocsQuery, PhraseQuery,
                                           SynonymQuery, TermQuery)
@@ -34,5 +35,5 @@ __all__ = ["FullTextIndex", "IndexConfig", "IndexManifest",
            "DisMaxQuery", "PrefixQuery", "WildcardQuery", "TermRangeQuery",
            "RegexpQuery", "FuzzyQuery", "MatchAllDocsQuery",
            "ConstantScoreQuery", "SynonymQuery", "FacetFilterQuery",
-           "parse_query", "apply_synonyms"]
+           "DocValuesRangeQuery", "parse_query", "apply_synonyms"]
 __version__ = "0.4.0"

@@ -177,10 +177,11 @@ class FullTextIndex:
                 # boolean on the compound kernel (sum identity)
                 boolean.append((qid, BooleanQuery(must=[q])))
                 continue
-            from pim_lucene_spark.plans.query import FacetFilterQuery
-            if isinstance(q, FacetFilterQuery):
-                # bare drill-down = pure browse: every live doc with
-                # the facet value, constant score 0, doc-id-asc order
+            from pim_lucene_spark.plans.query import (
+                DocValuesRangeQuery, FacetFilterQuery)
+            if isinstance(q, (FacetFilterQuery, DocValuesRangeQuery)):
+                # bare drill-down / dv-range = pure browse: every live
+                # matching doc, constant score 0, doc-id-asc order
                 boolean.append((qid, BooleanQuery(
                     must=[MatchAllDocsQuery(boost=0.0)], filter=[q])))
                 continue

@@ -103,7 +103,8 @@ def _classify_clauses(queries, resolve_field):
 
     from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
                                                   MultiTermQueryT)
-    from pim_lucene_spark.plans.query import (FacetFilterQuery,
+    from pim_lucene_spark.plans.query import (DocValuesRangeQuery,
+                                              FacetFilterQuery,
                                               MatchAllDocsQuery,
                                               PhraseQuery, SynonymQuery)
 
@@ -141,7 +142,8 @@ def _classify_clauses(queries, resolve_field):
                     slot["matchall"].append(
                         (sid, float(clause.boost) * float(bq.boost)
                          if scoring else 1.0))
-                elif isinstance(clause, (SynonymQuery, FacetFilterQuery)):
+                elif isinstance(clause, (SynonymQuery, FacetFilterQuery,
+                                         DocValuesRangeQuery)):
                     raise NotImplementedError(
                         f"{type(clause).__name__} evaluates in the "
                         "compound kernel (merged stats / resident "

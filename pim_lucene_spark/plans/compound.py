@@ -243,7 +243,7 @@ def _eval_spec(spec: dict, eval_leaf, precision: str,
             # candidate restriction short-circuits to the candidates
             # themselves (every doc matches *:*)
             return eval_ma(cl, c)
-        if cl["kind"] in ("const_or", "dv_filter"):
+        if cl["kind"] in ("const_or", "dv_filter", "dv_range"):
             # constant-score multiterm: union of the expansion's
             # co-located match sets at a constant score (Lucene's
             # CONSTANT_SCORE rewrite builds a bit set, not a scorer);
@@ -555,6 +555,27 @@ def _compound_core(payload: dict, pid: int,
 
     def eval_ma(cl: dict, cand: np.ndarray | None = None
                 ) -> tuple[np.ndarray, np.ndarray]:
+        if cl["kind"] == "dv_range":
+            # numeric doc-values range test (newSlowRangeQuery):
+            # inclusive [lo, hi] against the resident value array
+            from pim_lucene_spark.operators.docvalues import dv_values_for
+            vals = dv_values_for(cl["path"], pid)
+            lo, hi = cl["lo"], cl["hi"]
+            if cand is not None:
+                v = vals[cand]
+                docs = cand[(v >= lo) & (v <= hi)]
+            else:
+                docs = np.flatnonzero((vals >= lo) & (vals <= hi)) \
+                    .astype(np.int64)
+                f = cl["field"]
+                if f not in live:
+                    raise KeyError(
+                        f"dv_range field {f!r} has no resident "
+                        "norms/live state (planning bug)")
+                lv = live[f]
+                if lv is not None and docs.size:
+                    docs = docs[lv[docs]]
+            return docs, np.zeros(docs.size, dtype=np.float64)
         if cl["kind"] == "dv_filter":
             # drill-down ordinal test (DrillDownQuery FILTER clause):
             # index the resident ordinal array, never postings.  With a
@@ -1191,14 +1212,15 @@ def clause_kernelable(clause, allow_fielded=None, manifests=None,
     from pim_lucene_spark.plans.multiterm import (FuzzyQuery,
                                                   MultiTermQueryT,
                                                   expand_const_local)
-    from pim_lucene_spark.plans.query import (FacetFilterQuery,
+    from pim_lucene_spark.plans.query import (DocValuesRangeQuery,
+                                              FacetFilterQuery,
                                               FieldedQuery,
                                               MatchAllDocsQuery,
                                               PhraseQuery, SynonymQuery,
                                               TermQuery)
 
     if isinstance(clause, (MatchAllDocsQuery, SynonymQuery,
-                           FacetFilterQuery)):
+                           FacetFilterQuery, DocValuesRangeQuery)):
         return True
     if isinstance(clause, FieldedQuery):
         if allow_fielded is None:
@@ -1326,8 +1348,18 @@ class _SpecBuilder:
             return {"kind": "const_or", "field": field,
                     "terms": tuple(exp),
                     "weight": float(clause.boost) * eff_boost}
-        from pim_lucene_spark.plans.query import (FacetFilterQuery,
+        from pim_lucene_spark.plans.query import (DocValuesRangeQuery,
+                                                  FacetFilterQuery,
                                                   SynonymQuery)
+        if isinstance(clause, DocValuesRangeQuery):
+            # numeric doc-values range (newSlowRangeQuery): tested
+            # against the resident value sidecar, non-scoring; pure
+            # range browse enumerates via the matchall machinery
+            from pim_lucene_spark.operators.docvalues import dv_dir
+            self.matchall_fields.add(field)
+            return {"kind": "dv_range", "field": field,
+                    "path": dv_dir(self.manifests[field], clause.col),
+                    "lo": int(clause.lo), "hi": int(clause.hi)}
         if isinstance(clause, FacetFilterQuery):
             # drill-down constraint: values resolve to ordinals against
             # the dim's value dictionary at spec-build time (driver-side

@@ -123,6 +123,27 @@ class FacetFilterQuery:
 
 
 @dataclass(frozen=True)
+class DocValuesRangeQuery:
+    """Matches docs whose numeric doc value for ``col`` lies in the
+    INCLUSIVE range ``[lo, hi]`` —
+    ``NumericDocValuesField.newSlowRangeQuery``: evaluated against the
+    resident doc-values sidecar, non-scoring (FILTER semantics, score 0
+    in a scoring role).  Needs the column's sidecar
+    (:func:`~pim_lucene_spark.operators.docvalues.
+    build_numeric_docvalues`)."""
+
+    col: str
+    lo: int
+    hi: int
+
+    def __post_init__(self):
+        if int(self.lo) > int(self.hi):
+            raise ValueError(f"range lo {self.lo} > hi {self.hi}")
+        object.__setattr__(self, "lo", int(self.lo))
+        object.__setattr__(self, "hi", int(self.hi))
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery:
     """Wraps any engine query; every matching doc scores ``boost``
     (``ConstantScoreQuery.java`` — the wrapped query's scores are

@@ -58,6 +58,7 @@ def serve_local(manifest: IndexManifest, queries, k: int,
     from pim_lucene_spark.plans.dismax import DisMaxQuery
     from pim_lucene_spark.plans.multiterm import FuzzyQuery
     from pim_lucene_spark.plans.query import (ConstantScoreQuery,
+                                              DocValuesRangeQuery,
                                               FacetFilterQuery,
                                               MatchAllDocsQuery,
                                               SynonymQuery, to_tuple)
@@ -83,8 +84,8 @@ def serve_local(manifest: IndexManifest, queries, k: int,
                 wrap64.append((qid, BooleanQuery(
                     must=[MatchAllDocsQuery(boost=float(q.boost))],
                     filter=[q.query])))
-        elif isinstance(q, FacetFilterQuery):
-            # bare drill-down = pure browse (constant score 0)
+        elif isinstance(q, (FacetFilterQuery, DocValuesRangeQuery)):
+            # bare drill-down / dv-range = pure browse (score 0)
             wrap64.append((qid, BooleanQuery(
                 must=[MatchAllDocsQuery(boost=0.0)], filter=[q])))
         else:

@@ -387,6 +387,43 @@ def test_facet_stats_local_matches_distributed(spark, dvidx):
     pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
 
 
+def test_dv_range_filter_matches_bruteforce(spark, dvidx):
+    """DocValuesRangeQuery as a boolean FILTER (and bare pure browse):
+    inclusive [lo, hi] over the resident sidecar vs pandas."""
+    from pim_lucene_spark.index import FullTextIndex
+    from pim_lucene_spark.plans.query import DocValuesRangeQuery
+    m, pdf = dvidx
+    base = _full_ranking(spark, m)
+    size_of = pdf.set_index("doc_id")["size"].fillna(0).astype(np.int64)
+    rq = DocValuesRangeQuery("size", 5, 15)
+    got = (search_boolean(
+        spark, m, [(0, BooleanQuery(must=["red"], filter=[rq]))],
+        k=10_000, precision="float64").toPandas())
+    bsub = base[base.qid == 0]
+    exp = {d for d in bsub.doc_id
+           if 5 <= int(size_of[d]) <= 15}
+    assert set(got.doc_id) == exp
+    # filter never changes the base clause's scores
+    bscore = bsub.set_index("doc_id").score
+    for _, r in got.iterrows():
+        assert r.score == bscore[r.doc_id]
+    # bare query = pure browse, both facade routes identical
+    idx = FullTextIndex(spark, m)
+    a = (idx.query([(1, rq)], k=10_000).toPandas()
+         [["qid", "doc_id", "score"]]
+         .sort_values("doc_id").reset_index(drop=True))
+    exp_all = {int(d) for d in pdf.doc_id
+               if 5 <= int(size_of[d]) <= 15}
+    assert set(a.doc_id) == exp_all and (a.score == 0.0).all()
+    b = (idx.query_local([(1, rq)], k=10_000)
+         [["qid", "doc_id", "score"]]
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()),
+                                  b.reset_index(drop=True))
+    with pytest.raises(ValueError, match="lo.*hi"):
+        DocValuesRangeQuery("size", 10, 5)
+
+
 def test_facade_wrappers(spark, dvidx):
     """FullTextIndex.sort_by / collapse / facet_ranges delegate to the
     same plans (smoke + shape check)."""
