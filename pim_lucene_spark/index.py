@@ -87,9 +87,10 @@ class FullTextIndex:
         return d
 
     # --- queries -----------------------------------------------------------
-    def search(self, queries: list[tuple[int, str]], k: int = 10,
+    def search(self, queries: list[tuple[int, str]], k: int | None = 10,
                precision: str = "float32", slop: int = 0) -> DataFrame:
         """Batched phrase/term BM25 top-k → (qid, doc_id, freq, norm, score).
+        ``k=None`` = every match, unordered (no global rank window).
 
         ``slop != 0`` routes to the scan over this index's docs table with
         Lucene sloppy-weight semantics (``freq`` becomes DOUBLE) — the
@@ -109,7 +110,7 @@ class FullTextIndex:
         return self.search([(0, text)], k=k, precision=precision,
                            slop=slop).drop("qid")
 
-    def search_term(self, term: str, k: int = 10 ** 9,
+    def search_term(self, term: str, k: int | None = None,
                     precision: str = "float32") -> DataFrame:
         return self.search([(0, term)], k=k, precision=precision).drop("qid")
 
@@ -269,7 +270,7 @@ class FullTextIndex:
             if exotic:
                 from pyspark.sql import Window
                 inner = self.query([(qid, q.query) for qid, q in exotic],
-                                   k=10 ** 9, precision=precision)
+                                   k=None, precision=precision)
                 bmap = self.spark.createDataFrame(
                     [(int(qid), float(q.boost)) for qid, q in exotic],
                     "qid long, score double")
@@ -502,7 +503,7 @@ class MultiFieldIndex:
                       precision=precision)
 
     def search_term(self, term: str, field: str | None = None,
-                    k: int = 10 ** 9,
+                    k: int | None = None,
                     precision: str = "float32") -> DataFrame:
         return self.search([(0, term)], k=k, field=field,
                            precision=precision).drop("qid")
@@ -597,8 +598,12 @@ class MultiFieldIndex:
           per-field top-k plans.  Falls back to the exhaustive plan if a
           round would pull more than ``max_driver_rows``.
         - ``True``: exhaustive distributed plan — every matching doc of
-          every field flows through one union + groupBy.  Exact; the
-          shuffle is O(matching docs), so prefer ``"ta"`` at scale.
+          every field flows through one union + groupBy (per-field
+          sub-searches run unbounded with NO rank window; the partial
+          aggregation is map-side, so no single task ever holds a
+          query's full match set).  Exact; the shuffle is O(matching
+          docs), so prefer ``"ta"`` at scale — this plan is retained as
+          ``"ta"``'s differential oracle and its residual fallback.
         - ``False``: combines each field's top-k only — cheapest, may
           miss docs that rank via the sum without making any single
           field's top-k (rank-unsafe, documented).
@@ -620,7 +625,10 @@ class MultiFieldIndex:
         if exhaustive == "ta":
             return self._search_combined_ta(queries, k, weights, precision,
                                             max_driver_rows)
-        per_field_k = 10 ** 9 if exhaustive else k
+        # exhaustive: k=None per-field sub-searches — full match sets
+        # flow straight into the union + groupBy (map-side partial agg),
+        # with no per-qid rank window single-tasking each field's matches
+        per_field_k = None if exhaustive else k
         parts = []
         for fname, w in weights.items():
             res = self.search(queries, k=per_field_k, field=fname,
@@ -888,7 +896,7 @@ class MultiFieldIndex:
             "tid long, qid long")
         parts = []
         for f, m in manifests.items():
-            res = search(self.spark, m, sub, k=10 ** 9, precision=precision)
+            res = search(self.spark, m, sub, k=None, precision=precision)
             parts.append(res.select(
                 F.col("qid").alias("tid"), "doc_id",
                 (F.col("freq").cast("double")

@@ -62,7 +62,8 @@ def hybrid_search(spark, index, emb: DataFrame,
                   precision: str = "float64", ann: str = "auto",
                   lsh_threshold: int = 100_000, num_planes: int = 12,
                   num_tables: int = 4, seed: int = 42,
-                  dim: int | None = None) -> DataFrame:
+                  dim: int | None = None,
+                  emb_rows: int | None = None) -> DataFrame:
     """Hybrid full-text + dense retrieval over a shared id space
     (``doc_id == vec_id``): BM25 top-``n_candidates`` fused with cosine
     top-``n_candidates`` by RRF.
@@ -82,9 +83,11 @@ def hybrid_search(spark, index, emb: DataFrame,
       (:func:`~pim_lucene_spark.operators.similarity.ivf_topk`); the
       alternative scale path where the corpus has cluster structure.
     - ``"auto"`` (default) — LSH when ``emb`` has more than
-      ``lsh_threshold`` rows (one count-star, answered from Parquet
-      metadata), else brute force.  At 100 TB the corpus is always past
-      the threshold, so auto is the scale plan by default.
+      ``lsh_threshold`` rows, else brute force.  Pass ``emb_rows`` (a
+      known row count, e.g. from a table catalog or manifest) to decide
+      without any job; otherwise one count-star runs, answered from
+      Parquet metadata.  At 100 TB the corpus is always past the
+      threshold, so auto is the scale plan by default.
 
     Every query pseudo-doc vector (the whole ``query_vec_id`` set, not
     just each query's own id) is excluded from the dense candidates, so
@@ -104,7 +107,10 @@ def hybrid_search(spark, index, emb: DataFrame,
           .select("qid", "doc_id", "score"))
     qvec_ids = {int(v) for _, _, v in queries}
     if ann == "auto":
-        ann = "lsh" if emb.count() > lsh_threshold else "bruteforce"
+        # pass emb_rows (e.g. from a catalog/manifest row count) to avoid
+        # even the metadata-only count-star job on the auto route
+        n_rows = emb_rows if emb_rows is not None else emb.count()
+        ann = "lsh" if n_rows > lsh_threshold else "bruteforce"
     if ann == "lsh":
         ann_raw = lsh_bucketed_topk(emb, sorted(qvec_ids),
                                     k=n_candidates + len(qvec_ids),

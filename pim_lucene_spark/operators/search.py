@@ -978,7 +978,7 @@ def _search_sync_rounds(spark, postings, payload: dict, k: int,
 
 
 def search(spark: SparkSession, index: IndexManifest | str,
-           queries: list[tuple[int, str]], k: int = 10,
+           queries: list[tuple[int, str]], k: int | None = 10,
            precision: str = "float32",
            final_merge: str = "window",
            norms_access: str = "auto",
@@ -1041,7 +1041,19 @@ def search(spark: SparkSession, index: IndexManifest | str,
     same ≤ P·k rows as page 1), and both pruning paths count only
     qualifying hits toward their cut, so block-max skipping stays
     exact.  Queries absent from the dict start at page 1.
+
+    ``k=None`` returns EVERY match with no per-partition cut and no
+    global rank window — the contract for clause-frame and exhaustive-
+    union consumers (boolean join plan, combined-field exhaustive plan,
+    count paths).  The per-qid window would otherwise sort a query's
+    entire match set on one task; unbounded consumers aggregate or join
+    the frame downstream, so the order is noise they must not pay for.
     """
+    unbounded = k is None
+    if unbounded:
+        # internal sentinel: the kernel's per-partition cut and pruning
+        # thresholds are inert above any real match count
+        k = 10 ** 9
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
     planned, needed_terms = plan_queries(spark, manifest, queries, k, precision)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
@@ -1111,6 +1123,9 @@ def search(spark: SparkSession, index: IndexManifest | str,
                     .cogroup(norms.groupBy("pid"))
                     .applyInPandas(_match_kernel(payload), RESULT_SCHEMA))
 
+    if unbounded:
+        return per_part
+
     if final_merge == "driver":
         pdf = per_part.toPandas()
         if len(pdf):
@@ -1144,7 +1159,8 @@ def page_marks(page: pd.DataFrame) -> dict[int, tuple[float, int]]:
 
 
 def search_term(spark: SparkSession, index: IndexManifest | str, term: str,
-                k: int = 10**9, precision: str = "float32") -> DataFrame:
+                k: int | None = None,
+                precision: str = "float32") -> DataFrame:
     """Single-term query (Q22) — free by-product of the phrase path."""
     return search(spark, index, [(0, term)], k=k, precision=precision)
 

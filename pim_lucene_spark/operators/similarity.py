@@ -33,6 +33,13 @@ def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
                            vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: (qid, vec_id, cosine) for each query id.
 
+    VERIFY-ONLY PATH: this is an O(corpus × queries) crossJoin kept as
+    the exactness oracle for the LSH/IVF approximate paths and for small
+    corpora.  Never route production traffic here — ``ann="auto"``
+    (:func:`~pim_lucene_spark.operators.fusion.hybrid_topk`) switches to
+    LSH above ``lsh_threshold`` rows, and at 100 TB the corpus is always
+    past it.
+
     All arithmetic in float64 (embeddings upcast) with deterministic
     left-to-right fold order, so the result is ANSI-SQL reproducible.
     """

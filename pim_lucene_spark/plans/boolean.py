@@ -181,8 +181,11 @@ def _clause_frames(spark, index, slot: dict,
 
     frames = []
     if slot["sub"]:
+        # k=None: full match sets are inherent to clause-frame semantics,
+        # but no per-qid rank window runs over them (search() skips it) —
+        # the composition join is the only consumer
         frames.append(
-            search(spark, index, slot["sub"], k=10 ** 9,
+            search(spark, index, slot["sub"], k=None,
                    precision=precision)
             .select(F.col("qid").alias("sid"), "doc_id", "score"))
     for key, rewrite in (("mt_const", "constant_score"),
@@ -195,7 +198,7 @@ def _clause_frames(spark, index, slot: dict,
     if slot["sloppy"]:
         frames.append(
             search_with_fallback(spark, index, None, slot["sloppy"],
-                                 k=10 ** 9, slop=slot["slops"],
+                                 k=None, slop=slot["slops"],
                                  precision=precision)
             .select(F.col("qid").alias("sid"), "doc_id", "score"))
     return frames
@@ -258,9 +261,11 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
       deterministic join chain — needed for over-cap multiterm
       expansions, cogroup-norms indexes, and ``k=None`` clause
       evaluation.  MatchAllDocs frames are bounded (other-clause docs ∪
-      k-smallest-of-rest, deletes excluded); a sloppy clause on THIS
-      plan still ships its full scan-path match set (``k=10**9``) —
-      inherent to clause-frame semantics, and no longer the default
+      k-smallest-of-rest, deletes excluded); scoring and sloppy clauses
+      ship their full match sets (``k=None`` — inherent to clause-frame
+      semantics, since a doc's composed rank needs every clause score),
+      but no per-qid rank window runs over those frames — they flow
+      straight into the distributed composition join.  Not the default
       route for any kernel-hostable index.
 
     Both plans produce bit-identical scores (clause-declaration-order
@@ -338,7 +343,7 @@ def _search_boolean_join(spark: SparkSession, index, queries, k,
         # one recursive batched evaluation for ALL nested groups; the
         # inner result's qid is the outer clause sid
         parts_res.append(
-            _search_boolean_join(spark, index, slot["nested"], 10 ** 9,
+            _search_boolean_join(spark, index, slot["nested"], None,
                                  precision)
             .select(F.col("qid").alias("sid"), "doc_id", "score"))
     if not slot["matchall"]:
@@ -540,7 +545,7 @@ def _search_boolean_fields_join(spark: SparkSession, manifests: dict,
             # clauses still resolve their own fields
             parts_res.append(
                 _search_boolean_fields_join(spark, manifests, fname,
-                                            slot["nested"], 10 ** 9,
+                                            slot["nested"], None,
                                             precision)
                 .select(F.col("qid").alias("sid"), "doc_id", "score"))
         if slot["matchall"]:

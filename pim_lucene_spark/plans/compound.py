@@ -930,7 +930,8 @@ SLOPPY_KERNEL_SCHEMA = T.StructType([
 
 
 def search_sloppy_kernel(spark: SparkSession, index, queries,
-                         k: int = 10, slop: int | dict[int, int] = 0,
+                         k: int | None = 10,
+                         slop: int | dict[int, int] = 0,
                          precision: str = "float32") -> DataFrame:
     """Index-hosted sloppy (and mixed exact) phrase batch — the scale
     path for ``slop != 0`` standalone queries.
@@ -971,7 +972,7 @@ def search_sloppy_kernel(spark: SparkSession, index, queries,
         "norms_path": manifest.norms_path,
         "deletes_path": (manifest.deletes_path if manifest.delete_gen
                          else None),
-        "k": int(k),
+        "k": None if k is None else int(k),
         "precision": precision,
         "num_partitions": int(manifest.num_partitions),
         "postings_cache_mb": 0,
@@ -1026,6 +1027,9 @@ def search_sloppy_kernel(spark: SparkSession, index, queries,
 
     per_part = (scan.groupBy("pid")
                 .applyInPandas(kernel, SLOPPY_KERNEL_SCHEMA))
+    if k is None:
+        # clause-frame consumers: every match, no per-qid global sort
+        return per_part
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (per_part.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k).drop("rank"))

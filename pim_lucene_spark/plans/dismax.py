@@ -155,13 +155,13 @@ def _search_dismax_join(spark: SparkSession, index, queries, k,
         return empty
     frames = []
     if sub:
-        frames.append(search(spark, index, sub, k=10 ** 9,
+        frames.append(search(spark, index, sub, k=None,
                              precision=precision)
                       .select(F.col("qid").alias("sid"), "doc_id",
                               "score"))
     if sloppy:
         frames.append(search_with_fallback(spark, index, None, sloppy,
-                                           k=10 ** 9, slop=slops,
+                                           k=None, slop=slops,
                                            precision=precision)
                       .select(F.col("qid").alias("sid"), "doc_id",
                               "score"))

@@ -614,7 +614,7 @@ def _search_scoring_join(spark, manifest, queries, k, precision,
             mapping.append((sid, int(qid), ordi))
     if not sub:
         return empty
-    res = search(spark, manifest, sub, k=10 ** 9, precision=precision)
+    res = search(spark, manifest, sub, k=None, precision=precision)
     mp = spark.createDataFrame(mapping, "sid long, qid long, ord int")
     j = (res.select(F.col("qid").alias("sid"), "doc_id", "score")
          .join(F.broadcast(mp), "sid"))

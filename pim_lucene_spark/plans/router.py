@@ -68,7 +68,7 @@ def route_query(index: IndexManifest | str | None, slop: int = 0) -> QueryRoute:
 
 
 def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
-                       k: int = 10, content_col: str = "content",
+                       k: int | None = 10, content_col: str = "content",
                        id_col: str = "doc_id", tokenizer: str = "whitespace",
                        precision: str = "float32",
                        k1: float = 1.2, b: float = 0.75,
@@ -218,6 +218,9 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
             hits = (hits.join(exclude_ids.select("doc_id"), "doc_id",
                               "left_anti")
                     .select(*[f.name for f in out_schema.fields]))
+        if k is None:
+            # clause-frame consumers: every match, no per-qid global sort
+            return hits
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (hits.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k).drop("rank"))
@@ -227,7 +230,7 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
 
 def search_with_fallback(spark: SparkSession, index: IndexManifest | str | None,
                          docs: DataFrame | None, queries: list[tuple[int, str]],
-                         k: int = 10, slop: int | dict[int, int] = 0,
+                         k: int | None = 10, slop: int | dict[int, int] = 0,
                          precision: str = "float32",
                          sloppy_plan: str = "auto", **kw) -> DataFrame:
     """Route to the indexed kernel or the brute-force scan (Q1 + Q23).

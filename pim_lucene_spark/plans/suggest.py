@@ -224,7 +224,7 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
     parts = []
     if plain:
         res = search(spark, manifest,
-                     [to_tuple(qid, q) for qid, q in plain], k=10 ** 9)
+                     [to_tuple(qid, q) for qid, q in plain], k=None)
         parts.append(res.groupBy("qid")
                      .agg(F.count("*").alias("n_hits")))
     if multi:
@@ -234,7 +234,7 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
                      .agg(F.count("*").alias("n_hits")))
     if sloppy:
         res = search_with_fallback(spark, manifest, None, sloppy,
-                                   k=10 ** 9, slop=slops)
+                                   k=None, slop=slops)
         parts.append(res.groupBy("qid")
                      .agg(F.count("*").alias("n_hits")))
     if compound:
@@ -268,7 +268,7 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
             jd = [(qid, q) for qid, q in jq if isinstance(q, DisMaxQuery)]
             for batch, fn in ((jb, search_boolean), (jd, search_dismax)):
                 if batch:
-                    res = fn(spark, manifest, batch, k=10 ** 9, plan="join")
+                    res = fn(spark, manifest, batch, k=None, plan="join")
                     parts.append(res.groupBy("qid")
                                  .agg(F.count("*").alias("n_hits")))
     all_qids = spark.createDataFrame([(int(q),) for q, _ in queries],

@@ -1,0 +1,68 @@
+"""Round-6 advice regressions: unbounded (k=None) frames must skip the
+per-qid global rank window, and every former ``k=10**9`` internal call
+site now uses ``k=None`` (VERDICT r5: the window single-tasks a query's
+entire match set — the real at-scale pathology of the join plan's
+clause frames and the exhaustive combined plan)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pim_lucene_spark import IndexConfig
+from pim_lucene_spark.operators.index_build import build_index
+from pim_lucene_spark.operators.search import search
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "content": [" ".join(rng.choice(vocab, size=8)) for _ in range(60)],
+    })
+    d = str(tmp_path_factory.mktemp("r6") / "idx")
+    return build_index(spark, spark.createDataFrame(docs), d,
+                       IndexConfig(2, 1, build_chunks=1),
+                       content_col="content", id_col="doc_id")
+
+
+def test_k_none_equals_huge_k_rows(spark, small_index):
+    batch = [(0, "alpha"), (1, "beta gamma")]
+    full = search(spark, small_index, batch, k=10 ** 9).toPandas()
+    none = search(spark, small_index, batch, k=None).toPandas()
+    a = full.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    b = none.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_k_none_plan_has_no_rank_window(spark, small_index):
+    plan = (search(spark, small_index, [(0, "alpha")], k=None)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+    # the bounded path keeps its window (sanity that the probe works)
+    plan_k = (search(spark, small_index, [(0, "alpha")], k=10)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" in plan_k
+
+
+def test_no_internal_huge_k_call_sites():
+    """No ``k=10 ** 9`` search/clause-frame call remains in the package
+    (docstrings and default-param *sentinels inside* search are fine —
+    this greps call sites only)."""
+    import pathlib
+    import re
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "pim_lucene_spark"
+    offenders = []
+    for p in pkg.rglob("*.py"):
+        if p.name == "model.py":  # driver-side pandas simulator
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            s = line.strip()
+            if s.startswith("#"):
+                continue
+            # kwarg call sites only (k=10**9 followed by , or )); the
+            # one internal sentinel assignment in search() is exempt
+            if re.search(r"\bk\s*=\s*10\s*\*\*\s*9\s*[,)]", line):
+                offenders.append(f"{p.name}:{i}: {s}")
+    assert not offenders, offenders
