@@ -55,6 +55,32 @@ SLOP_REPEATED_QUERIES = [(450, "batch batch"), (451, "window spark window"),
 # standard-analyzer queries: mixed case + punctuation, analyzed at query
 # time exactly like the indexed corpus (StandardAnalyzer contract)
 STD_QUERIES = [(500, "The Fast!"), (501, "MERGE"), (502, "Table SCAN...")]
+# interval proximity (IntervalQuery.java family): ordered/unordered
+# minimal intervals with maxgaps/maxwidth filters, saturation-scored
+IV_QUERIES = None  # built lazily (needs plans.query.IntervalQuery)
+
+
+def _iv_queries():
+    global IV_QUERIES
+    if IV_QUERIES is None:
+        from pim_lucene_spark.plans.query import IntervalQuery
+        IV_QUERIES = [
+            (540, IntervalQuery("table scan")),
+            (541, IntervalQuery("table scan", max_gaps=2)),
+            (542, IntervalQuery("fast merge", ordered=False, max_gaps=3)),
+            (543, IntervalQuery("key value row")),
+            (544, IntervalQuery("sort window", pivot=2.0, boost=1.5)),
+        ]
+    return IV_QUERIES
+
+
+# english (stop+stem) analyzer: plurals must stem to the indexed forms,
+# stop words vanish on BOTH sides, and phrases only match at the exact
+# post-removal ordinals (stop-word gaps — "rows and columns" analyzes to
+# [row, column] adjacent, which a gapped "rows and columns" doc is NOT)
+ENG_QUERIES = [(520, "tables scans"), (521, "the sort window"),
+               (522, "Values"), (523, "fast keys"),
+               (524, "rows and columns")]
 # multi-field: `body` = full text, `head` = first five tokens; a term must
 # only match within its queried field's posting space + that field's stats
 MF_BODY_QUERIES = [(600, "the fast"), (601, "merge")]
@@ -204,6 +230,44 @@ def _get_std_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
 def _q_std_bm25(spark, sf_dir):
     m = _get_std_index(spark, sf_dir)
     res = search(spark, m, STD_QUERIES, k=10, precision="float64")
+    return res.select("qid", "doc_id", "freq",
+                      F.round("score", 6).alias("score"))
+
+
+def _q_intervals(spark, sf_dir):
+    """Ordered/unordered minimal-interval proximity over the stored
+    position streams (IntervalQuery.java / OrderedIntervalsSource.java),
+    saturation-scored — the kernel hosts it as a compound clause."""
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    m = _get_index(spark, sf_dir)
+    batch = [(qid, BooleanQuery(must=[q])) for qid, q in _iv_queries()]
+    res = search_boolean(spark, m, batch, k=10, precision="float64")
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _get_eng_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
+    """Index documents with the `english` analyzer (EnglishAnalyzer.java
+    chain with EnglishMinimalStemmer): stop words leave position gaps
+    (TestPimPhraseQuery.java:230-268) and don't count toward norms."""
+    key = hashlib.md5((sf_dir + "|eng").encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "pim_index_cache", key)
+    manifest_file = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_file):
+        m = IndexManifest.load(index_dir)
+        if len(m.completed_chunks) == m.build_chunks and m.version >= 3:
+            return m
+    cfg = IndexConfig(num_partitions=8, num_segments=4, build_chunks=1,
+                      tokenizer="english")
+    return build_index(spark, _docs(spark, sf_dir), index_dir, cfg,
+                       content_col="content", id_col="doc_id", source=sf_dir)
+
+
+def _q_eng_bm25(spark, sf_dir):
+    """Stop+stem analyzer parity: phrases cross stop-word gaps only at
+    the exact post-removal ordinals; query-side analysis drops the same
+    stop words and stems plurals to the indexed forms."""
+    m = _get_eng_index(spark, sf_dir)
+    res = search(spark, m, ENG_QUERIES, k=10, precision="float64")
     return res.select("qid", "doc_id", "freq",
                       F.round("score", 6).alias("score"))
 
@@ -1183,6 +1247,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact":
             lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        # transitive cluster resolution over the minhash pair set
+        # (hash-min label propagation; pairs alone don't dedup a corpus)
+        "dedup_clusters":
+            lambda s, d: dedup.dedup_clusters(
+                dedup.minhash_lsh_pairs(
+                    _docs(s, d), num_hashes=32, bands=16, threshold=0.01,
+                    hash_fn="portable")),
         # --- text analysis ---------------------------------------------------
         "text_quality": _q_text_quality,
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
@@ -1196,6 +1267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 multimodal.as_media(_docs(s, d))),
         "multimodal_features": _q_multimodal_features,
         # --- engine entries over code touched this round ---------------------
+        # stop+minimal-stem analyzer (EnglishAnalyzer/EnglishMinimalStemmer
+        # chain; StopFilter position gaps pinned by TestPimPhraseQuery)
+        "engine_stop_analyzer": _q_eng_bm25,
+        # interval/ordered-near proximity (new kernel clause kind)
+        "engine_intervals": _q_intervals,
         "engine_boolean_bm25": _q_boolean,
         "engine_sloppy_boolean": _q_sloppy_boolean,
         "engine_slop_kernel": _q_slop_kernel,
@@ -1327,22 +1403,49 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 16,
                              for j in range(r))
         + " AS bucket FROM sigs"
         for i in range(bands))
-    return f"""
-        WITH {_GRAMS_CTE},
+    ctes = f"""{_GRAMS_CTE},
         sigs AS (SELECT doc_id, [{mins}] AS sig FROM gsets),
         bkt AS ({band_rows}),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM bkt x JOIN bkt y
                    ON x.band = y.band AND x.bucket = y.bucket
-                  AND x.doc_id < y.doc_id)
-        SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
-          SELECT doc_a, doc_b,
-                 CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
-                 / len(list_distinct(list_concat(ga.gs, gb.gs))) AS j
-          FROM cand
-          JOIN gsets ga ON ga.doc_id = cand.doc_a
-          JOIN gsets gb ON gb.doc_id = cand.doc_b)
-        WHERE j >= {threshold}"""
+                  AND x.doc_id < y.doc_id),
+        mh_pairs AS (
+          SELECT doc_a, doc_b, j FROM (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ga.gs, gb.gs))) AS j
+            FROM cand
+            JOIN gsets ga ON ga.doc_id = cand.doc_a
+            JOIN gsets gb ON gb.doc_id = cand.doc_b)
+          WHERE j >= {threshold})"""
+    return f"""
+        WITH {ctes}
+        SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM mh_pairs"""
+
+
+def _clusters_sql(num_hashes: int = 32, bands: int = 16,
+                  threshold: float = 0.01, seed: int = 42) -> str:
+    """Connected-components oracle over the minhash pair set: recursive
+    transitive closure (reach = every node reachable from id), component
+    label = MIN(reachable id) — exactly hash-min propagation's fixpoint."""
+    mh = _minhash_sql(num_hashes, bands, threshold, seed)
+    ctes = mh.split("WITH ", 1)[1].rsplit("SELECT doc_a", 1)[0].rstrip()
+    assert ctes.endswith(")"), ctes[-80:]
+    return f"""
+        WITH RECURSIVE {ctes},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                  UNION SELECT doc_b, doc_a FROM mh_pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+                 GROUP BY id)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp"""
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -1603,6 +1706,15 @@ def oracle_sql() -> dict[str, str]:
             oracle.phrase_bm25_sql(STD_QUERIES, k=10, tokenizer="standard")
             .replace("WITH ", "WITH documents AS (SELECT doc_id, "
                      "upper(text) AS text FROM main.documents), ", 1),
+        # english analyzer: the oracle replays the whole chain in SQL —
+        # standard tokenize, possessive strip, stop removal with position
+        # gaps, S-stem — norms count kept tokens only
+        "engine_stop_analyzer":
+            oracle.phrase_bm25_sql(ENG_QUERIES, k=10, tokenizer="english"),
+        # minimal-interval proximity: forward-backward ordered chains /
+        # unordered windows + shared-start dedupe + saturation scoring,
+        # replayed in SQL over the same whitespace position streams
+        "engine_intervals": oracle.intervals_sql(_iv_queries(), k=10),
         # weighted score-sum across fields (1.0*body + 2.0*head), every
         # matching doc evaluated per field before combining (exhaustive)
         "engine_multifield_combined": combined_sql,
@@ -1760,6 +1872,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "dedup_minhash_lsh": _minhash_sql(num_hashes=32, bands=16,
                                           threshold=0.01),
+        "dedup_clusters": _clusters_sql(num_hashes=32, bands=16,
+                                        threshold=0.01),
         "ann_ivf_topk": _ann_ivf_sql(k=10, num_centroids=16, nprobe=4),
         "ann_lsh_topk": _ann_lsh_sql(k=10, num_planes=8),
         "hybrid_rrf_topk": _hybrid_sql(),

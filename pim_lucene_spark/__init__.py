@@ -26,7 +26,7 @@ from pim_lucene_spark.plans.multiterm import (FuzzyQuery, PrefixQuery,
 from pim_lucene_spark.plans.parser import apply_synonyms, parse_query
 from pim_lucene_spark.plans.query import (ConstantScoreQuery,
                                           DocValuesRangeQuery,
-                                          FacetFilterQuery,
+                                          FacetFilterQuery, IntervalQuery,
                                           MatchAllDocsQuery, PhraseQuery,
                                           SynonymQuery, TermQuery)
 
@@ -35,5 +35,6 @@ __all__ = ["FullTextIndex", "IndexConfig", "IndexManifest",
            "DisMaxQuery", "PrefixQuery", "WildcardQuery", "TermRangeQuery",
            "RegexpQuery", "FuzzyQuery", "MatchAllDocsQuery",
            "ConstantScoreQuery", "SynonymQuery", "FacetFilterQuery",
-           "DocValuesRangeQuery", "parse_query", "apply_synonyms"]
-__version__ = "0.4.0"
+           "DocValuesRangeQuery", "IntervalQuery", "parse_query",
+           "apply_synonyms"]
+__version__ = "0.5.0"

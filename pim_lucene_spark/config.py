@@ -52,7 +52,7 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     build_chunks: int = 4
-    tokenizer: str = "whitespace"  # "whitespace" | "standard" | "code"
+    tokenizer: str = "whitespace"  # whitespace | standard | code | english
     max_postings_per_stripe: int = 1 << 17
     # per-partition compressed-index size guard (the reference enforces
     # MAX_DPU_INDEX_SIZE = 48 MiB per DPU, DpuSystemExecutor.java:40).

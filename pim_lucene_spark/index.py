@@ -178,6 +178,12 @@ class FullTextIndex:
                 # boolean on the compound kernel (sum identity)
                 boolean.append((qid, BooleanQuery(must=[q])))
                 continue
+            from pim_lucene_spark.plans.query import IntervalQuery
+            if isinstance(q, IntervalQuery):
+                # saturation-scored proximity over stored positions —
+                # single-MUST boolean on the compound kernel
+                boolean.append((qid, BooleanQuery(must=[q])))
+                continue
             from pim_lucene_spark.plans.query import (
                 DocValuesRangeQuery, FacetFilterQuery)
             if isinstance(q, (FacetFilterQuery, DocValuesRangeQuery)):

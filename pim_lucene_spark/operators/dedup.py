@@ -384,3 +384,110 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Transitive duplicate groups over a near-dup pair set:
+    ``(doc_id, cluster_id)`` with ``cluster_id`` = the smallest doc id
+    reachable through the pair graph (a canonical, deterministic
+    component label).
+
+    Iterative hash-min label propagation — no graph library: every node
+    starts labeled with itself; each round every node takes the min of
+    its own label and its neighbors' labels (one shuffle keyed on the
+    edge source per round).  Labels only decrease, so the fixpoint is
+    exact connected components in O(component diameter) rounds — dedup
+    graphs are near-cliques (diameter 2-4), so this converges in a
+    handful of rounds even at 100 TB, shuffling O(edges) per round and
+    never materializing the transitive closure.  Each round's frame is
+    persisted and the previous one released, so lineage and storage stay
+    bounded.  Only nodes present in ``pairs`` appear (docs with no
+    near-dup are their own implicit singleton clusters).
+    """
+    edges = (pairs.select(F.col(a_col).cast("long").alias("a"),
+                          F.col(b_col).cast("long").alias("b"))
+             .filter(F.col("a") != F.col("b")))
+    edges = (edges.unionByName(edges.select(F.col("b").alias("a"),
+                                            F.col("a").alias("b")))
+             .distinct().persist())
+    labels = (edges.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iter):
+            prop = (edges.join(labels, edges["a"] == labels["id"])
+                    .select(F.col("b").alias("id"), "label"))
+            # localCheckpoint truncates the lineage each round — without
+            # it the iterative self-reference doubles the logical plan
+            # per round and the DRIVER OOMs planning round ~12 long
+            # before any data is big.  (On a cluster with a configured
+            # checkpoint dir, `checkpoint()` adds executor-loss
+            # tolerance; local mode has no such loss to tolerate.)
+            new = (labels.unionByName(prop)
+                   .groupBy("id").agg(F.min("label").alias("label"))
+                   .localCheckpoint(eager=True))
+            changed = (new.join(labels.withColumnRenamed("label", "old"),
+                                "id")
+                       .filter(F.col("label") < F.col("old")).count())
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds — pathological graph diameter; raise max_iter")
+        return labels.select(F.col("id").alias("doc_id"),
+                             F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist(blocking=False)
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                   b_col: str = "doc_b",
+                   max_iter: int = 50) -> DataFrame:
+    """Cluster view of a near-dup pair set: ``(doc_id, cluster_id,
+    cluster_size)``, one row per clustered doc, ``cluster_id`` = the
+    component's smallest doc id.  See :func:`connected_components`."""
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size")
+
+
+def drop_duplicates_clustered(docs: DataFrame, pairs: DataFrame,
+                              id_col: str = "doc_id",
+                              a_col: str = "doc_a", b_col: str = "doc_b",
+                              prefer_col: str | None = None,
+                              max_iter: int = 50) -> DataFrame:
+    """The actual dedup step a training pipeline runs: resolve the pair
+    set into transitive clusters and keep ONE canonical doc per cluster
+    (plus every unclustered doc).
+
+    Canonical pick: the cluster's smallest doc id, or — when
+    ``prefer_col`` is given (e.g. a quality score or text length) — the
+    member with the highest ``prefer_col`` value, ties broken by
+    smallest doc id.  Returns ``docs`` filtered to survivors, original
+    schema unchanged.  One component resolution + one left-anti join;
+    no shuffle touches the (wide) doc payload except the final anti-join
+    on ids.
+    """
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    if prefer_col is None:
+        losers = comp.filter(F.col("doc_id") != F.col("cluster_id"))
+    else:
+        from pyspark.sql import Window
+        pref = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                           F.col(prefer_col).alias("_pref"))
+        w = (Window.partitionBy("cluster_id")
+             .orderBy(F.desc("_pref"), F.asc("doc_id")))
+        ranked = (comp.join(pref, "doc_id")
+                  .withColumn("_rn", F.row_number().over(w)))
+        losers = ranked.filter(F.col("_rn") > 1).select("doc_id",
+                                                        "cluster_id")
+    return docs.join(
+        losers.select(F.col("doc_id").alias(id_col)).distinct(),
+        id_col, "left_anti")

@@ -80,11 +80,57 @@ tok AS (
 ),""" + _TOK_CTE_TAIL)
 
 
+_ENG_STOPS_SQL = ("('a','an','and','are','as','at','be','but','by','for',"
+                  "'if','in','into','is','it','no','not','of','on','or',"
+                  "'such','that','the','their','then','there','these',"
+                  "'they','this','to','was','will','with')")
+
+
+def _eng_stem_sql(t: str) -> str:
+    """Harman S-stemmer (EnglishMinimalStemmer.java:26-44) in SQL."""
+    return (f"(CASE WHEN len({t}) < 3 OR substr({t}, -1) <> 's' THEN {t} "
+            f"WHEN substr({t}, -2, 1) IN ('u', 's') THEN {t} "
+            f"WHEN substr({t}, -2, 1) = 'e' THEN "
+            f"(CASE WHEN len({t}) > 3 AND substr({t}, -3, 1) = 'i' "
+            f"AND substr({t}, -4, 1) NOT IN ('a', 'e') "
+            f"THEN substr({t}, 1, len({t}) - 3) || 'y' "
+            f"WHEN substr({t}, -3, 1) IN ('i', 'a', 'o', 'e') THEN {t} "
+            f"ELSE substr({t}, 1, len({t}) - 1) END) "
+            f"ELSE substr({t}, 1, len({t}) - 1) END)")
+
+
+# english analyzer: standard tokenize → possessive strip → stop removal
+# (positions keep their pre-removal ordinals — StopFilter gap semantics)
+# → S-stem; field length (dl) counts KEPT tokens only, and docs whose
+# tokens were all stopwords stay in docl with dl = 0.
+ENG_TOK_CTE = (STD_TOK_CTE[:-len(_TOK_CTE_TAIL)] + r"""
+pos0 AS (
+  SELECT doc_id, regexp_replace(unnest(tks), '''s$', '') AS t,
+         CAST(generate_subscripts(tks, 1) AS BIGINT) - 1 AS pos
+  FROM tok
+),
+positions AS (
+  SELECT doc_id, """ + _eng_stem_sql("t") + f""" AS term, pos
+  FROM pos0 WHERE t NOT IN {_ENG_STOPS_SQL}
+),
+docl AS (
+  SELECT tok.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dl
+  FROM tok LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM positions
+                      GROUP BY doc_id) c USING (doc_id)
+),
+cstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM docl
+)""")
+
+
 def _tok_cte(tokenizer: str) -> str:
     if tokenizer == "whitespace":
         return TOK_CTE
     if tokenizer == "standard":
         return STD_TOK_CTE
+    if tokenizer == "english":
+        return ENG_TOK_CTE
     raise ValueError(f"no oracle CTE for tokenizer {tokenizer!r}")
 
 
@@ -998,3 +1044,80 @@ SELECT doc_id, dl AS token_count,
        CAST({_norm_byte_sql('dl')} AS BIGINT) AS norm,
        CAST({_quantized_dl('dl')} AS BIGINT) AS quantized_len
 FROM docl"""
+
+
+def _iv_chain_select(terms: list[str]) -> str:
+    """Forward-backward minimal ORDERED intervals in SQL: every position
+    of the last term is an interval end; each earlier term takes its
+    greatest position strictly below its successor (NULL when the chain
+    breaks, and NULLs propagate down the chain)."""
+    k = len(terms)
+    inner = (f"SELECT doc_id, pos AS p{k - 1} FROM positions "
+             f"WHERE term = '{_q(terms[-1])}'")
+    for i in range(k - 2, -1, -1):
+        inner = (f"SELECT doc_id, p{k - 1}, "
+                 f"(SELECT max(q.pos) FROM positions q "
+                 f"WHERE q.doc_id = c.doc_id AND q.term = '{_q(terms[i])}' "
+                 f"AND q.pos < c.p{i + 1}) AS p{i} FROM ({inner}) c")
+    return (f"SELECT doc_id, p0 AS s, p{k - 1} AS e FROM ({inner}) "
+            f"WHERE p0 IS NOT NULL")
+
+
+def _iv_window_select(terms: list[str]) -> str:
+    """Minimal UNORDERED windows in SQL: for each candidate end position
+    (any term's), the window start is the minimum over terms of that
+    term's latest position ≤ end; windows missing a term drop."""
+    uniq = list(dict.fromkeys(terms))
+    in_list = ", ".join(f"'{_q(t)}'" for t in uniq)
+    preds = []
+    for i, t in enumerate(uniq):
+        preds.append(f"(SELECT max(q.pos) FROM positions q "
+                     f"WHERE q.doc_id = x.doc_id AND q.term = '{_q(t)}' "
+                     f"AND q.pos <= x.e) AS m{i}")
+    notnull = " AND ".join(f"m{i} IS NOT NULL" for i in range(len(uniq)))
+    least = ("m0" if len(uniq) == 1
+             else "least(" + ", ".join(f"m{i}"
+                                       for i in range(len(uniq))) + ")")
+    return (f"SELECT doc_id, {least} AS s, e FROM "
+            f"(SELECT doc_id, e, {', '.join(preds)} FROM "
+            f"(SELECT doc_id, pos AS e FROM positions "
+            f"WHERE term IN ({in_list})) x) WHERE {notnull}")
+
+
+def intervals_sql(queries: list, k: int | None = 10,
+                  tokenizer: str = "whitespace") -> str:
+    """IntervalQuery oracle → (qid, doc_id, score): minimal intervals
+    (shared-start dedupe keeps the smallest end), maxgaps/maxwidth
+    filters, IntervalScorer freq ``Σ 1/max(len − minExtent + 1, 1)`` and
+    the saturation score ``boost·(1 − pivot/(pivot + freq))`` — all in
+    float64 (engine ``precision='float64'`` parity).  ``queries`` are
+    ``(qid, IntervalQuery)`` pairs."""
+    selects = []
+    for qid, q in queries:
+        terms = tokenize_one(q.text, tokenizer)
+        if not terms:
+            continue
+        kk = len(terms)
+        base = (_iv_chain_select(terms) if q.ordered
+                else _iv_window_select(terms))
+        conds = []
+        if q.max_width is not None:
+            conds.append(f"(e - s + 1) <= {int(q.max_width)}")
+        if q.max_gaps is not None:
+            conds.append(f"(e - s + 1 - {kk}) <= {int(q.max_gaps)}")
+        flt = (" WHERE " + " AND ".join(conds)) if conds else ""
+        pivot = float(q.pivot)
+        w = float(q.boost)
+        score = f"({w!r} * (1.0 - {pivot!r} / ({pivot!r} + freq)))"
+        qualify = (f"QUALIFY row_number() OVER "
+                   f"(ORDER BY {score} DESC, doc_id ASC) <= {k} "
+                   if k is not None else "")
+        selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, "
+            f"round({score}, 6) AS score FROM ("
+            f"SELECT doc_id, sum(1.0 / greatest(e - s + 2 - {kk}, 1)) "
+            f"AS freq FROM ("
+            f"SELECT doc_id, s, min(e) AS e FROM ({base}) "
+            f"GROUP BY doc_id, s){flt} GROUP BY doc_id) {qualify}")
+    body = " UNION ALL ".join(selects)
+    return f"WITH {_tok_cte(tokenizer)} {body}"

@@ -105,6 +105,7 @@ def _classify_clauses(queries, resolve_field):
                                                   MultiTermQueryT)
     from pim_lucene_spark.plans.query import (DocValuesRangeQuery,
                                               FacetFilterQuery,
+                                              IntervalQuery,
                                               MatchAllDocsQuery,
                                               PhraseQuery, SynonymQuery)
 
@@ -143,14 +144,15 @@ def _classify_clauses(queries, resolve_field):
                         (sid, float(clause.boost) * float(bq.boost)
                          if scoring else 1.0))
                 elif isinstance(clause, (SynonymQuery, FacetFilterQuery,
-                                         DocValuesRangeQuery)):
+                                         DocValuesRangeQuery,
+                                         IntervalQuery)):
                     raise NotImplementedError(
                         f"{type(clause).__name__} evaluates in the "
                         "compound kernel (merged stats / resident "
-                        "ordinal arrays have no join-chain form); this "
-                        "index layout (cogroup norms or v<3) cannot "
-                        "host the kernel — rebuild the index or drop "
-                        "the clause")
+                        "ordinal arrays / stored position streams have "
+                        "no join-chain form); this index layout "
+                        "(cogroup norms or v<3) cannot host the kernel "
+                        "— rebuild the index or drop the clause")
                 elif (isinstance(clause, PhraseQuery)
                       and int(clause.slop) != 0):
                     slot["sloppy"].append(

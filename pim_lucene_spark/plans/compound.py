@@ -203,6 +203,57 @@ def _syn_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
     return docs, sc, freq.astype(np.float64)
 
 
+def _interval_match(ctx: _DecodeCtx, terms: tuple, weight: float,
+                    precision: str, ordered: bool, maxgaps, maxwidth,
+                    pivot: float) -> tuple[np.ndarray, np.ndarray]:
+    """One IntervalQuery clause's partition-local match set →
+    (docs ascending-unique, float64 saturation scores).  Candidates are
+    docs containing EVERY sub-term (the conjunction approximation of
+    ConjunctionIntervalsSource); per-candidate minimal-interval freqs
+    come from :mod:`pim_lucene_spark.functions.intervals`, and docs
+    whose intervals all fail the maxgaps/maxwidth filter drop out
+    (freq 0 = no match).  Norms never enter (IntervalScorer scores
+    ``(freq, norm=1)``)."""
+    from pim_lucene_spark.functions.intervals import (_term_keys,
+                                                      interval_freqs_keys,
+                                                      saturation_scores)
+    by_term = ctx.by_term
+    if any(t not in by_term for t in terms):
+        return _EMPTY_I64, _EMPTY_F64
+    uniq = list(dict.fromkeys(terms))
+    pres = None
+    for t in uniq:
+        p = None
+        for r in by_term[t]:
+            c = np.asarray(r.seg_doc_counts) > 0
+            p = c if p is None else (p | c)
+        pres = p if pres is None else (pres & p)
+    if not pres.any():
+        return _EMPTY_I64, _EMPTY_F64
+    seg_mask = None if pres.all() else pres
+    tps = [ctx.get(t, seg_mask) for t in uniq]
+    cand = tps[0].rel_docs
+    idxs = [np.arange(cand.size)]
+    for tp in tps[1:]:
+        cand, ia, ib = np.intersect1d(cand, tp.rel_docs,
+                                      assume_unique=True,
+                                      return_indices=True)
+        idxs = [ix[ia] for ix in idxs] + [ib]
+        if cand.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+    term_order = [uniq.index(t) for t in terms]
+    keys = [_term_keys(tps[j], idxs[j]) for j in term_order]
+    freqs = interval_freqs_keys(keys, cand.size, ordered, maxgaps,
+                                maxwidth, precision)
+    hit = freqs > 0.0
+    if not hit.any():
+        return _EMPTY_I64, _EMPTY_F64
+    docs = cand[hit]
+    sc = np.asarray(saturation_scores(freqs[hit], weight, pivot,
+                                      precision), dtype=np.float64)
+    return docs, sc
+
+
 def _lookup(docs: np.ndarray, base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Positions of ``base`` entries inside sorted-unique ``docs`` plus a
     presence mask (vectorized sorted-merge membership)."""
@@ -500,6 +551,7 @@ def _compound_core(payload: dict, pid: int,
     leaf_cache: dict[tuple, tuple] = {}
 
     syn_boosts = payload.get("syn_boosts") or {}
+    iv_specs = payload.get("iv_specs") or {}
 
     def eval_leaf(sid: int, cand: np.ndarray | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
@@ -509,6 +561,22 @@ def _compound_core(payload: dict, pid: int,
         f, terms, weight, slop = ent
         if f not in ctxs:  # no postings rows for this field here
             return _EMPTY_I64, _EMPTY_F64
+        ivp = iv_specs.get(sid)
+        if ivp is not None:
+            # interval clause: full evaluation (a valid superset answer
+            # for candidate-restricted consumers), batch-cached like any
+            # reusable leaf
+            key = (ent, ivp)
+            hit = leaf_cache.get(key)
+            if hit is None:
+                docs, sc = _interval_match(ctxs[f], terms, weight,
+                                           precision, *ivp)
+                if live.get(f) is not None and docs.size:
+                    keep = live[f][docs]
+                    docs, sc = docs[keep], sc[keep]
+                hit = (docs, sc)
+                leaf_cache[key] = hit
+            return hit
         tb = syn_boosts.get(sid)
         if tb is not None:
             # synonym clause: full union evaluation (a valid superset
@@ -1062,6 +1130,31 @@ def count_compound(spark: SparkSession,
     return counts
 
 
+def _plan_iv_leaves(spark, manifest, iv: list, field: str,
+                    clause_plan: dict, iv_specs: dict) -> set:
+    """Planning for interval leaves: no BM25 stats — just a term
+    presence probe (an interval needs EVERY sub-term in the doc, so any
+    index-wide-absent term empties the clause).  ``weight`` is the
+    boost product (saturation scoring never touches idf/norms).  Fills
+    ``clause_plan[sid]`` / ``iv_specs[sid]`` and returns the terms the
+    postings scan must push down."""
+    if not iv:
+        return set()
+    from pim_lucene_spark.operators.search import term_doc_freqs
+    all_terms = sorted({t for _, ts, *_ in iv for t in ts})
+    dfs = term_doc_freqs(spark, manifest, all_terms)
+    needed: set = set()
+    for sid, ts, ordered, mg, mw, pivot, w in iv:
+        if any(dfs.get(t, 0) == 0 for t in ts):
+            continue  # conjunction over sub-sources: empty clause
+        clause_plan[sid] = (field, tuple(ts), float(w), 0)
+        iv_specs[sid] = (bool(ordered),
+                         None if mg is None else int(mg),
+                         None if mw is None else int(mw), float(pivot))
+        needed.update(ts)
+    return needed
+
+
 def _plan_syn_leaves(spark, manifest, syn: list, precision: str,
                      field: str, clause_plan: dict,
                      syn_boosts: dict) -> set:
@@ -1112,21 +1205,24 @@ def _plan_aggregate_payload(spark: SparkSession,
             specs.append(b.dismax_spec(qid, q, default_field))
     clause_plan: dict[int, tuple] = {}
     syn_boosts: dict[int, tuple] = {}
+    iv_specs: dict[int, tuple] = {}
     fields_payload, scans = {}, []
     num_partitions = None
     for f, m in manifests.items():
         lv = b.leaves.get(f) or []
         syn = b.syn_leaves.get(f) or []
+        iv = b.iv_leaves.get(f) or []
         ma_here = f in b.matchall_fields
         extra = b.extra_terms.get(f) or set()
-        if not lv and not ma_here and not extra and not syn:
+        if not lv and not ma_here and not extra and not syn and not iv:
             continue
         if lv:
             planned, needed = plan_queries(spark, m, lv, 1, precision)
         else:
             planned, needed = [], set()
         needed = set(needed) | extra | _plan_syn_leaves(
-            spark, m, syn, precision, f, clause_plan, syn_boosts)
+            spark, m, syn, precision, f, clause_plan, syn_boosts) \
+            | _plan_iv_leaves(spark, m, iv, f, clause_plan, iv_specs)
         num_partitions = m.num_partitions
         for sid, ts, w in planned:
             clause_plan[sid] = (f, tuple(ts), float(w),
@@ -1156,6 +1252,7 @@ def _plan_aggregate_payload(spark: SparkSession,
         "specs": specs,
         "clauses": clause_plan,
         "syn_boosts": syn_boosts,
+        "iv_specs": iv_specs,
         "fields": fields_payload,
         "k": None,
         "precision": precision,
@@ -1223,8 +1320,10 @@ def clause_kernelable(clause, allow_fielded=None, manifests=None,
                                               PhraseQuery, SynonymQuery,
                                               TermQuery)
 
+    from pim_lucene_spark.plans.query import IntervalQuery
     if isinstance(clause, (MatchAllDocsQuery, SynonymQuery,
-                           FacetFilterQuery, DocValuesRangeQuery)):
+                           FacetFilterQuery, DocValuesRangeQuery,
+                           IntervalQuery)):
         return True
     if isinstance(clause, FieldedQuery):
         if allow_fielded is None:
@@ -1279,6 +1378,10 @@ class _SpecBuilder:
         # boost) — stats-planned with MERGED pseudo-term stats (df = max
         # over terms), not the per-leaf Σidf path
         self.syn_leaves: dict[str, list] = {f: [] for f in manifests}
+        # interval leaves (IntervalQuery.java): (sid, terms, ordered,
+        # max_gaps, max_width, pivot, weight) — saturation-scored, no
+        # BM25 stats planning (only a presence probe)
+        self.iv_leaves: dict[str, list] = {f: [] for f in manifests}
         self._next_sid = 0
 
     def _leaf(self, field: str, text: str, boost: float) -> dict:
@@ -1381,6 +1484,23 @@ class _SpecBuilder:
             self.matchall_fields.add(field)
             return {"kind": "dv_filter", "field": field, "path": fdir,
                     "codes": codes}
+        from pim_lucene_spark.plans.query import IntervalQuery
+        if isinstance(clause, IntervalQuery):
+            # interval proximity clause: sub-terms from the index
+            # analyzer (query-time analysis parity); saturation-scored
+            # in-kernel over the stored position streams — absent terms
+            # or empty analysis make it an empty clause (no intervals)
+            from pim_lucene_spark.functions.tokenize import tokenize_one
+            sid = self._next_sid
+            self._next_sid += 1
+            terms = tuple(tokenize_one(clause.text,
+                                       self.manifests[field].tokenizer))
+            if terms:
+                self.iv_leaves[field].append(
+                    (sid, terms, bool(clause.ordered), clause.max_gaps,
+                     clause.max_width, float(clause.pivot),
+                     float(clause.boost) * eff_boost))
+            return {"kind": "scored", "sid": sid}
         if isinstance(clause, SynonymQuery):
             sid = self._next_sid
             self._next_sid += 1
@@ -1427,7 +1547,8 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
                   matchall_fields: set | None = None,
                   extra_terms: dict | None = None,
                   slops: dict[int, int] | None = None,
-                  syn_leaves: dict[str, list] | None = None) -> DataFrame:
+                  syn_leaves: dict[str, list] | None = None,
+                  iv_leaves: dict[str, list] | None = None) -> DataFrame:
     """Run prepared compound specs through the per-partition kernel.
 
     One union scan (per-field ``term IN`` pushdown + field tag) →
@@ -1442,22 +1563,25 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
     empty = spark.createDataFrame([], COMPOUND_SCHEMA)
     clause_plan: dict[int, tuple] = {}
     syn_boosts: dict[int, tuple] = {}
+    iv_specs: dict[int, tuple] = {}
     fields_payload: dict[str, dict] = {}
     scans = []
     num_partitions = None
     for f, m in manifests.items():
         lv = leaves.get(f) or []
         syn = (syn_leaves or {}).get(f) or []
+        iv = (iv_leaves or {}).get(f) or []
         ma_here = bool(matchall_fields) and f in matchall_fields
         extra = set((extra_terms or {}).get(f) or ())
-        if not lv and not ma_here and not extra and not syn:
+        if not lv and not ma_here and not extra and not syn and not iv:
             continue
         if lv:
             planned, needed = plan_queries(spark, m, lv, k, precision)
         else:
             planned, needed = [], set()
         needed = set(needed) | extra | _plan_syn_leaves(
-            spark, m, syn, precision, f, clause_plan, syn_boosts)
+            spark, m, syn, precision, f, clause_plan, syn_boosts) \
+            | _plan_iv_leaves(spark, m, iv, f, clause_plan, iv_specs)
         num_partitions = m.num_partitions
         for sid, terms, w in planned:
             clause_plan[sid] = (f, tuple(terms), float(w),
@@ -1486,6 +1610,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
         "specs": specs,
         "clauses": clause_plan,
         "syn_boosts": syn_boosts,
+        "iv_specs": iv_specs,
         "fields": fields_payload,
         "k": int(k),
         "precision": precision,
@@ -1727,6 +1852,7 @@ def search_compound_local(index, queries,
 
     clause_plan: dict[int, tuple] = {}
     syn_boosts: dict[int, tuple] = {}
+    iv_specs: dict[int, tuple] = {}
     fields_payload: dict[str, dict] = {}
     ckeys: dict[str, tuple] = {}
     needed_by_field: dict[str, list] = {}
@@ -1734,16 +1860,18 @@ def search_compound_local(index, queries,
     for f, m in manifests.items():
         lv = b.leaves.get(f) or []
         syn = b.syn_leaves.get(f) or []
+        iv = b.iv_leaves.get(f) or []
         ma_here = f in b.matchall_fields
         extra = b.extra_terms.get(f) or set()
-        if not lv and not ma_here and not extra and not syn:
+        if not lv and not ma_here and not extra and not syn and not iv:
             continue
         if lv:
             planned, needed = plan_queries(None, m, lv, k, precision)
         else:
             planned, needed = [], set()
         needed = set(needed) | extra | _plan_syn_leaves(
-            None, m, syn, precision, f, clause_plan, syn_boosts)
+            None, m, syn, precision, f, clause_plan, syn_boosts) \
+            | _plan_iv_leaves(None, m, iv, f, clause_plan, iv_specs)
         for sid, ts, w in planned:
             clause_plan[sid] = (f, tuple(ts), float(w),
                                 b.slops.get(sid, 0))
@@ -1776,6 +1904,7 @@ def search_compound_local(index, queries,
         "specs": specs,
         "clauses": clause_plan,
         "syn_boosts": syn_boosts,
+        "iv_specs": iv_specs,
         "fields": fields_payload,
         "k": int(k),
         "precision": precision,
@@ -1927,4 +2056,4 @@ def search_compound(spark: SparkSession,
                          postings_cache_mb=postings_cache_mb,
                          matchall_fields=b.matchall_fields,
                          extra_terms=b.extra_terms, slops=b.slops,
-                         syn_leaves=b.syn_leaves)
+                         syn_leaves=b.syn_leaves, iv_leaves=b.iv_leaves)

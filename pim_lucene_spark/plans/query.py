@@ -151,3 +151,39 @@ class ConstantScoreQuery:
 
     query: object
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IntervalQuery:
+    """Proximity via minimal intervals over TERM sub-sources — the
+    engine's ``IntervalQuery.java`` surface ("A within N words of B,
+    ordered"): ``Intervals.maxgaps(g, Intervals.ordered(terms…))`` /
+    ``maxwidth`` / ``unordered``.
+
+    ``text`` analyzes with the index tokenizer into the sub-terms (one
+    per token, in order).  ``ordered`` demands the terms appear in that
+    order; enumerated intervals follow minimal-interval semantics
+    (:mod:`pim_lucene_spark.functions.intervals`).  ``max_gaps`` keeps
+    intervals with at most that many non-query positions inside
+    (width − term count); ``max_width`` caps the whole span length; None
+    = unfiltered.  Scoring is the saturation function
+    (``IntervalScoreFunction.java``): per-doc
+    ``freq = Σ 1/max(width − minExtent + 1, 1)`` over minimal intervals
+    and ``score = boost · (1 − pivot/(pivot + freq))`` — NOT BM25 (the
+    doc norm never enters).
+    """
+
+    text: str
+    ordered: bool = True
+    max_gaps: int | None = None
+    max_width: int | None = None
+    pivot: float = 1.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.max_gaps is not None and int(self.max_gaps) < 0:
+            raise ValueError("max_gaps must be >= 0")
+        if self.max_width is not None and int(self.max_width) < 1:
+            raise ValueError("max_width must be >= 1")
+        if not float(self.pivot) > 0:
+            raise ValueError("pivot must be > 0")

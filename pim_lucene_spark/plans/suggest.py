@@ -201,13 +201,14 @@ def count_matches(spark: SparkSession, index: IndexManifest | str,
     from pim_lucene_spark.plans.dismax import DisMaxQuery
     from pim_lucene_spark.plans.multiterm import (MultiTermQueryT,
                                                   search_multiterm)
-    from pim_lucene_spark.plans.query import SynonymQuery, to_tuple
+    from pim_lucene_spark.plans.query import (IntervalQuery, SynonymQuery,
+                                              to_tuple)
     from pim_lucene_spark.plans.router import search_with_fallback
 
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
     plain, multi, sloppy, slops, compound = [], [], [], {}, []
     for qid, q in queries:
-        if isinstance(q, SynonymQuery):
+        if isinstance(q, (SynonymQuery, IntervalQuery)):
             # count via the compound kernel like every other entry point
             compound.append((qid, BooleanQuery(must=[q])))
         elif isinstance(q, (BooleanQuery, DisMaxQuery)):

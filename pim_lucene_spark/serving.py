@@ -60,6 +60,7 @@ def serve_local(manifest: IndexManifest, queries, k: int,
     from pim_lucene_spark.plans.query import (ConstantScoreQuery,
                                               DocValuesRangeQuery,
                                               FacetFilterQuery,
+                                              IntervalQuery,
                                               MatchAllDocsQuery,
                                               SynonymQuery, to_tuple)
 
@@ -69,11 +70,12 @@ def serve_local(manifest: IndexManifest, queries, k: int,
             typed.append((qid, q))
         elif isinstance(q, str):
             plain.append((qid, q))
-        elif isinstance(q, (FuzzyQuery, SynonymQuery)):
+        elif isinstance(q, (FuzzyQuery, SynonymQuery, IntervalQuery)):
             # top-level fuzzy = scoring boolean over the expansion;
-            # top-level synonym = merged-stats pseudo-term — both
-            # boolean-wrap onto the resident compound kernel (bit-equal
-            # to the distributed route; differential-tested)
+            # top-level synonym = merged-stats pseudo-term; top-level
+            # interval = saturation proximity — all boolean-wrap onto
+            # the resident compound kernel (bit-equal to the
+            # distributed route; differential-tested)
             typed.append((qid, BooleanQuery(must=[q])))
         elif isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery)):
             # same rewrites as FullTextIndex.query's wrapper branch;
