@@ -60,9 +60,11 @@ def explain(index: IndexManifest | str, query, doc_id: int,
         return _explain_boolean(manifest, query, doc_id, precision)
     if isinstance(query, DisMaxQuery):
         return _explain_dismax(manifest, query, doc_id, precision)
-    from pim_lucene_spark.plans.query import SynonymQuery
+    from pim_lucene_spark.plans.query import IntervalQuery, SynonymQuery
     if isinstance(query, SynonymQuery):
         return _explain_synonym(manifest, query, doc_id, precision)
+    if isinstance(query, IntervalQuery):
+        return _explain_interval(manifest, query, doc_id, precision)
 
     from pim_lucene_spark.functions import bm25
     from pim_lucene_spark.functions.tokenize import tokenize_one
@@ -137,6 +139,49 @@ def explain(index: IndexManifest | str, query, doc_id: int,
         "cache": float(cache[norm_byte]),
         "precision": precision,
     }
+
+
+def _explain_interval(manifest, q, doc_id: int, precision: str) -> dict:
+    """IntervalQuery explain (IntervalScoreFunction.explain shape):
+    minimal intervals recomputed over the doc's stored token positions
+    with the SAME kernel functions, freq = Σ 1/max(len − minExtent + 1,
+    1), score = boost·(1 − pivot/(pivot + freq)) — bit-identical to
+    ``_interval_match``."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pim_lucene_spark.functions.intervals import (interval_freqs_keys,
+                                                      saturation_scores)
+    from pim_lucene_spark.functions.tokenize import tokenize_one
+
+    terms = tokenize_one(q.text, manifest.tokenizer)
+    out = {"doc_id": int(doc_id), "query": "IntervalQuery",
+           "ordered": bool(q.ordered), "terms": list(terms),
+           "max_gaps": q.max_gaps, "max_width": q.max_width,
+           "pivot": float(q.pivot),
+           "description": ("saturation function on interval frequency, "
+                           "w * S / (S + k) — IntervalScoreFunction.java")}
+    if not terms:
+        return dict(out, matches=False, score=0.0, freq=0.0)
+    doc = pq.read_table(
+        manifest.docs_path,
+        filters=[("doc_id", "in", [int(doc_id)])]).to_pylist()
+    if not doc:
+        raise ValueError(f"doc_id {doc_id} not in the index")
+    tokens = tokenize_one(doc[0]["text"] if "text" in doc[0]
+                          else doc[0]["content"], manifest.tokenizer)
+    toks = np.asarray(tokens, dtype=object)
+    keys = [np.flatnonzero(toks == t).astype(np.int64) for t in terms]
+    if any(k.size == 0 for k in keys):
+        return dict(out, matches=False, score=0.0, freq=0.0)
+    freq = float(interval_freqs_keys(keys, 1, bool(q.ordered), q.max_gaps,
+                                     q.max_width, precision)[0])
+    if freq == 0.0:
+        return dict(out, matches=False, score=0.0, freq=0.0)
+    score = float(saturation_scores(np.asarray([freq]), float(q.boost),
+                                    float(q.pivot), precision)[0])
+    return dict(out, matches=True, score=score, freq=freq,
+                boost=float(q.boost))
 
 
 def _explain_synonym(manifest, q, doc_id: int, precision: str) -> dict:
@@ -216,10 +261,11 @@ def _boosted_clause(clause, mul: float):
 
     from dataclasses import replace
 
-    from pim_lucene_spark.plans.query import (MatchAllDocsQuery,
+    from pim_lucene_spark.plans.query import (IntervalQuery,
+                                              MatchAllDocsQuery,
                                               SynonymQuery)
     if isinstance(clause, (BooleanQuery, MatchAllDocsQuery,
-                           SynonymQuery)):
+                           SynonymQuery, IntervalQuery)):
         return replace(clause, boost=float(clause.boost) * mul)
     text = getattr(clause, "text", clause)
     if not isinstance(text, str):

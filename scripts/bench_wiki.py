@@ -178,6 +178,22 @@ def main() -> None:
     mixed_mm = rank_diff(mixed_rows, mscan.collect(),
                          [q for q, _ in msample])
 
+    # --- remaining reference query files (protocol completeness):
+    # requests_subset.txt (195 phrases) + requests_one_word.txt +
+    # requests_one_phrase.txt, replayed as exact phrases with a FULL
+    # every-query scan differential (small enough to check all of them)
+    sub = []
+    for pth in ("requests_subset.txt", "requests_one_word.txt",
+                "requests_one_phrase.txt"):
+        p = os.path.join(REF_BASE, "queries", pth)
+        sub += [(20_000 + len(sub) + i, t)
+                for i, (_, t) in enumerate(load_queries(p))]
+    t0 = time.time()
+    sub_rows = search(spark, manifest, sub, k=k).collect()
+    sub_s = time.time() - t0
+    sscan = brute_force_search(docs, sub, k=k, tokenizer="standard")
+    sub_mm = rank_diff(sub_rows, sscan.collect(), [q for q, _ in sub])
+
     # --- parsed replay: the same mixed lines through the classic query
     # parser (multi-word line → OR boolean of terms → the compound
     # kernel; one word → term query).  Differential: kernel vs
@@ -285,6 +301,10 @@ def main() -> None:
         "qps_mixed": round(len(mixed) / mixed_s, 2),
         "mixed_diff_sampled": len(msample),
         "mixed_diff_mismatches": mixed_mm,
+        "n_subset": len(sub),
+        "qps_subset": round(len(sub) / sub_s, 2),
+        "subset_diff_sampled": len(sub),
+        "subset_diff_mismatches": sub_mm,
         "qps_parsed_boolean": round(len(pq) / parsed_s, 2),
         "parsed_diff_sampled": len(typed),
         "parsed_diff_mismatches": parsed_mm,

@@ -173,3 +173,24 @@ def test_count_and_query_facades(spark, iv_index):
     n = count_matches(spark, iv_index,
                       [(0, IntervalQuery("alpha beta", max_gaps=0))])
     assert n.toPandas().set_index("qid").n_hits.to_dict() == {0: 4}
+
+
+def test_explain_interval(spark, iv_index):
+    from pim_lucene_spark.plans.explain import explain
+    q = IntervalQuery("alpha beta", max_gaps=2, pivot=2.0, boost=1.5)
+    got = _run(spark, iv_index, [(0, q)])
+    s = dict(zip(got.doc_id, got.score))
+    for d in range(8):
+        ex = explain(iv_index, q, d, precision="float64")
+        if d in s:
+            assert ex["matches"] is True
+            assert ex["score"] == pytest.approx(s[d], abs=1e-12)
+        else:
+            assert ex["matches"] is False and ex["score"] == 0.0
+    # inside a boolean: explain's sum must equal the kernel score
+    bq = BooleanQuery(must=["alpha"], should=[q])
+    kern = (search_boolean(spark, iv_index, [(0, bq)], k=100,
+                           precision="float64").toPandas())
+    for r in kern.itertuples(index=False):
+        ex = explain(iv_index, bq, int(r.doc_id), precision="float64")
+        assert ex["score"] == pytest.approx(float(r.score), abs=1e-12)
