@@ -80,7 +80,10 @@ def _iv_queries():
 # [row, column] adjacent, which a gapped "rows and columns" doc is NOT)
 ENG_QUERIES = [(520, "tables scans"), (521, "the sort window"),
                (522, "Values"), (523, "fast keys"),
-               (524, "rows and columns")]
+               (524, "rows and columns"),
+               # internal stop word → GAPPED PhraseQuery (sort@x,
+               # window@x+2 — Lucene QueryBuilder position increments)
+               (525, "sort the window")]
 # multi-field: `body` = full text, `head` = first five tokens; a term must
 # only match within its queried field's posting space + that field's stats
 MF_BODY_QUERIES = [(600, "the fast"), (601, "merge")]

@@ -203,6 +203,27 @@ def tokenize_one(text: str, tokenizer: str = "whitespace") -> list[str]:
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 
+def tokenize_one_with_offsets(text: str, tokenizer: str = "whitespace"
+                              ) -> tuple[list[str], tuple | None]:
+    """Single-string analyze → (terms, gap offsets | None).
+
+    Offsets are non-None only when a stop-filtering analyzer removed
+    INTERNAL tokens (``english``): Lucene QueryBuilder keeps position
+    increments, so kept terms carry their post-removal ordinals
+    (normalized to start at 0 — a leading gap only shifts the match)."""
+    if tokenizer != "english":
+        return tokenize_one(text, tokenizer), None
+    _, codes, pos, uniq = tokenize_to_codes(
+        pd.Series([text or ""], dtype=object), tokenizer)
+    terms = [uniq[c] for c in codes]
+    if not terms:
+        return terms, None
+    offs = pos - pos[0]
+    if (offs == np.arange(len(terms))).all():
+        return terms, None
+    return terms, tuple(int(x) for x in offs)
+
+
 def tokenize_to_codes(texts: pd.Series, tokenizer: str = "whitespace"):
     """Series[str] → ``(doc_idx, codes, positions, uniques)`` without
     materializing per-token Python strings.

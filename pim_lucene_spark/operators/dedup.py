@@ -394,17 +394,22 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     reachable through the pair graph (a canonical, deterministic
     component label).
 
-    Iterative hash-min label propagation — no graph library: every node
-    starts labeled with itself; each round every node takes the min of
-    its own label and its neighbors' labels (one shuffle keyed on the
-    edge source per round).  Labels only decrease, so the fixpoint is
-    exact connected components in O(component diameter) rounds — dedup
-    graphs are near-cliques (diameter 2-4), so this converges in a
-    handful of rounds even at 100 TB, shuffling O(edges) per round and
-    never materializing the transitive closure.  Each round's frame is
-    persisted and the previous one released, so lineage and storage stay
-    bounded.  Only nodes present in ``pairs`` appear (docs with no
-    near-dup are their own implicit singleton clusters).
+    Iterative hash-min label propagation WITH pointer jumping — no
+    graph library: every node starts labeled with itself; each round
+    every node takes the min of its own label and its neighbors' labels
+    (one shuffle keyed on the edge source), then shortcuts
+    ``label ← label(label)`` (one self-join on the label frame — the
+    pointer-doubling step of the Hash-to-Min family).  Labels only
+    decrease, so the fixpoint is exact connected components; the
+    shortcut makes convergence O(log diameter) rounds instead of
+    O(diameter) — dedup graphs are near-cliques (2-4 rounds), and even
+    a pathological 10⁶-long chain needs ~20.  Per round the shuffle is
+    O(edges) + O(nodes), never the transitive closure.  Each round's
+    frame is localCheckpoint-ed (lineage truncated — the iterative
+    self-reference would otherwise double the logical plan per round
+    and OOM the DRIVER at planning time).  Only nodes present in
+    ``pairs`` appear (docs with no near-dup are their own implicit
+    singleton clusters).
     """
     edges = (pairs.select(F.col(a_col).cast("long").alias("a"),
                           F.col(b_col).cast("long").alias("b"))
@@ -420,14 +425,18 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         for _ in range(max_iter):
             prop = (edges.join(labels, edges["a"] == labels["id"])
                     .select(F.col("b").alias("id"), "label"))
-            # localCheckpoint truncates the lineage each round — without
-            # it the iterative self-reference doubles the logical plan
-            # per round and the DRIVER OOMs planning round ~12 long
-            # before any data is big.  (On a cluster with a configured
-            # checkpoint dir, `checkpoint()` adds executor-loss
-            # tolerance; local mode has no such loss to tolerate.)
-            new = (labels.unionByName(prop)
-                   .groupBy("id").agg(F.min("label").alias("label"))
+            mins = (labels.unionByName(prop)
+                    .groupBy("id").agg(F.min("label").alias("label")))
+            # pointer jumping: label ← label(label).  Every label IS a
+            # node id (min over ids), so the inner self-join always
+            # finds its row; label(label) ≤ label keeps monotonicity.
+            lab2 = mins.select(F.col("id").alias("lid"),
+                               F.col("label").alias("llabel"))
+            # (On a cluster with a configured checkpoint dir,
+            # `checkpoint()` adds executor-loss tolerance; local mode
+            # has no such loss to tolerate.)
+            new = (mins.join(lab2, mins["label"] == lab2["lid"])
+                   .select("id", F.col("llabel").alias("label"))
                    .localCheckpoint(eager=True))
             changed = (new.join(labels.withColumnRenamed("label", "old"),
                                 "id")

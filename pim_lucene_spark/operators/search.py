@@ -180,14 +180,18 @@ class _LazyPostings:
 
 
 def _phrase_match_counts(postings_by_term: list, cand_idx_by_term: list[np.ndarray],
-                         n_cand: int) -> np.ndarray:
+                         n_cand: int,
+                         offsets: tuple | None = None) -> np.ndarray:
     """Vectorized overlap-counting position alignment.
 
-    For each term i, candidate-doc positions are shifted by -i and encoded
-    as ``cand_rank * 2^32 + shifted_pos``; successive sorted-array
-    intersections leave one key per aligned start position
-    (``matcher.c:133-177`` semantics: every overlapping start counts).
-    Position units are decoded lazily for exactly the candidates given.
+    For each term i, candidate-doc positions are shifted by -offset_i
+    (consecutive ordinals by default; a gapped PhraseQuery — internal
+    stop words removed by the ``english`` analyzer — supplies explicit
+    ``offsets``) and encoded as ``cand_rank * 2^32 + shifted_pos``;
+    successive sorted-array intersections leave one key per aligned
+    start position (``matcher.c:133-177`` semantics: every overlapping
+    start counts).  Position units are decoded lazily for exactly the
+    candidates given.
     """
     keys = None
     for i, (tp, idx) in enumerate(zip(postings_by_term, cand_idx_by_term)):
@@ -200,7 +204,7 @@ def _phrase_match_counts(postings_by_term: list, cand_idx_by_term: list[np.ndarr
             return np.zeros(n_cand, dtype=np.int64)
         take = np.arange(total, dtype=np.int64) + np.repeat(starts, lens) \
             - np.repeat(np.cumsum(lens) - lens, lens)
-        pos = tp.positions[take] - i
+        pos = tp.positions[take] - (i if offsets is None else offsets[i])
         ranks = np.repeat(np.arange(idx.size, dtype=np.int64), lens)
         k = ranks * _POS_KEY_SHIFT + pos
         if i == 0:
@@ -514,6 +518,7 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
 
     bounds = payload.get("bounds") or {}
     after_all = payload.get("after") or {}
+    offsets_all = payload.get("offsets") or {}
     # multi-round adaptive bound sync (topdocs_sync.c:469-544): the
     # driver passes a per-round doc budget + per-(qid, pid) resume
     # indices; the kernel reports progress back through STATE rows
@@ -626,7 +631,7 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                 sub_counts = _phrase_match_counts(
                     [tps[j] for j in term_order],
                     [idxs[j][sel] for j in term_order],
-                    sel.size)
+                    sel.size, offsets=offsets_all.get(qid))
                 freqs[sel] = sub_counts
                 hit = sub_counts > 0
                 if hit.any():
@@ -802,47 +807,87 @@ def _normalize_queries(queries) -> list[tuple[int, str, float]]:
     return out
 
 
-def _tokenize_queries(norm_queries: list[tuple[int, str, float]],
-                      tokenizer: str) -> dict[int, tuple[list[str], float]]:
-    """Analyze a whole query batch in ONE vectorized pass.
+def _tokenize_queries_full(norm_queries: list[tuple[int, str, float]],
+                           tokenizer: str
+                           ) -> dict[int, tuple[list, tuple | None, float]]:
+    """Analyze a whole query batch in ONE vectorized pass →
+    ``{qid: (terms, offsets | None, boost)}``.
 
     Per-query ``tokenize_one`` re-runs the analyzer pipeline (and, for
     ``standard``, ~15 Arrow regex compilations) per string — measured
     ~20 ms/query, which made driver-side planning the bottleneck of the
-    1036-query reference batch.  One ``tokenize_series`` call amortizes
-    the pipeline over the batch.
+    1036-query reference batch.  One batched call amortizes it.
+
+    ``offsets`` is non-None only when a stop-filtering analyzer
+    (``english``) removed INTERNAL tokens: Lucene's ``QueryBuilder``
+    keeps position increments, so the phrase "sort the window" becomes
+    a gapped PhraseQuery — sort@x, window@x+2.  Offsets are normalized
+    to start at 0 (a leading gap only shifts the match start).
     """
-    from pim_lucene_spark.functions.tokenize import tokenize_series
-    toks = tokenize_series(pd.Series([t for _, t, _ in norm_queries],
-                                     dtype=object), tokenizer)
-    return {qid: (list(ts), boost)
-            for (qid, _, boost), ts in zip(norm_queries, toks)}
+    texts = pd.Series([t for _, t, _ in norm_queries], dtype=object)
+    if tokenizer != "english":
+        from pim_lucene_spark.functions.tokenize import tokenize_series
+        toks = tokenize_series(texts, tokenizer)
+        return {qid: (list(ts), None, boost)
+                for (qid, _, boost), ts in zip(norm_queries, toks)}
+    from pim_lucene_spark.functions.tokenize import tokenize_to_codes
+    doc_idx, codes, pos, uniq = tokenize_to_codes(texts, tokenizer)
+    bounds = np.searchsorted(doc_idx, np.arange(len(norm_queries) + 1))
+    out = {}
+    for row, (qid, _, boost) in enumerate(norm_queries):
+        lo, hi = bounds[row], bounds[row + 1]
+        ts = [uniq[c] for c in codes[lo:hi]]
+        offs = pos[lo:hi]
+        gapped = None
+        if ts:
+            offs = offs - offs[0]
+            if (offs != np.arange(len(ts))).any():
+                gapped = tuple(int(x) for x in offs)
+        out[qid] = (ts, gapped, boost)
+    return out
+
+
+def _tokenize_queries(norm_queries: list[tuple[int, str, float]],
+                      tokenizer: str) -> dict[int, tuple[list[str], float]]:
+    """Back-compat shape ``{qid: (terms, boost)}`` (no gap offsets)."""
+    return {qid: (ts, boost) for qid, (ts, _, boost)
+            in _tokenize_queries_full(norm_queries, tokenizer).items()}
 
 
 def plan_queries(spark: SparkSession, manifest: IndexManifest,
                  queries: list[tuple], k: int,
-                 precision: str) -> tuple[list, list[str]]:
+                 precision: str,
+                 collect_offsets: dict | None = None
+                 ) -> tuple[list, list[str]]:
     """Driver-side scoring-stats build (Q2) + no-match short-circuit (Q3).
 
     ``queries`` are ``(qid, text)`` or ``(qid, text, boost)``; boost
     scales the weight exactly as Lucene's ``BoostQuery``
     (``weight = boost * Σidf`` in float32, ``BM25Similarity.java:236``).
+
+    ``collect_offsets``: a dict the caller supplies to receive
+    ``{qid: gap offsets}`` for queries whose analysis removed internal
+    stop words (``english`` analyzer) — the kernel aligns phrase terms
+    at those offsets instead of consecutive positions (Lucene
+    QueryBuilder gapped-PhraseQuery semantics).
     """
     norm_queries = _normalize_queries(queries)
-    term_lists = _tokenize_queries(norm_queries, manifest.tokenizer)
-    all_terms = sorted({t for ts, _ in term_lists.values() for t in ts})
+    term_lists = _tokenize_queries_full(norm_queries, manifest.tokenizer)
+    all_terms = sorted({t for ts, _, _ in term_lists.values() for t in ts})
     if not all_terms:
         return [], []
     cache = term_doc_freqs(spark, manifest, all_terms)
     doc_freq = {t: cache[t] for t in all_terms if cache[t] > 0}
     planned = []
-    for qid, (terms, boost) in term_lists.items():
+    for qid, (terms, offs, boost) in term_lists.items():
         if not terms or any(t not in doc_freq for t in terms):
             continue  # Q3: constant-zero weight
         dfs = np.array([doc_freq[t] for t in terms], dtype=np.int64)
         weight = bm25.phrase_weight(dfs, manifest.doc_count,
                                     boost=boost, precision=precision)
         planned.append((qid, tuple(terms), float(weight)))
+        if collect_offsets is not None and offs is not None:
+            collect_offsets[qid] = offs
     needed_terms = sorted({t for _, ts, _ in planned for t in ts})
     return planned, needed_terms
 
@@ -1055,7 +1100,10 @@ def search(spark: SparkSession, index: IndexManifest | str,
         # thresholds are inert above any real match count
         k = 10 ** 9
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
-    planned, needed_terms = plan_queries(spark, manifest, queries, k, precision)
+    gap_offsets: dict = {}
+    planned, needed_terms = plan_queries(spark, manifest, queries, k,
+                                         precision,
+                                         collect_offsets=gap_offsets)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
     if not planned:
         return empty
@@ -1084,6 +1132,8 @@ def search(spark: SparkSession, index: IndexManifest | str,
     if after:
         payload["after"] = {int(q): (float(s), int(d))
                             for q, (s, d) in after.items()}
+    if gap_offsets:
+        payload["offsets"] = gap_offsets
 
     postings = (spark.read.parquet(*[manifest.chunk_path(c) for c in
                                      range(manifest.build_chunks)])
@@ -1312,8 +1362,10 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
     as :func:`search`.
     """
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
+    gap_offsets: dict = {}
     planned, needed_terms = plan_queries(None, manifest, queries, k,
-                                         precision)
+                                         precision,
+                                         collect_offsets=gap_offsets)
     if not planned:
         return _empty_result()
     avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
@@ -1335,6 +1387,8 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
     if after:
         payload["after"] = {int(q): (float(s), int(d))
                             for q, (s, d) in after.items()}
+    if gap_offsets:
+        payload["offsets"] = gap_offsets
     ckey = payload["cache_key"]
     by_pid = _local_rows(manifest, ckey, list(needed_terms), pids=pids)
     outs = []

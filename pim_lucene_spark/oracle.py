@@ -173,16 +173,20 @@ def _q(s: str) -> str:
     return s.replace("'", "''")
 
 
-def _phrase_freq_select(terms: list[str]) -> str:
-    """Per-doc overlap-counting phrase frequency via m-way position joins."""
+def _phrase_freq_select(terms: list[str],
+                        offsets: tuple | None = None) -> str:
+    """Per-doc overlap-counting phrase frequency via m-way position
+    joins.  ``offsets`` (english-analyzer gapped PhraseQuery) replace
+    the consecutive ``+ i`` shifts."""
     if len(terms) == 1:
         return (f"SELECT doc_id, CAST(count(*) AS BIGINT) AS freq "
                 f"FROM positions WHERE term = '{_q(terms[0])}' GROUP BY doc_id")
     joins = []
     for i in range(1, len(terms)):
+        off = i if offsets is None else int(offsets[i])
         joins.append(
             f"JOIN positions p{i} ON p{i}.doc_id = p0.doc_id "
-            f"AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{_q(terms[i])}'")
+            f"AND p{i}.pos = p0.pos + {off} AND p{i}.term = '{_q(terms[i])}'")
     return (f"SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS freq "
             f"FROM positions p0 {' '.join(joins)} "
             f"WHERE p0.term = '{_q(terms[0])}' GROUP BY p0.doc_id")
@@ -200,13 +204,14 @@ def phrase_bm25_sql(queries: list[tuple[int, str]], k: int | None = 10,
     AFTER scoring and BEFORE the top-k cut — the delete-vector contract:
     df/avgdl still count deleted docs until a merge purges them.
     """
+    from pim_lucene_spark.functions.tokenize import tokenize_one_with_offsets
     selects = []
     for qid, text in queries:
-        terms = tokenize_one(text, tokenizer)
+        terms, offsets = tokenize_one_with_offsets(text, tokenizer)
         if not terms:
             continue
         weight = "(" + " + ".join(_idf_sql(t) for t in terms) + ")"
-        freq_sel = _phrase_freq_select(terms)
+        freq_sel = _phrase_freq_select(terms, offsets)
         cache = _cache_sql(_quantized_dl("docl.dl"))
         score_exact = (f"({weight} - {weight} / "
                        f"(1.0 + CAST(f.freq AS DOUBLE) * {cache}))")

@@ -90,7 +90,8 @@ class ExpansionTooWide(NotImplementedError):
 
 def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
                 weight: float, cache: np.ndarray, precision: str,
-                cand_segs: np.ndarray | None = None, slop: int = 0
+                cand_segs: np.ndarray | None = None, slop: int = 0,
+                offsets: tuple | None = None
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One term/phrase clause's partition-local match set →
     (docs ascending-unique, float64 scores, float64 freqs).  Same decode
@@ -164,7 +165,7 @@ def _leaf_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
     else:
         counts = _phrase_match_counts([tps[j] for j in term_order],
                                       [idxs[j] for j in term_order],
-                                      cand.size)
+                                      cand.size, offsets=offsets)
         hit = counts > 0
     if not hit.any():
         return _EMPTY_I64, _EMPTY_F64, _EMPTY_F64
@@ -552,6 +553,7 @@ def _compound_core(payload: dict, pid: int,
 
     syn_boosts = payload.get("syn_boosts") or {}
     iv_specs = payload.get("iv_specs") or {}
+    leaf_offsets = payload.get("leaf_offsets") or {}
 
     def eval_leaf(sid: int, cand: np.ndarray | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
@@ -594,7 +596,9 @@ def _compound_core(payload: dict, pid: int,
                 hit = (docs, sc)
                 leaf_cache[key] = hit
             return hit
-        hit = leaf_cache.get(ent)
+        offs = leaf_offsets.get(sid)
+        ckey_leaf = ent if offs is None else (ent, offs)
+        hit = leaf_cache.get(ckey_leaf)
         if hit is not None:
             return hit
         cand_segs = None
@@ -610,13 +614,14 @@ def _compound_core(payload: dict, pid: int,
             cand_segs[segs[segs < nseg]] = True
         docs, sc, _ = _leaf_match(ctxs[f], norms[f], terms, weight,
                                   fields[f]["cache"], precision,
-                                  cand_segs=cand_segs, slop=slop)
+                                  cand_segs=cand_segs, slop=slop,
+                                  offsets=offs)
         if live.get(f) is not None and docs.size:
             keep = live[f][docs]
             docs, sc = docs[keep], sc[keep]
         res = (docs, sc)
         if cand is None:  # only full evaluations are batch-reusable
-            leaf_cache[ent] = res
+            leaf_cache[ckey_leaf] = res
         return res
 
     const_cache: dict[tuple, np.ndarray] = {}
@@ -1206,6 +1211,7 @@ def _plan_aggregate_payload(spark: SparkSession,
     clause_plan: dict[int, tuple] = {}
     syn_boosts: dict[int, tuple] = {}
     iv_specs: dict[int, tuple] = {}
+    leaf_offsets: dict[int, tuple] = {}
     fields_payload, scans = {}, []
     num_partitions = None
     for f, m in manifests.items():
@@ -1217,7 +1223,8 @@ def _plan_aggregate_payload(spark: SparkSession,
         if not lv and not ma_here and not extra and not syn and not iv:
             continue
         if lv:
-            planned, needed = plan_queries(spark, m, lv, 1, precision)
+            planned, needed = plan_queries(spark, m, lv, 1, precision,
+                                           collect_offsets=leaf_offsets)
         else:
             planned, needed = [], set()
         needed = set(needed) | extra | _plan_syn_leaves(
@@ -1253,6 +1260,7 @@ def _plan_aggregate_payload(spark: SparkSession,
         "clauses": clause_plan,
         "syn_boosts": syn_boosts,
         "iv_specs": iv_specs,
+        "leaf_offsets": leaf_offsets,
         "fields": fields_payload,
         "k": None,
         "precision": precision,
@@ -1564,6 +1572,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
     clause_plan: dict[int, tuple] = {}
     syn_boosts: dict[int, tuple] = {}
     iv_specs: dict[int, tuple] = {}
+    leaf_offsets: dict[int, tuple] = {}
     fields_payload: dict[str, dict] = {}
     scans = []
     num_partitions = None
@@ -1576,7 +1585,8 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
         if not lv and not ma_here and not extra and not syn and not iv:
             continue
         if lv:
-            planned, needed = plan_queries(spark, m, lv, k, precision)
+            planned, needed = plan_queries(spark, m, lv, k, precision,
+                                           collect_offsets=leaf_offsets)
         else:
             planned, needed = [], set()
         needed = set(needed) | extra | _plan_syn_leaves(
@@ -1611,6 +1621,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
         "clauses": clause_plan,
         "syn_boosts": syn_boosts,
         "iv_specs": iv_specs,
+        "leaf_offsets": leaf_offsets,
         "fields": fields_payload,
         "k": int(k),
         "precision": precision,
@@ -1853,6 +1864,7 @@ def search_compound_local(index, queries,
     clause_plan: dict[int, tuple] = {}
     syn_boosts: dict[int, tuple] = {}
     iv_specs: dict[int, tuple] = {}
+    leaf_offsets: dict[int, tuple] = {}
     fields_payload: dict[str, dict] = {}
     ckeys: dict[str, tuple] = {}
     needed_by_field: dict[str, list] = {}
@@ -1866,7 +1878,8 @@ def search_compound_local(index, queries,
         if not lv and not ma_here and not extra and not syn and not iv:
             continue
         if lv:
-            planned, needed = plan_queries(None, m, lv, k, precision)
+            planned, needed = plan_queries(None, m, lv, k, precision,
+                                           collect_offsets=leaf_offsets)
         else:
             planned, needed = [], set()
         needed = set(needed) | extra | _plan_syn_leaves(
@@ -1905,6 +1918,7 @@ def search_compound_local(index, queries,
         "clauses": clause_plan,
         "syn_boosts": syn_boosts,
         "iv_specs": iv_specs,
+        "leaf_offsets": leaf_offsets,
         "fields": fields_payload,
         "k": int(k),
         "precision": precision,

@@ -67,15 +67,14 @@ def explain(index: IndexManifest | str, query, doc_id: int,
         return _explain_interval(manifest, query, doc_id, precision)
 
     from pim_lucene_spark.functions import bm25
-    from pim_lucene_spark.functions.tokenize import tokenize_one
-    from pim_lucene_spark.model import phrase_freq
+    from pim_lucene_spark.functions.tokenize import tokenize_one_with_offsets
     from pim_lucene_spark.operators.search import _local_norms
     slop = int(getattr(query, "slop", 0))
     if slop:
         raise ValueError("explain covers exact (slop=0) queries")
     text = getattr(query, "text", query)
     boost = float(getattr(query, "boost", 1.0))
-    terms = tokenize_one(text, manifest.tokenizer)
+    terms, offsets = tokenize_one_with_offsets(text, manifest.tokenizer)
     if not terms:
         raise ValueError("empty query after analysis")
 
@@ -98,9 +97,9 @@ def explain(index: IndexManifest | str, query, doc_id: int,
         filters=[("doc_id", "in", [int(doc_id)])]).to_pylist()
     if not doc:
         raise ValueError(f"doc_id {doc_id} not in the index")
-    tokens = tokenize_one(doc[0]["text"] if "text" in doc[0]
-                          else doc[0]["content"], manifest.tokenizer)
-    freq = phrase_freq(tokens, terms)
+    freq = _positional_phrase_freq(
+        doc[0]["text"] if "text" in doc[0] else doc[0]["content"],
+        terms, offsets, manifest.tokenizer)
 
     # norm byte from the per-pid norms blob (the kernel's own source)
     P = manifest.num_partitions
@@ -139,6 +138,30 @@ def explain(index: IndexManifest | str, query, doc_id: int,
         "cache": float(cache[norm_byte]),
         "precision": precision,
     }
+
+
+def _positional_phrase_freq(doc_text: str, terms, offsets,
+                            tokenizer: str) -> int:
+    """Overlap-counting exact phrase freq over the doc's ANALYZED token
+    positions — gap-aware (english analyzer: both the doc's stored
+    positions and a gapped query's offsets), identical to the kernel's
+    shifted-key intersection."""
+    import numpy as np
+    import pandas as pd
+
+    from pim_lucene_spark.functions.tokenize import tokenize_to_codes
+    _, codes, pos, uniq = tokenize_to_codes(
+        pd.Series([doc_text or ""], dtype=object), tokenizer)
+    toks = uniq[codes] if codes.size else np.empty(0, dtype=object)
+    keys = None
+    for i, t in enumerate(terms):
+        off = i if offsets is None else offsets[i]
+        mine = pos[toks == t] - off
+        keys = mine if keys is None else np.intersect1d(keys, mine,
+                                                        assume_unique=True)
+        if keys.size == 0:
+            return 0
+    return int(keys.size)
 
 
 def _explain_interval(manifest, q, doc_id: int, precision: str) -> dict:

@@ -96,12 +96,16 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
 
     from pim_lucene_spark.operators.search import (
         _normalize_queries,
-        _tokenize_queries,
+        _tokenize_queries_full,
     )
 
     spark = docs.sparkSession
     norm_q = _normalize_queries(queries)
-    term_lists = _tokenize_queries(norm_q, tokenizer)
+    full = _tokenize_queries_full(norm_q, tokenizer)
+    term_lists = {qid: (ts, boost) for qid, (ts, _, boost) in full.items()}
+    # gapped PhraseQuery offsets (english analyzer internal stop words)
+    gap_offsets = {qid: offs for qid, (ts, offs, _) in full.items()
+                   if offs is not None}
     slops = (dict(slop) if isinstance(slop, dict)
              else {qid: int(slop) for qid, _, _ in norm_q})
     any_slop = any(slops.get(qid, 0) for qid, _, _ in norm_q)
@@ -155,7 +159,8 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
             w = bm25.phrase_weight(dfs, doc_count, boost=boost,
                                    precision=precision)
             planned.append((qid, tuple(terms), float(w),
-                            int(slops.get(qid, 0))))
+                            int(slops.get(qid, 0)),
+                            gap_offsets.get(qid)))
         if not planned:
             return empty
 
@@ -174,7 +179,7 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                     pdf["content"], tokenizer)
                 lookup = {t: i for i, t in enumerate(uniques)}
                 out = []
-                for qid, terms, weight, q_slop in planned:
+                for qid, terms, weight, q_slop, offs in planned:
                     tcodes = [lookup.get(t, -1) for t in terms]
                     if any(c < 0 for c in tcodes):
                         continue
@@ -184,11 +189,14 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
                         if uniq_rows.size == 0:
                             continue
                     else:
-                        # per-doc position sets per term via sorted keys
+                        # per-doc position sets per term via sorted keys;
+                        # gapped query offsets (english internal stops)
+                        # replace the consecutive shift
                         keys = None
                         for i, c in enumerate(tcodes):
                             m = codes == c
-                            kk = doc_idx[m] * (np.int64(1) << 32) + (pos[m] - i)
+                            off = i if offs is None else offs[i]
+                            kk = doc_idx[m] * (np.int64(1) << 32) + (pos[m] - off)
                             keys = kk if i == 0 else keys[
                                 np.isin(keys, kk, assume_unique=False)]
                             if keys is None or keys.size == 0:

@@ -129,3 +129,102 @@ def test_engine_matches_duckdb_english_oracle(spark, eng_index):
     assert list(got.freq.astype(float)) == list(ora.freq.astype(float))
     np.testing.assert_allclose(got.score.to_numpy(),
                                ora.score.to_numpy(), rtol=0, atol=5e-7)
+
+
+def test_gapped_query_phrase_offsets():
+    from pim_lucene_spark.functions.tokenize import tokenize_one_with_offsets
+    # internal stop word → gapped PhraseQuery (Lucene QueryBuilder)
+    terms, offs = tokenize_one_with_offsets("sort the window", "english")
+    assert terms == ["sort", "window"] and offs == (0, 2)
+    # leading stop word only shifts the start → no gap
+    terms, offs = tokenize_one_with_offsets("the sort window", "english")
+    assert terms == ["sort", "window"] and offs is None
+    terms, offs = tokenize_one_with_offsets("sort window", "whitespace")
+    assert offs is None
+
+
+@pytest.fixture(scope="module")
+def gap_index(spark, tmp_path_factory):
+    from pim_lucene_spark.operators.index_build import build_index
+    docs = pd.DataFrame({
+        "doc_id": range(3),
+        "content": [
+            "sort the window",   # gapped: sort@0, window@2
+            "sort window",       # adjacent: sort@0, window@1
+            "sort it the window",  # two stops: sort@0, window@3
+        ],
+    })
+    d = str(tmp_path_factory.mktemp("gap") / "idx")
+    return build_index(spark, spark.createDataFrame(docs), d,
+                       IndexConfig(2, 1, build_chunks=1,
+                                   tokenizer="english"),
+                       content_col="content", id_col="doc_id")
+
+
+def test_gapped_query_matches_gapped_docs(spark, gap_index):
+    from pim_lucene_spark.operators.search import search, search_local
+    # "sort the window" → gapped query (0,2): matches ONLY doc 0
+    hits = search(spark, gap_index, [(0, "sort the window")], k=10).toPandas()
+    assert sorted(hits.doc_id) == [0]
+    # "sort window" → consecutive: matches ONLY doc 1
+    hits = search(spark, gap_index, [(1, "sort window")], k=10).toPandas()
+    assert sorted(hits.doc_id) == [1]
+    # "sort it the window" → gap 3: matches ONLY doc 2
+    hits = search(spark, gap_index, [(2, "sort it the window")],
+                  k=10).toPandas()
+    assert sorted(hits.doc_id) == [2]
+    # serving path parity
+    loc = search_local(gap_index, [(0, "sort the window"),
+                                   (1, "sort window")], k=10)
+    assert sorted(loc[loc.qid == 0].doc_id) == [0]
+    assert sorted(loc[loc.qid == 1].doc_id) == [1]
+
+
+def test_gapped_query_in_boolean_and_scan_and_oracle(spark, gap_index):
+    import duckdb
+
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.oracle import phrase_bm25_sql
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    from pim_lucene_spark.plans.router import brute_force_search
+    # compound kernel leaf
+    got = search_boolean(
+        spark, gap_index,
+        [(0, BooleanQuery(must=["sort the window"]))], k=10).toPandas()
+    assert sorted(got.doc_id) == [0]
+    # brute-force scan path
+    docs = (spark.read.parquet(gap_index.docs_path)
+            .withColumnRenamed("text", "content"))
+    sc = brute_force_search(docs, [(0, "sort the window")], k=10,
+                            tokenizer="english").toPandas()
+    assert sorted(sc.doc_id) == [0]
+    # DuckDB oracle replays the same gapped join
+    queries = [(0, "sort the window"), (1, "sort window"),
+               (2, "sort it the window")]
+    got = (search(spark, gap_index, queries, k=10, precision="float64")
+           .toPandas().sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    pdf = spark.read.parquet(gap_index.docs_path).toPandas()
+    col = "text" if "text" in pdf.columns else "content"
+    con.register("docs_raw", pdf.rename(columns={col: "text"}))
+    con.execute("CREATE VIEW documents AS SELECT doc_id, text FROM docs_raw")
+    ora = (con.execute(phrase_bm25_sql(queries, k=10, tokenizer="english"))
+           .fetchdf().sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    assert list(got.qid) == list(ora.qid)
+    assert list(got.doc_id) == list(ora.doc_id)
+    np.testing.assert_allclose(got.score.to_numpy(), ora.score.to_numpy(),
+                               rtol=0, atol=5e-7)
+
+
+def test_gapped_explain_matches_kernel(spark, gap_index):
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.explain import explain
+    got = search(spark, gap_index, [(0, "sort the window")], k=10,
+                 precision="float64").toPandas()
+    s = dict(zip(got.doc_id, got.score))
+    for d in range(3):
+        ex = explain(gap_index, "sort the window", d, precision="float64")
+        if d in s:
+            assert ex["matches"] and ex["score"] == s[d]
+        else:
+            assert not ex["matches"]
