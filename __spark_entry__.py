@@ -70,6 +70,10 @@ def _iv_queries():
             (542, IntervalQuery("fast merge", ordered=False, max_gaps=3)),
             (543, IntervalQuery("key value row")),
             (544, IntervalQuery("sort window", pivot=2.0, boost=1.5)),
+            # OR sub-source (Intervals.or over terms): "table near
+            # (scan OR merge)"
+            (545, IntervalQuery(sources=("table", ("scan", "merge")),
+                                max_gaps=2)),
         ]
     return IV_QUERIES
 

@@ -49,10 +49,14 @@ _KEY_SHIFT = np.int64(1) << np.int64(40)
 _EMPTY_F64 = np.empty(0, dtype=np.float64)
 
 
-def _term_keys(tp, idx: np.ndarray) -> np.ndarray:
-    """Candidate positions of one term slot as sorted
+def _term_keys(tp, idx: np.ndarray,
+               ranks: np.ndarray | None = None) -> np.ndarray:
+    """Candidate positions of one term as sorted
     ``cand_rank * 2^40 + position`` keys (positions decode lazily for
-    exactly the candidates given)."""
+    exactly the candidates given).  ``ranks`` maps each idx entry to
+    its candidate rank (defaults to 0..n-1 — the all-candidates case);
+    an OR slot passes the subset of candidate ranks where this
+    alternative is present."""
     tp.ensure_positions(idx)
     starts = tp.pos_offsets[idx]
     ends = tp.pos_offsets[idx + 1]
@@ -63,8 +67,10 @@ def _term_keys(tp, idx: np.ndarray) -> np.ndarray:
     take = np.arange(total, dtype=np.int64) + np.repeat(starts, lens) \
         - np.repeat(np.cumsum(lens) - lens, lens)
     pos = tp.positions[take].astype(np.int64)
-    ranks = np.repeat(np.arange(idx.size, dtype=np.int64), lens)
-    return ranks * _KEY_SHIFT + pos
+    if ranks is None:
+        ranks = np.arange(idx.size, dtype=np.int64)
+    rk = np.repeat(ranks.astype(np.int64), lens)
+    return rk * _KEY_SHIFT + pos
 
 
 def _minimal_ordered(keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:

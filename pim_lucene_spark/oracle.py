@@ -1051,38 +1051,48 @@ SELECT doc_id, dl AS token_count,
 FROM docl"""
 
 
-def _iv_chain_select(terms: list[str]) -> str:
+def _slot_pred(slot: tuple, alias: str = "q") -> str:
+    """term = 't' or term IN (...) for an alternatives slot."""
+    if len(slot) == 1:
+        return f"{alias}.term = '{_q(slot[0])}'"
+    return (f"{alias}.term IN ("
+            + ", ".join(f"'{_q(t)}'" for t in slot) + ")")
+
+
+def _iv_chain_select(slots: list[tuple]) -> str:
     """Forward-backward minimal ORDERED intervals in SQL: every position
-    of the last term is an interval end; each earlier term takes its
-    greatest position strictly below its successor (NULL when the chain
-    breaks, and NULLs propagate down the chain)."""
-    k = len(terms)
+    of the last SLOT (union of its alternatives) is an interval end;
+    each earlier slot takes its greatest position strictly below its
+    successor (NULL when the chain breaks, and NULLs propagate down the
+    chain)."""
+    k = len(slots)
+    last = _slot_pred(slots[-1], "positions")
     inner = (f"SELECT doc_id, pos AS p{k - 1} FROM positions "
-             f"WHERE term = '{_q(terms[-1])}'")
+             f"WHERE {last}")
     for i in range(k - 2, -1, -1):
         inner = (f"SELECT doc_id, p{k - 1}, "
                  f"(SELECT max(q.pos) FROM positions q "
-                 f"WHERE q.doc_id = c.doc_id AND q.term = '{_q(terms[i])}' "
+                 f"WHERE q.doc_id = c.doc_id AND {_slot_pred(slots[i])} "
                  f"AND q.pos < c.p{i + 1}) AS p{i} FROM ({inner}) c")
     return (f"SELECT doc_id, p0 AS s, p{k - 1} AS e FROM ({inner}) "
             f"WHERE p0 IS NOT NULL")
 
 
-def _iv_window_select(terms: list[str]) -> str:
+def _iv_window_select(slots: list[tuple]) -> str:
     """Minimal UNORDERED windows in SQL: for each candidate end position
-    (any term's), the window start is the minimum over terms of that
-    term's latest position ≤ end; windows missing a term drop."""
-    uniq = list(dict.fromkeys(terms))
-    in_list = ", ".join(f"'{_q(t)}'" for t in uniq)
+    (any slot's), the window start is the minimum over slots of that
+    slot's latest position ≤ end; windows missing a slot drop."""
+    all_terms = list(dict.fromkeys(t for s in slots for t in s))
+    in_list = ", ".join(f"'{_q(t)}'" for t in all_terms)
     preds = []
-    for i, t in enumerate(uniq):
+    for i, s in enumerate(slots):
         preds.append(f"(SELECT max(q.pos) FROM positions q "
-                     f"WHERE q.doc_id = x.doc_id AND q.term = '{_q(t)}' "
+                     f"WHERE q.doc_id = x.doc_id AND {_slot_pred(s)} "
                      f"AND q.pos <= x.e) AS m{i}")
-    notnull = " AND ".join(f"m{i} IS NOT NULL" for i in range(len(uniq)))
-    least = ("m0" if len(uniq) == 1
+    notnull = " AND ".join(f"m{i} IS NOT NULL" for i in range(len(slots)))
+    least = ("m0" if len(slots) == 1
              else "least(" + ", ".join(f"m{i}"
-                                       for i in range(len(uniq))) + ")")
+                                       for i in range(len(slots))) + ")")
     return (f"SELECT doc_id, {least} AS s, e FROM "
             f"(SELECT doc_id, e, {', '.join(preds)} FROM "
             f"(SELECT doc_id, pos AS e FROM positions "
@@ -1099,12 +1109,19 @@ def intervals_sql(queries: list, k: int | None = 10,
     ``(qid, IntervalQuery)`` pairs."""
     selects = []
     for qid, q in queries:
-        terms = tokenize_one(q.text, tokenizer)
-        if not terms:
+        if q.sources is not None:
+            slots = [tuple(dict.fromkeys(
+                t for a in src for t in tokenize_one(a, tokenizer)))
+                for src in q.sources]
+            if any(not s for s in slots):
+                continue
+        else:
+            slots = [(t,) for t in tokenize_one(q.text, tokenizer)]
+        if not slots:
             continue
-        kk = len(terms)
-        base = (_iv_chain_select(terms) if q.ordered
-                else _iv_window_select(terms))
+        kk = len(slots)
+        base = (_iv_chain_select(slots) if q.ordered
+                else _iv_window_select(slots))
         conds = []
         if q.max_width is not None:
             conds.append(f"(e - s + 1) <= {int(q.max_width)}")

@@ -204,46 +204,72 @@ def _syn_match(ctx: _DecodeCtx, norms: np.ndarray, terms: tuple,
     return docs, sc, freq.astype(np.float64)
 
 
-def _interval_match(ctx: _DecodeCtx, terms: tuple, weight: float,
+def _interval_match(ctx: _DecodeCtx, slots: tuple, weight: float,
                     precision: str, ordered: bool, maxgaps, maxwidth,
                     pivot: float) -> tuple[np.ndarray, np.ndarray]:
     """One IntervalQuery clause's partition-local match set →
-    (docs ascending-unique, float64 saturation scores).  Candidates are
-    docs containing EVERY sub-term (the conjunction approximation of
-    ConjunctionIntervalsSource); per-candidate minimal-interval freqs
-    come from :mod:`pim_lucene_spark.functions.intervals`, and docs
-    whose intervals all fail the maxgaps/maxwidth filter drop out
-    (freq 0 = no match).  Norms never enter (IntervalScorer scores
-    ``(freq, norm=1)``)."""
+    (docs ascending-unique, float64 saturation scores).
+
+    ``slots`` is a tuple of term-alternative tuples: each slot's
+    positions are the UNION of its alternatives' positions
+    (``Intervals.or`` over terms), and candidates are docs where every
+    SLOT has at least one alternative (ConjunctionIntervalsSource).
+    Per-candidate minimal-interval freqs come from
+    :mod:`pim_lucene_spark.functions.intervals`; docs whose intervals
+    all fail the maxgaps/maxwidth filter drop out (freq 0 = no match).
+    Norms never enter (IntervalScorer scores ``(freq, norm=1)``)."""
     from pim_lucene_spark.functions.intervals import (_term_keys,
                                                       interval_freqs_keys,
                                                       saturation_scores)
     by_term = ctx.by_term
-    if any(t not in by_term for t in terms):
+    live_slots = [tuple(t for t in s if t in by_term) for s in slots]
+    if any(not s for s in live_slots):
         return _EMPTY_I64, _EMPTY_F64
-    uniq = list(dict.fromkeys(terms))
+    # co-presence prune: every SLOT needs a term with postings in a
+    # segment for an interval to exist there
     pres = None
-    for t in uniq:
+    for s in live_slots:
         p = None
-        for r in by_term[t]:
-            c = np.asarray(r.seg_doc_counts) > 0
-            p = c if p is None else (p | c)
+        for t in s:
+            for r in by_term[t]:
+                c = np.asarray(r.seg_doc_counts) > 0
+                p = c if p is None else (p | c)
         pres = p if pres is None else (pres & p)
     if not pres.any():
         return _EMPTY_I64, _EMPTY_F64
     seg_mask = None if pres.all() else pres
-    tps = [ctx.get(t, seg_mask) for t in uniq]
-    cand = tps[0].rel_docs
-    idxs = [np.arange(cand.size)]
-    for tp in tps[1:]:
-        cand, ia, ib = np.intersect1d(cand, tp.rel_docs,
-                                      assume_unique=True,
-                                      return_indices=True)
-        idxs = [ix[ia] for ix in idxs] + [ib]
+    tp_of = {t: ctx.get(t, seg_mask)
+             for t in dict.fromkeys(t for s in live_slots for t in s)}
+    # candidate docs: ∩ over slots of (∪ over the slot's terms)
+    cand = None
+    slot_docs = []
+    for s in live_slots:
+        u = (tp_of[s[0]].rel_docs if len(s) == 1 else
+             np.unique(np.concatenate([tp_of[t].rel_docs for t in s])))
+        slot_docs.append(u)
+        cand = u if cand is None else np.intersect1d(
+            cand, u, assume_unique=True)
         if cand.size == 0:
             return _EMPTY_I64, _EMPTY_F64
-    term_order = [uniq.index(t) for t in terms]
-    keys = [_term_keys(tps[j], idxs[j]) for j in term_order]
+    keys = []
+    for s in live_slots:
+        parts = []
+        for t in s:
+            tp = tp_of[t]
+            rd = tp.rel_docs
+            # this term's subset of the candidate set + candidate ranks
+            j = np.searchsorted(rd, cand)
+            jc = np.minimum(j, rd.size - 1)
+            present = (j < rd.size) & (rd[jc] == cand)
+            if not present.any():
+                continue
+            parts.append(_term_keys(tp, j[present],
+                                    ranks=np.flatnonzero(present)))
+        merged = (parts[0] if len(parts) == 1
+                  else np.unique(np.concatenate(parts)))
+        if merged.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        keys.append(merged)
     freqs = interval_freqs_keys(keys, cand.size, ordered, maxgaps,
                                 maxwidth, precision)
     hit = freqs > 0.0
@@ -1138,25 +1164,30 @@ def count_compound(spark: SparkSession,
 def _plan_iv_leaves(spark, manifest, iv: list, field: str,
                     clause_plan: dict, iv_specs: dict) -> set:
     """Planning for interval leaves: no BM25 stats — just a term
-    presence probe (an interval needs EVERY sub-term in the doc, so any
-    index-wide-absent term empties the clause).  ``weight`` is the
-    boost product (saturation scoring never touches idf/norms).  Fills
-    ``clause_plan[sid]`` / ``iv_specs[sid]`` and returns the terms the
-    postings scan must push down."""
+    presence probe.  Each leaf's terms are SLOTS (tuples of alternative
+    terms); absent alternatives drop from their slot, and a slot whose
+    alternatives are ALL absent empties the clause (an interval needs
+    every slot).  ``weight`` is the boost product (saturation scoring
+    never touches idf/norms).  Fills ``clause_plan[sid]`` /
+    ``iv_specs[sid]`` and returns the terms the postings scan must push
+    down."""
     if not iv:
         return set()
     from pim_lucene_spark.operators.search import term_doc_freqs
-    all_terms = sorted({t for _, ts, *_ in iv for t in ts})
+    all_terms = sorted({t for _, slots, *_ in iv
+                        for s in slots for t in s})
     dfs = term_doc_freqs(spark, manifest, all_terms)
     needed: set = set()
-    for sid, ts, ordered, mg, mw, pivot, w in iv:
-        if any(dfs.get(t, 0) == 0 for t in ts):
-            continue  # conjunction over sub-sources: empty clause
-        clause_plan[sid] = (field, tuple(ts), float(w), 0)
+    for sid, slots, ordered, mg, mw, pivot, w in iv:
+        pruned = tuple(tuple(t for t in s if dfs.get(t, 0) > 0)
+                       for s in slots)
+        if any(not s for s in pruned):
+            continue  # conjunction over slots: empty clause
+        clause_plan[sid] = (field, pruned, float(w), 0)
         iv_specs[sid] = (bool(ordered),
                          None if mg is None else int(mg),
                          None if mw is None else int(mw), float(pivot))
-        needed.update(ts)
+        needed.update(t for s in pruned for t in s)
     return needed
 
 
@@ -1494,18 +1525,34 @@ class _SpecBuilder:
                     "codes": codes}
         from pim_lucene_spark.plans.query import IntervalQuery
         if isinstance(clause, IntervalQuery):
-            # interval proximity clause: sub-terms from the index
-            # analyzer (query-time analysis parity); saturation-scored
-            # in-kernel over the stored position streams — absent terms
-            # or empty analysis make it an empty clause (no intervals)
+            # interval proximity clause: sub-term SLOTS from the index
+            # analyzer (query-time analysis parity) — each slot is a
+            # tuple of alternative terms (Intervals.or; plain text gives
+            # single-term slots).  Saturation-scored in-kernel over the
+            # stored position streams; an empty analysis makes it an
+            # empty clause (no intervals).
             from pim_lucene_spark.functions.tokenize import tokenize_one
             sid = self._next_sid
             self._next_sid += 1
-            terms = tuple(tokenize_one(clause.text,
-                                       self.manifests[field].tokenizer))
-            if terms:
+            tok = self.manifests[field].tokenizer
+            if clause.sources is not None:
+                slots = []
+                for src in clause.sources:
+                    alt = []
+                    for a in src:
+                        ts = tokenize_one(a, tok)
+                        if len(ts) != 1:
+                            raise ValueError(
+                                f"interval source {a!r} must analyze to "
+                                f"exactly one term (got {ts!r})")
+                        alt.append(ts[0])
+                    slots.append(tuple(dict.fromkeys(alt)))
+                slots = tuple(slots)
+            else:
+                slots = tuple((t,) for t in tokenize_one(clause.text, tok))
+            if slots:
                 self.iv_leaves[field].append(
-                    (sid, terms, bool(clause.ordered), clause.max_gaps,
+                    (sid, slots, bool(clause.ordered), clause.max_gaps,
                      clause.max_width, float(clause.pivot),
                      float(clause.boost) * eff_boost))
             return {"kind": "scored", "sid": sid}

@@ -173,28 +173,42 @@ def _explain_interval(manifest, q, doc_id: int, precision: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
 
+    import pandas as pd
+
     from pim_lucene_spark.functions.intervals import (interval_freqs_keys,
                                                       saturation_scores)
-    from pim_lucene_spark.functions.tokenize import tokenize_one
+    from pim_lucene_spark.functions.tokenize import (tokenize_one,
+                                                     tokenize_to_codes)
 
-    terms = tokenize_one(q.text, manifest.tokenizer)
+    tok = manifest.tokenizer
+    if q.sources is not None:
+        slots = tuple(tuple(dict.fromkeys(
+            t for a in src for t in tokenize_one(a, tok))) or ("",)
+            for src in q.sources)
+    else:
+        slots = tuple((t,) for t in tokenize_one(q.text, tok))
     out = {"doc_id": int(doc_id), "query": "IntervalQuery",
-           "ordered": bool(q.ordered), "terms": list(terms),
+           "ordered": bool(q.ordered),
+           "terms": [list(s) for s in slots],
            "max_gaps": q.max_gaps, "max_width": q.max_width,
            "pivot": float(q.pivot),
            "description": ("saturation function on interval frequency, "
                            "w * S / (S + k) — IntervalScoreFunction.java")}
-    if not terms:
+    if not slots or any(s == ("",) for s in slots):
         return dict(out, matches=False, score=0.0, freq=0.0)
     doc = pq.read_table(
         manifest.docs_path,
         filters=[("doc_id", "in", [int(doc_id)])]).to_pylist()
     if not doc:
         raise ValueError(f"doc_id {doc_id} not in the index")
-    tokens = tokenize_one(doc[0]["text"] if "text" in doc[0]
-                          else doc[0]["content"], manifest.tokenizer)
-    toks = np.asarray(tokens, dtype=object)
-    keys = [np.flatnonzero(toks == t).astype(np.int64) for t in terms]
+    # analyzed doc positions (gapped for the english analyzer — the
+    # same ordinals the index stores)
+    _, codes, pos, uniq = tokenize_to_codes(
+        pd.Series([doc[0]["text"] if "text" in doc[0]
+                   else doc[0]["content"]], dtype=object), tok)
+    toks = uniq[codes] if codes.size else np.empty(0, dtype=object)
+    keys = [np.sort(pos[np.isin(toks, list(s))]).astype(np.int64)
+            for s in slots]
     if any(k.size == 0 for k in keys):
         return dict(out, matches=False, score=0.0, freq=0.0)
     freq = float(interval_freqs_keys(keys, 1, bool(q.ordered), q.max_gaps,

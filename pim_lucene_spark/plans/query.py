@@ -161,11 +161,15 @@ class IntervalQuery:
     ``maxwidth`` / ``unordered``.
 
     ``text`` analyzes with the index tokenizer into the sub-terms (one
-    per token, in order).  ``ordered`` demands the terms appear in that
-    order; enumerated intervals follow minimal-interval semantics
+    per token, in order).  Alternatively ``sources`` gives the sub-term
+    slots explicitly, each a term string or a tuple of ALTERNATIVE
+    terms (``Intervals.or`` over terms — "table near (scan OR merge)");
+    every element analyzes with the index tokenizer and must yield one
+    term.  ``ordered`` demands the slots appear in that order;
+    enumerated intervals follow minimal-interval semantics
     (:mod:`pim_lucene_spark.functions.intervals`).  ``max_gaps`` keeps
     intervals with at most that many non-query positions inside
-    (width − term count); ``max_width`` caps the whole span length; None
+    (width − slot count); ``max_width`` caps the whole span length; None
     = unfiltered.  Scoring is the saturation function
     (``IntervalScoreFunction.java``): per-doc
     ``freq = Σ 1/max(width − minExtent + 1, 1)`` over minimal intervals
@@ -173,14 +177,24 @@ class IntervalQuery:
     doc norm never enters).
     """
 
-    text: str
+    text: str | None = None
     ordered: bool = True
     max_gaps: int | None = None
     max_width: int | None = None
     pivot: float = 1.0
     boost: float = 1.0
+    sources: tuple | None = None
 
     def __post_init__(self):
+        if (self.text is None) == (self.sources is None):
+            raise ValueError("give exactly one of text= or sources=")
+        if self.sources is not None:
+            object.__setattr__(
+                self, "sources",
+                tuple((s,) if isinstance(s, str) else tuple(s)
+                      for s in self.sources))
+            if not self.sources or any(not s for s in self.sources):
+                raise ValueError("sources must be non-empty slots")
         if self.max_gaps is not None and int(self.max_gaps) < 0:
             raise ValueError("max_gaps must be >= 0")
         if self.max_width is not None and int(self.max_width) < 1:

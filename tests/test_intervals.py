@@ -194,3 +194,63 @@ def test_explain_interval(spark, iv_index):
     for r in kern.itertuples(index=False):
         ex = explain(iv_index, bq, int(r.doc_id), precision="float64")
         assert ex["score"] == pytest.approx(float(r.score), abs=1e-12)
+
+
+def test_or_sources_ordered(spark, iv_index):
+    # "alpha near (beta OR gamma)" — doc7 has both beta and gamma ends
+    q = IntervalQuery(sources=("alpha", ("beta", "gamma")))
+    got = _run(spark, iv_index, [(0, q)])
+    assert set(got.doc_id) == {0, 1, 3, 4, 6, 7}
+    # doc7: alpha@0/x@1/beta@2/y@3/alpha@4/beta@5/gamma@6 → slot2 union
+    # {2,5,6}: FB ends: 2→a=0 [0,2]; 5→a=4 [4,5]; 6→a=4 dedup(start 4
+    # keeps min end 5) → intervals [0,2],[4,5] → freq 1/2 + 1 = 1.5
+    s = dict(zip(got.doc_id, got.score))
+    assert s[7] == pytest.approx(1.5 / 2.5)
+    # plain text form and single-alt sources agree everywhere
+    q2 = IntervalQuery(sources=("alpha", "beta"))
+    a = _run(spark, iv_index, [(0, IntervalQuery("alpha beta"))])
+    b = _run(spark, iv_index, [(0, q2)])
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_or_sources_duckdb_differential(spark, iv_index):
+    queries = [
+        (0, IntervalQuery(sources=("alpha", ("beta", "gamma")))),
+        (1, IntervalQuery(sources=(("alpha", "x"), "beta"), max_gaps=0)),
+        (2, IntervalQuery(sources=("alpha", ("beta", "gamma")),
+                          ordered=False, max_gaps=1)),
+        (3, IntervalQuery(sources=(("beta", "missing"), "alpha"))),
+    ]
+    got = _run(spark, iv_index, queries)
+    ora = _oracle(DOCS, queries)
+    assert list(got.qid) == list(ora.qid)
+    assert list(got.doc_id) == list(ora.doc_id)
+    np.testing.assert_allclose(got.score.to_numpy(),
+                               ora.score.to_numpy(), rtol=0, atol=5e-7)
+
+
+def test_or_sources_serving_and_explain(spark, iv_index):
+    from pim_lucene_spark.plans.explain import explain
+    from pim_lucene_spark.serving import serve_local
+    q = IntervalQuery(sources=("alpha", ("beta", "gamma")), max_gaps=2)
+    dist = _run(spark, iv_index, [(0, q)])
+    loc = (serve_local(iv_index, [(0, q)], 100, "float64", 0, None)
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    assert list(loc.doc_id) == list(dist.doc_id)
+    np.testing.assert_array_equal(loc.score.to_numpy(),
+                                  dist.score.to_numpy())
+    s = dict(zip(dist.doc_id, dist.score))
+    for d in range(8):
+        ex = explain(iv_index, q, d, precision="float64")
+        assert ex["matches"] == (d in s)
+        if d in s:
+            assert ex["score"] == pytest.approx(s[d], abs=1e-12)
+
+
+def test_interval_query_validation():
+    with pytest.raises(ValueError, match="exactly one"):
+        IntervalQuery()
+    with pytest.raises(ValueError, match="exactly one"):
+        IntervalQuery("a b", sources=("a",))
+    with pytest.raises(ValueError, match="non-empty"):
+        IntervalQuery(sources=("a", ()))
