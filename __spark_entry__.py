@@ -252,6 +252,22 @@ def _q_intervals(spark, sf_dir):
     return res.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_pipeline_curate(spark, sf_dir):
+    """One-call corpus curation (operators/pipeline.py): quality +
+    language gates as map-stage Catalyst expressions, then exact dedup
+    keep-min-id among the gate survivors.  The corpus is the documents
+    table plus synthesized exact duplicates (every 11th doc re-added at
+    doc_id + 100000) so the dedup step provably fires."""
+    from pim_lucene_spark.operators import pipeline
+    docs = _docs(spark, sf_dir)
+    dup = (docs.filter(F.col("doc_id") % 11 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 100000))
+    corpus = docs.unionByName(dup)
+    out = pipeline.curate_corpus(corpus, min_quality=0.45,
+                                 langs=("en",), min_tokens=35)
+    return out.select("doc_id", "quality_score", "lang_pred")
+
+
 def _get_eng_index(spark: SparkSession, sf_dir: str) -> IndexManifest:
     """Index documents with the `english` analyzer (EnglishAnalyzer.java
     chain with EnglishMinimalStemmer): stop words leave position gaps
@@ -1261,6 +1277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 dedup.minhash_lsh_pairs(
                     _docs(s, d), num_hashes=32, bands=16, threshold=0.01,
                     hash_fn="portable")),
+        # end-to-end curation: quality + language gates, then exact
+        # dedup keep-min-id over synthesized duplicates
+        "pipeline_curate": _q_pipeline_curate,
         # --- text analysis ---------------------------------------------------
         "text_quality": _q_text_quality,
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
@@ -1302,7 +1321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_wildcard_constant": _q_mt_wildcard,
         "engine_fuzzy_topk": _q_mt_fuzzy,
         "engine_spell_suggest": _q_spell,
-        "engine_more_like_this": _q_mlt,
         # --- engine: index build + BM25 phrase/term search ---------------
         "engine_phrase_bm25_topk":
             lambda s, d: _searched(s, d, PHRASE_QUERIES, k=10),
@@ -1325,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_deleted_docs": _q_deleted,
         "engine_local_serving": _q_local_serving,
         # --- stable entries (hash-green in earlier rounds; code unchanged) ---
+        "engine_more_like_this": _q_mlt,
         "engine_sharded_serving": _q_sharded_serving,
         "engine_merged_phrase_bm25": _q_merged_phrase,
         "engine_suggest": _q_suggest,
@@ -1818,6 +1837,36 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE) / length(text) ELSE 0.0 END) * 0.2, 6)
                      AS quality_score
             FROM tok""",
+        "pipeline_curate": f"""
+            WITH documents AS (
+              SELECT doc_id, text FROM main.documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM main.documents
+              WHERE doc_id % 11 = 0),
+            {_TOKS_ONLY_CTE},
+            feat AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                     CAST(len(tks) AS BIGINT) AS n_tokens,
+                     round(least(CAST(len(tks) AS DOUBLE) / 100.0, 1.0) * 0.5
+                       + (CASE WHEN len(tks) > 0 THEN
+                          CAST(len(list_filter(tks, t ->
+                               list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                          / len(tks) ELSE 0.0 END) * 0.3
+                       + (1.0 - CASE WHEN length(text) > 0 THEN
+                          CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               AS DOUBLE) / length(text) ELSE 0.0 END) * 0.2, 6)
+                       AS quality_score,
+                     {lang_case} AS lang_pred
+              FROM tok),
+            surv AS (SELECT * FROM feat
+                     WHERE quality_score >= 0.45 AND n_tokens >= 35
+                       AND lang_pred IN ('en')),
+            sel AS (SELECT doc_id, quality_score, lang_pred,
+                           min(doc_id) OVER (PARTITION BY sha256(text))
+                             AS keep
+                    FROM surv)
+            SELECT doc_id, quality_score, lang_pred FROM sel
+            WHERE doc_id = keep""",
         "lang_id": f"""
             WITH {_TOKS_ONLY_CTE}
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

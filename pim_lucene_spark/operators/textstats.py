@@ -26,9 +26,12 @@ FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_MULT = 31
 
 
-def text_quality(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "content") -> DataFrame:
-    """Per-doc quality features: token/char counts, ratios, quality score."""
+def quality_cols(text_col: str = "content") -> dict:
+    """The quality-feature expressions as reusable Catalyst Columns —
+    pure map-stage (no UDF, no shuffle); :func:`text_quality` and
+    :func:`~pim_lucene_spark.operators.pipeline.curate_corpus` both
+    consume these so a pipeline can inline them into an existing scan
+    instead of joining a feature frame back by id."""
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -45,6 +48,30 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id",
     quality = F.round(
         F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
         + stop_ratio * 0.3 + (F.lit(1.0) - punct_ratio) * 0.2, 6)
+    return {"n_tokens": n_tokens, "n_chars": n_chars, "avg_tok": avg_tok,
+            "stop_ratio": stop_ratio, "punct_ratio": punct_ratio,
+            "quality": quality}
+
+
+def lang_pred_col(text_col: str = "content"):
+    """The language-ID prediction as one reusable Catalyst Column."""
+    toks = tokens_col(text_col)
+    counts = {lang: F.size(F.filter(toks, lambda x: x.isin(words)))
+              for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in ("en", "es", "de", "fr"):  # deterministic tie-break order
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    return pred
+
+
+def text_quality(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "content") -> DataFrame:
+    """Per-doc quality features: token/char counts, ratios, quality score."""
+    c = quality_cols(text_col)
+    n_tokens, n_chars = c["n_tokens"], c["n_chars"]
+    avg_tok, stop_ratio = c["avg_tok"], c["stop_ratio"]
+    punct_ratio, quality = c["punct_ratio"], c["quality"]
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         n_tokens.cast("long").alias("n_tokens"),
@@ -62,14 +89,10 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     toks = tokens_col(text_col)
     counts = {lang: F.size(F.filter(toks, lambda x: x.isin(words)))
               for lang, words in LANG_MARKERS.items()}
-    best = F.greatest(*counts.values())
-    pred = F.when(best <= 0, F.lit("unknown"))
-    for lang in ("en", "es", "de", "fr"):  # deterministic tie-break order
-        pred = pred.when(counts[lang] == best, F.lit(lang))
     return docs.select(F.col(id_col).cast("long").alias("doc_id"),
                        *[c.cast("long").alias(f"hits_{lang}")
                          for lang, c in counts.items()],
-                       pred.alias("lang_pred"))
+                       lang_pred_col(text_col).alias("lang_pred"))
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id",
