@@ -203,25 +203,32 @@ def tokenize_one(text: str, tokenizer: str = "whitespace") -> list[str]:
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 
+def gap_offsets(pos: np.ndarray) -> tuple | None:
+    """Normalize analyzed token positions to gapped PhraseQuery offsets:
+    None when consecutive (the common case — no internal stop words),
+    else the 0-based offset tuple (a leading gap only shifts the match
+    start, so offsets start at 0).  The ONE shared normalization both
+    the engine planner and the SQL oracle consume."""
+    if pos.size == 0:
+        return None
+    offs = pos - pos[0]
+    if (offs == np.arange(pos.size)).all():
+        return None
+    return tuple(int(x) for x in offs)
+
+
 def tokenize_one_with_offsets(text: str, tokenizer: str = "whitespace"
                               ) -> tuple[list[str], tuple | None]:
     """Single-string analyze → (terms, gap offsets | None).
 
     Offsets are non-None only when a stop-filtering analyzer removed
     INTERNAL tokens (``english``): Lucene QueryBuilder keeps position
-    increments, so kept terms carry their post-removal ordinals
-    (normalized to start at 0 — a leading gap only shifts the match)."""
+    increments, so kept terms carry their post-removal ordinals."""
     if tokenizer != "english":
         return tokenize_one(text, tokenizer), None
     _, codes, pos, uniq = tokenize_to_codes(
         pd.Series([text or ""], dtype=object), tokenizer)
-    terms = [uniq[c] for c in codes]
-    if not terms:
-        return terms, None
-    offs = pos - pos[0]
-    if (offs == np.arange(len(terms))).all():
-        return terms, None
-    return terms, tuple(int(x) for x in offs)
+    return [uniq[c] for c in codes], gap_offsets(pos)
 
 
 def tokenize_to_codes(texts: pd.Series, tokenizer: str = "whitespace"):

@@ -280,12 +280,15 @@ class FullTextIndex:
                 bmap = self.spark.createDataFrame(
                     [(int(qid), float(q.boost)) for qid, q in exotic],
                     "qid long, score double")
-                win = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+                ids = inner.select("qid", "doc_id").distinct()
+                if k is not None:  # k=None (nested recursion): all ids
+                    win = Window.partitionBy("qid").orderBy(
+                        F.asc("doc_id"))
+                    ids = (ids.withColumn("rank",
+                                          F.row_number().over(win))
+                           .filter(F.col("rank") <= k).drop("rank"))
                 parts.append(
-                    inner.select("qid", "doc_id").distinct()
-                    .withColumn("rank", F.row_number().over(win))
-                    .filter(F.col("rank") <= k).drop("rank")
-                    .join(F.broadcast(bmap), "qid")
+                    ids.join(F.broadcast(bmap), "qid")
                     .select("qid", "doc_id",
                             F.lit(None).cast("double").alias("freq"),
                             F.lit(None).cast("int").alias("norm"),

@@ -484,19 +484,24 @@ def drop_duplicates_clustered(docs: DataFrame, pairs: DataFrame,
     no shuffle touches the (wide) doc payload except the final anti-join
     on ids.
     """
+    from pyspark.sql import Window
     comp = connected_components(pairs, a_col, b_col, max_iter)
+    # canonical selection happens among the cluster members PRESENT in
+    # ``docs`` — pairs may reference docs a prior gate already dropped,
+    # and the cluster must still keep one survivor (ranking only
+    # comp.filter(doc_id != cluster_id) would delete a whole cluster
+    # whenever its min-id member was filtered out upstream)
     if prefer_col is None:
-        losers = comp.filter(F.col("doc_id") != F.col("cluster_id"))
+        pref = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        w = Window.partitionBy("cluster_id").orderBy(F.asc("doc_id"))
     else:
-        from pyspark.sql import Window
         pref = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                            F.col(prefer_col).alias("_pref"))
         w = (Window.partitionBy("cluster_id")
              .orderBy(F.desc("_pref"), F.asc("doc_id")))
-        ranked = (comp.join(pref, "doc_id")
-                  .withColumn("_rn", F.row_number().over(w)))
-        losers = ranked.filter(F.col("_rn") > 1).select("doc_id",
-                                                        "cluster_id")
+    ranked = (comp.join(pref, "doc_id")
+              .withColumn("_rn", F.row_number().over(w)))
+    losers = ranked.filter(F.col("_rn") > 1).select("doc_id")
     return docs.join(
         losers.select(F.col("doc_id").alias(id_col)).distinct(),
         id_col, "left_anti")

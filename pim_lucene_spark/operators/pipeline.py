@@ -57,6 +57,11 @@ def curate_corpus(docs: DataFrame, *,
     Returns the original ``docs`` columns plus ``quality_score`` and
     ``lang_pred``.
     """
+    if id_col != "doc_id" and "doc_id" in docs.columns:
+        raise ValueError(
+            "docs already has a 'doc_id' column while id_col="
+            f"{id_col!r}; rename one (the output id column is named "
+            "'doc_id')")
     # features INLINE on the scan (quality_cols / lang_pred_col are the
     # same Catalyst expressions text_quality / lang_id emit) — never a
     # feature-frame join back by id, which would shuffle the payload

@@ -830,20 +830,15 @@ def _tokenize_queries_full(norm_queries: list[tuple[int, str, float]],
         toks = tokenize_series(texts, tokenizer)
         return {qid: (list(ts), None, boost)
                 for (qid, _, boost), ts in zip(norm_queries, toks)}
-    from pim_lucene_spark.functions.tokenize import tokenize_to_codes
+    from pim_lucene_spark.functions.tokenize import (gap_offsets,
+                                                      tokenize_to_codes)
     doc_idx, codes, pos, uniq = tokenize_to_codes(texts, tokenizer)
     bounds = np.searchsorted(doc_idx, np.arange(len(norm_queries) + 1))
     out = {}
     for row, (qid, _, boost) in enumerate(norm_queries):
         lo, hi = bounds[row], bounds[row + 1]
         ts = [uniq[c] for c in codes[lo:hi]]
-        offs = pos[lo:hi]
-        gapped = None
-        if ts:
-            offs = offs - offs[0]
-            if (offs != np.arange(len(ts))).any():
-                gapped = tuple(int(x) for x in offs)
-        out[qid] = (ts, gapped, boost)
+        out[qid] = (ts, gap_offsets(pos[lo:hi]), boost)
     return out
 
 

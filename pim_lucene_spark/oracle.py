@@ -1135,10 +1135,15 @@ def intervals_sql(queries: list, k: int | None = 10,
                    f"(ORDER BY {score} DESC, doc_id ASC) <= {k} "
                    if k is not None else "")
         selects.append(
+            # ordered left fold (list ORDER BY s + list_reduce) — the
+            # engine sums contributions in ascending interval order;
+            # a bare SUM's order is engine-internal and a last-ulp
+            # difference could flip the exact-score QUALIFY ranking
             f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, "
             f"round({score}, 6) AS score FROM ("
-            f"SELECT doc_id, sum(1.0 / greatest(e - s + 2 - {kk}, 1)) "
-            f"AS freq FROM ("
+            f"SELECT doc_id, list_reduce("
+            f"list(1.0 / greatest(e - s + 2 - {kk}, 1) ORDER BY s), "
+            f"(a, b) -> a + b) AS freq FROM ("
             f"SELECT doc_id, s, min(e) AS e FROM ({base}) "
             f"GROUP BY doc_id, s){flt} GROUP BY doc_id) {qualify}")
     body = " UNION ALL ".join(selects)

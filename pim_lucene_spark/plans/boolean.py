@@ -286,7 +286,7 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
         manifest = (IndexManifest.load(index) if isinstance(index, str)
                     else index)
         kq, jq = [], []
-        if kernel_hostable({"": manifest}) and k is not None:
+        if kernel_hostable({"": manifest}):
             for qid, bq in queries:
                 (kq if clause_kernelable(bq, manifests={"": manifest})
                  else jq).append((qid, bq))
@@ -497,7 +497,7 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
         if not isinstance(bq, BooleanQuery):
             raise TypeError("queries must be (qid, BooleanQuery) pairs")
     kq, jq = [], []
-    if kernel_hostable(manifests) and k is not None:
+    if kernel_hostable(manifests):
         fields = set(manifests)
         for qid, bq in queries:
             (kq if clause_kernelable(bq, allow_fielded=fields,

@@ -1054,15 +1054,24 @@ def search_sloppy_kernel(spark: SparkSession, index, queries,
     norm_q = [tuple(q) for q in queries]
     slops = (dict(slop) if isinstance(slop, dict)
              else {q[0]: int(slop) for q in norm_q})
-    planned, needed = plan_queries(spark, manifest, norm_q, k, precision)
+    gap_offsets: dict = {}
+    planned, needed = plan_queries(spark, manifest, norm_q, k, precision,
+                                   collect_offsets=gap_offsets)
     empty = spark.createDataFrame([], SLOPPY_KERNEL_SCHEMA)
     if not planned:
         return empty
     avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
                                   manifest.doc_count, precision)
     payload = {
+        # exact (slop=0) members of a mixed batch carry their gapped
+        # PhraseQuery offsets (english analyzer) — the scan path is
+        # gap-aware, and the two must stay bit-identical.  Sloppy
+        # members keep consecutive offsets on BOTH paths (documented
+        # divergence from Lucene's gapped SloppyPhraseMatcher).
         "queries": [(int(qid), tuple(terms), float(w),
-                     int(slops.get(qid, 0)))
+                     int(slops.get(qid, 0)),
+                     gap_offsets.get(qid) if not slops.get(qid, 0)
+                     else None)
                     for qid, terms, w in planned],
         "cache": bm25.score_cache(avgdl, manifest.k1, manifest.b,
                                   precision),
@@ -1102,10 +1111,11 @@ def search_sloppy_kernel(spark: SparkSession, index, queries,
                 .column("norms")[0].as_py())
         norms = np.frombuffer(blob, dtype=np.uint8)
         live = live_mask_for(payload["deletes_path"], pid, P, norms.size)
-        for qid, terms, w, q_slop in payload["queries"]:
+        for qid, terms, w, q_slop, offs in payload["queries"]:
             docs, sc, fr = _leaf_match(ctx, norms, terms, w,
                                        payload["cache"],
-                                       payload["precision"], slop=q_slop)
+                                       payload["precision"], slop=q_slop,
+                                       offsets=offs)
             if live is not None and docs.size:
                 keep = live[docs]
                 docs, sc, fr = docs[keep], sc[keep], fr[keep]
@@ -1670,7 +1680,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
         "iv_specs": iv_specs,
         "leaf_offsets": leaf_offsets,
         "fields": fields_payload,
-        "k": int(k),
+        "k": None if k is None else int(k),
         "precision": precision,
         "num_partitions": int(num_partitions),
         "postings_cache_mb": int(postings_cache_mb),
@@ -1684,7 +1694,9 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
             _pid_seed(spark, int(num_partitions), postings.schema))
     per_part = (postings.groupBy("pid")
                 .applyInPandas(_compound_kernel(payload), COMPOUND_SCHEMA))
-    if return_partial:
+    if return_partial or k is None:
+        # k=None: every match, unordered (no per-qid rank window) — the
+        # clause-frame / nested-consumer contract, same as search()
         return per_part
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (per_part.withColumn("rank", F.row_number().over(w))

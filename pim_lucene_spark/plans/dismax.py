@@ -90,7 +90,7 @@ def search_dismax(spark: SparkSession, index, queries, k: int = 10,
         manifest = (IndexManifest.load(index) if isinstance(index, str)
                     else index)
         kq, jq = [], []
-        if kernel_hostable({"": manifest}) and k is not None:
+        if kernel_hostable({"": manifest}):
             for qid, dq in queries:
                 (kq if all(clause_kernelable(c, manifests={"": manifest})
                            for c in dq.clauses)

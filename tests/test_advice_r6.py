@@ -66,3 +66,37 @@ def test_no_internal_huge_k_call_sites():
             if re.search(r"\bk\s*=\s*10\s*\*\*\s*9\s*[,)]", line):
                 offenders.append(f"{p.name}:{i}: {s}")
     assert not offenders, offenders
+
+
+def test_exotic_constant_score_wrappers_kernel_index(spark, small_index):
+    """/code-review r6: the exotic ConstantScore recursion uses k=None —
+    it must stay on the kernel plan for kernel-only inners and survive
+    double nesting (rank <= None used to return empty silently)."""
+    from pim_lucene_spark.index import FullTextIndex
+    from pim_lucene_spark.plans.dismax import DisMaxQuery
+    from pim_lucene_spark.plans.query import ConstantScoreQuery
+
+    idx = FullTextIndex.open(spark, small_index.index_dir)
+    dm = DisMaxQuery(clauses=["alpha", "beta"], tie=0.5)
+    single = idx.query([(0, ConstantScoreQuery(dm, boost=2.5))],
+                       k=100).toPandas()
+    assert len(single) > 0
+    assert (single.score == 2.5).all()
+    double = idx.query(
+        [(0, ConstantScoreQuery(ConstantScoreQuery(dm, boost=9.0),
+                                boost=3.5))], k=100).toPandas()
+    assert sorted(double.doc_id) == sorted(single.doc_id)
+    assert (double.score == 3.5).all()
+
+
+def test_k_none_auto_routes_to_kernel_same_rows(spark, small_index):
+    from pim_lucene_spark.plans.boolean import BooleanQuery, search_boolean
+    batch = [(0, BooleanQuery(must=["alpha"], should=["beta"]))]
+    auto = (search_boolean(spark, small_index, batch, k=None)
+            .toPandas().sort_values(["qid", "doc_id"])
+            .reset_index(drop=True))
+    join = (search_boolean(spark, small_index, batch, k=None, plan="join")
+            .toPandas().sort_values(["qid", "doc_id"])
+            .reset_index(drop=True))
+    assert list(auto.doc_id) == list(join.doc_id)
+    assert list(auto.score) == list(join.score)

@@ -104,3 +104,15 @@ def test_clusters_match_duckdb_recursive_oracle(spark):
         ORDER BY doc_id""").fetchdf()
     assert list(got.doc_id) == list(ora.doc_id)
     assert list(got.cluster_id) == list(ora.cluster_id)
+
+
+def test_drop_duplicates_survives_filtered_min_member(spark):
+    """/code-review r6: when the cluster's min-id member was filtered
+    out of docs upstream, the cluster must still keep one survivor."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [42, 43, 99],  # 10 (the cluster min) is NOT present
+        "content": ["b", "c", "solo"],
+    }))
+    kept = drop_duplicates_clustered(
+        docs, _pairs(spark, [(10, 42), (42, 43)])).toPandas()
+    assert sorted(kept.doc_id) == [42, 99]

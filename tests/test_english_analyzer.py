@@ -228,3 +228,22 @@ def test_gapped_explain_matches_kernel(spark, gap_index):
             assert ex["matches"] and ex["score"] == s[d]
         else:
             assert not ex["matches"]
+
+
+def test_mixed_slop_batch_keeps_exact_gap_offsets(spark, gap_index):
+    """/code-review r6: a mixed exact+sloppy batch routes through the
+    sloppy kernel — its exact members must stay gap-aware (bit-identical
+    to the pure-exact search path)."""
+    from pim_lucene_spark.operators.search import search
+    from pim_lucene_spark.plans.router import search_with_fallback
+    batch = [(0, "sort the window"), (1, "sort window")]
+    mixed = search_with_fallback(
+        spark, gap_index, None, batch + [(2, "sort window")],
+        k=10, slop={2: 2}).toPandas()
+    pure = search(spark, gap_index, batch, k=10).toPandas()
+    for qid in (0, 1):
+        a = sorted(mixed[mixed.qid == qid].doc_id)
+        b = sorted(pure[pure.qid == qid].doc_id)
+        assert a == b, (qid, a, b)
+    assert sorted(mixed[mixed.qid == 0].doc_id) == [0]
+    assert sorted(mixed[mixed.qid == 1].doc_id) == [1]

@@ -70,3 +70,10 @@ def test_gates_are_codegen_map_stage(spark, corpus):
     out = curate_corpus(corpus, min_quality=0.4, langs=("en",))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_id_col_collision_raises(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "uid": [1], "doc_id": [7], "content": ["x"]}))
+    with pytest.raises(ValueError, match="doc_id"):
+        curate_corpus(docs, id_col="uid")
