@@ -492,11 +492,17 @@ def drop_duplicates_clustered(docs: DataFrame, pairs: DataFrame,
     # comp.filter(doc_id != cluster_id) would delete a whole cluster
     # whenever its min-id member was filtered out upstream)
     if prefer_col is None:
-        pref = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        pref = (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+                .distinct())
         w = Window.partitionBy("cluster_id").orderBy(F.asc("doc_id"))
     else:
-        pref = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                           F.col(prefer_col).alias("_pref"))
+        # one row per id even when docs carries duplicate-id rows (the
+        # very input a dedup pipeline ingests) — otherwise the second
+        # copy of the canonical id ranks > 1 and the anti-join would
+        # delete the canonical itself
+        pref = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                            F.col(prefer_col).alias("_pref"))
+                .groupBy("doc_id").agg(F.max("_pref").alias("_pref")))
         w = (Window.partitionBy("cluster_id")
              .orderBy(F.desc("_pref"), F.asc("doc_id")))
     ranked = (comp.join(pref, "doc_id")

@@ -62,6 +62,11 @@ def curate_corpus(docs: DataFrame, *,
             "docs already has a 'doc_id' column while id_col="
             f"{id_col!r}; rename one (the output id column is named "
             "'doc_id')")
+    taken = {"quality_score", "lang_pred", "n_tokens"} & set(docs.columns)
+    if taken:
+        raise ValueError(
+            f"docs columns {sorted(taken)} collide with curate_corpus "
+            "output columns; rename them first")
     # features INLINE on the scan (quality_cols / lang_pred_col are the
     # same Catalyst expressions text_quality / lang_id emit) — never a
     # feature-frame join back by id, which would shuffle the payload

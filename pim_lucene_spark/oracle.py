@@ -1110,9 +1110,17 @@ def intervals_sql(queries: list, k: int | None = 10,
     selects = []
     for qid, q in queries:
         if q.sources is not None:
-            slots = [tuple(dict.fromkeys(
-                t for a in src for t in tokenize_one(a, tokenizer)))
-                for src in q.sources]
+            slots = []
+            for src in q.sources:
+                alt = []
+                for a in src:
+                    ts = tokenize_one(a, tokenizer)
+                    if len(ts) != 1:  # engine contract (_SpecBuilder)
+                        raise ValueError(
+                            f"interval source {a!r} must analyze to "
+                            f"exactly one term (got {ts!r})")
+                    alt.append(ts[0])
+                slots.append(tuple(dict.fromkeys(alt)))
             if any(not s for s in slots):
                 continue
         else:

@@ -242,11 +242,9 @@ def _interval_match(ctx: _DecodeCtx, slots: tuple, weight: float,
              for t in dict.fromkeys(t for s in live_slots for t in s)}
     # candidate docs: ∩ over slots of (∪ over the slot's terms)
     cand = None
-    slot_docs = []
     for s in live_slots:
         u = (tp_of[s[0]].rel_docs if len(s) == 1 else
              np.unique(np.concatenate([tp_of[t].rel_docs for t in s])))
-        slot_docs.append(u)
         cand = u if cand is None else np.intersect1d(
             cand, u, assume_unique=True)
         if cand.size == 0:
@@ -257,6 +255,13 @@ def _interval_match(ctx: _DecodeCtx, slots: tuple, weight: float,
         for t in s:
             tp = tp_of[t]
             rd = tp.rel_docs
+            if rd.size == 0:
+                # an OR alternative whose postings all live in masked-
+                # out segments: the co-presence AND runs per SLOT, so a
+                # single alternative can decode empty here (the old
+                # single-term-slot invariant ANDed every term's own
+                # presence and could never hit this)
+                continue
             # this term's subset of the candidate set + candidate ranks
             j = np.searchsorted(rd, cand)
             jc = np.minimum(j, rd.size - 1)

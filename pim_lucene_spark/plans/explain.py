@@ -182,9 +182,18 @@ def _explain_interval(manifest, q, doc_id: int, precision: str) -> dict:
 
     tok = manifest.tokenizer
     if q.sources is not None:
-        slots = tuple(tuple(dict.fromkeys(
-            t for a in src for t in tokenize_one(a, tok))) or ("",)
-            for src in q.sources)
+        slots = []
+        for src in q.sources:
+            alt = []
+            for a in src:
+                ts = tokenize_one(a, tok)
+                if len(ts) != 1:  # engine contract (_SpecBuilder)
+                    raise ValueError(
+                        f"interval source {a!r} must analyze to exactly "
+                        f"one term (got {ts!r})")
+                alt.append(ts[0])
+            slots.append(tuple(dict.fromkeys(alt)) or ("",))
+        slots = tuple(slots)
     else:
         slots = tuple((t,) for t in tokenize_one(q.text, tok))
     out = {"doc_id": int(doc_id), "query": "IntervalQuery",

@@ -116,3 +116,24 @@ def test_drop_duplicates_survives_filtered_min_member(spark):
     kept = drop_duplicates_clustered(
         docs, _pairs(spark, [(10, 42), (42, 43)])).toPandas()
     assert sorted(kept.doc_id) == [42, 99]
+
+
+def test_drop_duplicates_with_duplicate_id_rows(spark):
+    """/code-review r6 pass 2: duplicate-id rows in docs (the very input
+    a dedup pipeline ingests) must not push the canonical's second copy
+    into the loser set and delete the whole cluster."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [5, 5, 7, 9],
+        "content": ["a", "a-copy", "b", "solo"],
+    }))
+    kept = drop_duplicates_clustered(
+        docs, _pairs(spark, [(5, 7)])).toPandas()
+    # canonical id 5 survives (both its rows — id-level dedup is the
+    # caller's exact-dedup step), 7 drops, 9 untouched
+    assert sorted(kept.doc_id) == [5, 5, 9]
+    # prefer_col path: same contract
+    docs2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [5, 5, 7], "q": [0.1, 0.2, 0.9]}))
+    kept2 = drop_duplicates_clustered(
+        docs2, _pairs(spark, [(5, 7)]), prefer_col="q").toPandas()
+    assert sorted(kept2.doc_id) == [7]

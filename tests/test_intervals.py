@@ -254,3 +254,38 @@ def test_interval_query_validation():
         IntervalQuery("a b", sources=("a",))
     with pytest.raises(ValueError, match="non-empty"):
         IntervalQuery(sources=("a", ()))
+
+
+def test_or_alternative_in_masked_out_segments(spark, tmp_path_factory):
+    """/code-review r6 pass 2: an OR alternative whose postings all live
+    in segments the co-presence mask excludes must decode empty, not
+    crash (rd[jc] on an empty rel_docs array raised IndexError)."""
+    from pim_lucene_spark.operators.index_build import build_index
+    # 1 partition, 2 segments; 'b' only in the late segment, 'a'/'c'
+    # only in the early one → pres (slot {a,b} AND slot {c}) masks the
+    # segment holding 'b'
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "content": ["a x c", "a y c", "a z c",
+                    "b q r", "b s t", "b u v"],
+    })
+    d = str(tmp_path_factory.mktemp("ivseg") / "idx")
+    m = build_index(spark, spark.createDataFrame(docs),
+                    d, IndexConfig(1, 2, build_chunks=1),
+                    content_col="content", id_col="doc_id")
+    q = IntervalQuery(sources=(("a", "b"), "c"), max_gaps=1)
+    got = _run(spark, m, [(0, q)])
+    assert sorted(got.doc_id) == [0, 1, 2]
+    ora = _oracle(docs, [(0, q)])
+    assert list(got.doc_id) == list(ora.doc_id)
+    np.testing.assert_allclose(got.score.to_numpy(),
+                               ora.score.to_numpy(), rtol=0, atol=5e-7)
+
+
+def test_multi_token_or_alternative_raises_everywhere():
+    """Engine, oracle and explain agree: a multi-token interval source
+    is a ValueError, never a silent flatten."""
+    from pim_lucene_spark.oracle import intervals_sql
+    q = IntervalQuery(sources=(("fast merge",), "scan"))
+    with pytest.raises(ValueError, match="exactly one term"):
+        intervals_sql([(0, q)])
