@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pim_lucene_spark.config import IndexConfig
 from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.sparkutil import local_empty
 
 
 class FullTextIndex:
@@ -674,7 +675,7 @@ class MultiFieldIndex:
             T.StructField("score", T.DoubleType()),
         ])
         if k <= 0:
-            return self.spark.createDataFrame([], out_schema)
+            return local_empty(self.spark, out_schema)
         pending = list(queries)
         final_rows: list[tuple[int, int, float]] = []
         m = max(4 * k, 64)
@@ -834,7 +835,7 @@ class MultiFieldIndex:
             T.StructField("freq", T.DoubleType()),
             T.StructField("score", T.DoubleType()),
         ])
-        empty = self.spark.createDataFrame([], out_schema)
+        empty = local_empty(self.spark, out_schema)
         if not all_terms:
             return empty
 

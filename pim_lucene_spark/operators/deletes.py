@@ -80,7 +80,10 @@ def write_deletes(spark: SparkSession, manifest: IndexManifest,
 def deleted_ids(spark: SparkSession, manifest: IndexManifest) -> DataFrame:
     """The deleted global doc ids (empty frame when none)."""
     if not manifest.delete_gen:
-        return spark.createDataFrame([], "doc_id long")
+        from pim_lucene_spark.sparkutil import local_empty
+        from pyspark.sql import types as T
+        return local_empty(spark, T.StructType(
+            [T.StructField("doc_id", T.LongType())]))
     return spark.read.parquet(manifest.deletes_path).select("doc_id")
 
 

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.sparkutil import local_empty
 
 DV_BLOB_SCHEMA = T.StructType([
     T.StructField("pid", T.IntegerType(), False),
@@ -196,7 +197,7 @@ def sort_by_field(spark: SparkSession, index, queries, col: str,
     specs, payload, postings = _plan_aggregate_payload(
         spark, manifests, default_field, _wrap_queries(queries))
     if postings is None:
-        return spark.createDataFrame([], SORT_RESULT_SCHEMA)
+        return local_empty(spark, SORT_RESULT_SCHEMA)
     payload["sort"] = {"path": d, "reverse": bool(reverse), "k": int(k),
                        "after": {int(q): (int(v), int(dc))
                                  for q, (v, dc) in (after or {}).items()}}
@@ -236,7 +237,7 @@ def collapse_topk(spark: SparkSession, index, queries, dim: str,
     vals_df = F.broadcast(spark.createDataFrame(
         list(enumerate(values)), "code int, value string"))
     if postings is None:
-        return (spark.createDataFrame([], COLLAPSE_KERNEL_SCHEMA)
+        return (local_empty(spark, COLLAPSE_KERNEL_SCHEMA)
                 .join(vals_df, "code")
                 .select("qid", "value", "doc_id", "score"))
     payload["collapse"] = {"path": fdir, "group_size": int(group_size)}
@@ -332,7 +333,7 @@ def facet_stats(spark: SparkSession, index, queries, dim: str, col: str,
     specs, payload, postings = _plan_aggregate_payload(
         spark, manifests, default_field, _wrap_queries(queries))
     if postings is None:
-        return (spark.createDataFrame([], FACET_STATS_KERNEL_SCHEMA)
+        return (local_empty(spark, FACET_STATS_KERNEL_SCHEMA)
                 .join(vals_df, "code")
                 .select("qid", "value", "n",
                         F.col("sum").alias("sum_val"),

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.sparkutil import local_empty
 
 FACET_BLOB_SCHEMA = T.StructType([
     T.StructField("pid", T.IntegerType(), False),
@@ -182,7 +183,7 @@ def facet_counts(spark: SparkSession,
     vals_df = F.broadcast(spark.createDataFrame(
         list(enumerate(values)), "code int, value string"))
     if postings is None:
-        return (spark.createDataFrame([], FACET_COUNT_SCHEMA)
+        return (local_empty(spark, FACET_COUNT_SCHEMA)
                 .join(vals_df, "code").select("qid", "value", "n"))
     payload["facet"] = {"path": fdir}
     agg = (postings.groupBy("pid")

@@ -66,6 +66,12 @@ from pim_lucene_spark.functions.postings import (
 from pim_lucene_spark.functions.tokenize import tokenize_one
 from pim_lucene_spark.manifest import IndexManifest
 from pim_lucene_spark.operators.deletes import live_mask_for
+from pim_lucene_spark.sparkutil import (
+    cached_parquet,
+    local_empty,
+    local_result,
+    manifest_scan_key,
+)
 
 RESULT_SCHEMA = T.StructType([
     T.StructField("qid", T.LongType(), False),
@@ -500,6 +506,21 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
                 norms: np.ndarray,
                 by_term: dict[str, list] | None = None,
                 live: np.ndarray | None = None) -> pd.DataFrame:
+    """Pandas adapter over :func:`_match_core_arrays` (the Spark
+    ``applyInPandas`` kernels need a frame; the serving path skips the
+    per-pid frame construction and concatenates raw arrays)."""
+    arrays = _match_core_arrays(payload, pid, postings_pdf, norms,
+                                by_term=by_term, live=live)
+    if arrays is None:
+        return _empty_result()
+    return pd.DataFrame(arrays)
+
+
+def _match_core_arrays(payload: dict, pid: int,
+                       postings_pdf: pd.DataFrame | None,
+                       norms: np.ndarray,
+                       by_term: dict[str, list] | None = None,
+                       live: np.ndarray | None = None) -> dict | None:
     out_qid, out_doc, out_freq, out_norm, out_score = [], [], [], [], []
     P = payload["num_partitions"]
     k = payload["k"]
@@ -691,21 +712,31 @@ def _match_core(payload: dict, pid: int, postings_pdf: pd.DataFrame | None,
         out_norm.append(np.asarray(st_norm, dtype=np.int32))
         out_score.append(np.asarray(st_ub, dtype=np.float64))
     if not out_qid:
-        return _empty_result()
-    return pd.DataFrame({
+        return None
+    return {
         "qid": np.concatenate(out_qid),
         "doc_id": np.concatenate(out_doc),
         "freq": np.concatenate(out_freq),
         "norm": np.concatenate(out_norm).astype(np.int32),
         "score": np.concatenate(out_score),
-    })
+    }
+
+
+_EMPTY_RESULT: pd.DataFrame | None = None
 
 
 def _empty_result() -> pd.DataFrame:
-    return pd.DataFrame({"qid": [], "doc_id": [], "freq": [],
-                         "norm": [], "score": []}).astype(
-        {"qid": np.int64, "doc_id": np.int64, "freq": np.int64,
-         "norm": np.int32, "score": np.float64})
+    """Typed empty result frame — one cached instance (treat as
+    immutable).  Serving profile: constructing this per no-hit partition
+    was ~48% of warm ``search_local`` time (pandas dict_to_mgr + astype
+    cost ~3 ms per empty frame × ~10 empty pids per query)."""
+    global _EMPTY_RESULT
+    if _EMPTY_RESULT is None:
+        _EMPTY_RESULT = pd.DataFrame({"qid": [], "doc_id": [], "freq": [],
+                                      "norm": [], "score": []}).astype(
+            {"qid": np.int64, "doc_id": np.int64, "freq": np.int64,
+             "norm": np.int32, "score": np.float64})
+    return _EMPTY_RESULT
 
 
 def _resolve_norms_access(norms_access: str, manifest) -> str:
@@ -761,6 +792,70 @@ def _match_kernel(payload: dict):
                              payload["num_partitions"], norms.size)
         return _match_core(payload, pid, postings_pdf, norms, live=live)
     return fn
+
+
+def _match_kernel_map(payload: dict):
+    """``mapInPandas`` form of the direct-norms kernel.
+
+    The default ``groupBy(pid).applyInPandas`` plan works, but AQE
+    coalesces its tiny shuffle to ONE post-shuffle task, serializing
+    every pid's kernel (and norms read) behind a single Python worker —
+    measured 450 ms vs 255 ms per query at sf0.1 (fresh plan per call,
+    quiet machine).  Instead the caller hash-repartitions by ``pid``
+    into an explicitly chosen task count (explicit ``repartition(n,
+    col)`` is user-specified partitioning, which AQE never coalesces),
+    and this kernel re-groups whole pid groups from the task's batches —
+    co-location is guaranteed by the hash exchange, so results are
+    identical to the per-group form (differential-tested).
+    """
+    norms_path = payload["norms_path"]
+
+    def fn(it):
+        parts = [pdf for pdf in it if len(pdf)]
+        if not parts:
+            return
+        allp = (pd.concat(parts, ignore_index=True)
+                if len(parts) > 1 else parts[0])
+        import pyarrow.parquet as pq
+        for pid, grp in allp.groupby("pid", sort=True):
+            pid = int(pid)
+            part_dir = os.path.join(norms_path, f"pid={pid}")
+            if not os.path.isdir(part_dir):
+                # same loud contract as _match_kernel's direct path
+                raise FileNotFoundError(
+                    f"norms partition {part_dir} not visible from this "
+                    "executor; direct norms access needs a POSIX-visible "
+                    "shared mount — use search(norms_access='cogroup') "
+                    "for object stores or non-shared layouts")
+            blob = pq.read_table(part_dir, columns=["norms"]) \
+                .column("norms")[0].as_py()
+            norms = np.frombuffer(blob, dtype=np.uint8)
+            live = live_mask_for(payload.get("deletes_path"), pid,
+                                 payload["num_partitions"], norms.size)
+            out = _match_core(payload, pid, grp, norms, live=live)
+            if len(out):
+                yield out
+    return fn
+
+
+def _kernel_task_count(num_partitions: int, total_postings: int) -> int:
+    """Scale-adaptive kernel parallelism (guide §2: derive partitioning
+    from input size, not a constant).
+
+    ``total_postings`` = Σ doc_freq over the query batch's terms (known
+    from the stats lookup — no extra job): the upper bound on posting
+    rows the scan can emit.  One task per ~64k postings keeps per-task
+    decode work (a few MB, tens of ms) comfortably above the ~5-10 ms
+    task-launch cost; a small floor overlaps the per-pid norms reads
+    even for tiny queries; the cap is one task per index partition (a
+    pid is the indivisible kernel unit).  Env-overridable for cluster
+    tuning; the defaults are size-derived, not core-count-derived.
+    """
+    target = int(os.environ.get("SPARK_GRAFT_POSTINGS_PER_TASK",
+                                str(1 << 16)))
+    floor = int(os.environ.get("SPARK_GRAFT_KERNEL_TASK_FLOOR", "8"))
+    want = max(floor, -(-int(total_postings) // max(target, 1)))
+    return max(1, min(int(num_partitions), want))
 
 
 # term → doc_freq cache per index generation (0 = negative entry).  The
@@ -1012,8 +1107,8 @@ def _search_sync_rounds(spark, postings, payload: dict, k: int,
             break
         budget *= 2
         rnd += 1
-    return spark.createDataFrame(
-        acc if acc is not None and len(acc) else _empty_result(),
+    return local_result(
+        spark, acc if acc is not None and len(acc) else _empty_result(),
         RESULT_SCHEMA)
 
 
@@ -1099,9 +1194,8 @@ def search(spark: SparkSession, index: IndexManifest | str,
     planned, needed_terms = plan_queries(spark, manifest, queries, k,
                                          precision,
                                          collect_offsets=gap_offsets)
-    empty = spark.createDataFrame([], RESULT_SCHEMA)
     if not planned:
-        return empty
+        return local_empty(spark, RESULT_SCHEMA)
 
     avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
                                   manifest.doc_count, precision)
@@ -1130,8 +1224,9 @@ def search(spark: SparkSession, index: IndexManifest | str,
     if gap_offsets:
         payload["offsets"] = gap_offsets
 
-    postings = (spark.read.parquet(*[manifest.chunk_path(c) for c in
-                                     range(manifest.build_chunks)])
+    postings = (cached_parquet(spark, manifest_scan_key(manifest),
+                               *[manifest.chunk_path(c) for c in
+                                 range(manifest.build_chunks)])
                 .filter(F.col("term").isin(list(needed_terms))))
 
     if bound_probe == "sync" and use_direct and k < 1000:
@@ -1160,10 +1255,14 @@ def search(spark: SparkSession, index: IndexManifest | str,
             payload = dict(payload, bounds=bounds)
 
     if use_direct:
-        per_part = (postings.groupBy("pid")
-                    .applyInPandas(_match_kernel(payload), RESULT_SCHEMA))
+        dfs = term_doc_freqs(spark, manifest, list(needed_terms))
+        n_tasks = _kernel_task_count(manifest.num_partitions,
+                                     sum(dfs.values()))
+        per_part = (postings.repartition(n_tasks, "pid")
+                    .mapInPandas(_match_kernel_map(payload), RESULT_SCHEMA))
     else:
-        norms = spark.read.parquet(manifest.norms_path)
+        norms = cached_parquet(spark, manifest_scan_key(manifest),
+                               manifest.norms_path)
         per_part = (postings.groupBy("pid")
                     .cogroup(norms.groupBy("pid"))
                     .applyInPandas(_match_kernel(payload), RESULT_SCHEMA))
@@ -1177,7 +1276,7 @@ def search(spark: SparkSession, index: IndexManifest | str,
             pdf = (pdf.sort_values(["qid", "score", "doc_id"],
                                    ascending=[True, False, True])
                    .groupby("qid", sort=True).head(k))
-        return spark.createDataFrame(pdf, RESULT_SCHEMA)
+        return local_result(spark, pdf, RESULT_SCHEMA)
 
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (per_part
@@ -1390,11 +1489,17 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
     for pid in sorted(by_pid):
         norms = _local_norms(manifest, ckey, int(pid))
         live = _local_live(manifest, ckey, int(pid), norms.size)
-        outs.append(_match_core(payload, int(pid), None, norms,
-                                by_term=by_pid[pid], live=live))
+        arrays = _match_core_arrays(payload, int(pid), None, norms,
+                                    by_term=by_pid[pid], live=live)
+        if arrays is not None:
+            outs.append(arrays)
     if not outs:
         return _empty_result()
-    res = pd.concat(outs, ignore_index=True)
+    # one frame for the whole batch (per-pid pandas construction was the
+    # next-biggest serving cost after the empty-frame fix)
+    res = pd.DataFrame({c: (np.concatenate([p[c] for p in outs])
+                            if len(outs) > 1 else outs[0][c])
+                        for c in ("qid", "doc_id", "freq", "norm", "score")})
     return (res.sort_values(["qid", "score", "doc_id"],
                             ascending=[True, False, True])
             .groupby("qid", sort=True).head(k).reset_index(drop=True))

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pim_lucene_spark.sparkutil import local_empty
 
 BOOL_RESULT_SCHEMA = T.StructType([
     T.StructField("qid", T.LongType(), False),
@@ -305,7 +306,7 @@ def search_boolean(spark: SparkSession, index, queries, k: int = 10,
             parts.append(_search_boolean_join(spark, manifest, jq, k,
                                               precision))
         if not parts:
-            return spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+            return local_empty(spark, BOOL_RESULT_SCHEMA)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -338,7 +339,7 @@ def _search_boolean_join(spark: SparkSession, index, queries, k,
                          precision: str) -> DataFrame:
     """Join-chain boolean plan (see :func:`search_boolean`)."""
     per_field, meta = _classify_clauses(queries, lambda c: (None, c))
-    empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+    empty = local_empty(spark, BOOL_RESULT_SCHEMA)
     slot = per_field.get(None, _empty_slot())
     parts_res = _clause_frames(spark, index, slot, precision)
     if slot["nested"]:
@@ -514,7 +515,7 @@ def search_boolean_fields(spark: SparkSession, manifests: dict,
         parts.append(_search_boolean_fields_join(
             spark, manifests, default_field, jq, k, precision))
     if not parts:
-        return spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+        return local_empty(spark, BOOL_RESULT_SCHEMA)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -536,7 +537,7 @@ def _search_boolean_fields_join(spark: SparkSession, manifests: dict,
         return field, clause
 
     per_field, meta = _classify_clauses(queries, resolve)
-    empty = spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+    empty = local_empty(spark, BOOL_RESULT_SCHEMA)
     parts_res, ma_slots = [], []
     for fname, slot in per_field.items():
         parts_res.extend(

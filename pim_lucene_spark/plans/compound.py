@@ -60,6 +60,8 @@ from pyspark.sql import types as T
 from pim_lucene_spark.functions import bm25
 from pim_lucene_spark.functions.sloppy import sloppy_freqs_postings
 from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.sparkutil import (cached_parquet, local_empty,
+                                        manifest_scan_key)
 from pim_lucene_spark.operators.search import (
     _assemble_by_term,
     _DecodeCtx,
@@ -1062,7 +1064,7 @@ def search_sloppy_kernel(spark: SparkSession, index, queries,
     gap_offsets: dict = {}
     planned, needed = plan_queries(spark, manifest, norm_q, k, precision,
                                    collect_offsets=gap_offsets)
-    empty = spark.createDataFrame([], SLOPPY_KERNEL_SCHEMA)
+    empty = local_empty(spark, SLOPPY_KERNEL_SCHEMA)
     if not planned:
         return empty
     avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
@@ -1090,8 +1092,9 @@ def search_sloppy_kernel(spark: SparkSession, index, queries,
         "num_partitions": int(manifest.num_partitions),
         "postings_cache_mb": 0,
     }
-    scan = (spark.read.parquet(*[manifest.chunk_path(c)
-                                 for c in range(manifest.build_chunks)])
+    scan = (cached_parquet(spark, manifest_scan_key(manifest),
+                           *[manifest.chunk_path(c)
+                             for c in range(manifest.build_chunks)])
             .filter(F.col("term").isin(list(needed))))
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1294,8 +1297,9 @@ def _plan_aggregate_payload(spark: SparkSession,
             "nb_doc_per_segment": m.nb_doc_per_segment,
         }
         scans.append(
-            spark.read.parquet(*[m.chunk_path(c)
-                                 for c in range(m.build_chunks)])
+            cached_parquet(spark, manifest_scan_key(m),
+                           *[m.chunk_path(c)
+                             for c in range(m.build_chunks)])
             .filter(F.col("term").isin(list(needed)))
             .withColumn("fld", F.lit(f)))
     if not scans or not (clause_plan or b.matchall_fields
@@ -1630,7 +1634,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
     with no needed terms, and one null seed row per pid keeps every
     partition's kernel task alive where the scan alone has no rows.
     """
-    empty = spark.createDataFrame([], COMPOUND_SCHEMA)
+    empty = local_empty(spark, COMPOUND_SCHEMA)
     clause_plan: dict[int, tuple] = {}
     syn_boosts: dict[int, tuple] = {}
     iv_specs: dict[int, tuple] = {}
@@ -1672,8 +1676,9 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
             "nb_doc_per_segment": m.nb_doc_per_segment,
         }
         scans.append(
-            spark.read.parquet(*[m.chunk_path(c)
-                                 for c in range(m.build_chunks)])
+            cached_parquet(spark, manifest_scan_key(m),
+                           *[m.chunk_path(c)
+                             for c in range(m.build_chunks)])
             .filter(F.col("term").isin(list(needed)))
             .withColumn("fld", F.lit(f)))
     if not scans:
@@ -1825,7 +1830,7 @@ def eval_bm25f(spark: SparkSession, manifests: dict[str, IndexManifest],
     """Run BM25F specs through the per-partition kernel: one union scan
     (per-field ``term IN`` pushdown + field tag) → ``groupBy(pid)``
     kernel → global top-k window."""
-    empty = spark.createDataFrame([], BM25F_SCHEMA)
+    empty = local_empty(spark, BM25F_SCHEMA)
     if not specs or not needed_terms:
         return empty
     fields_payload, scans = {}, []
@@ -1839,8 +1844,9 @@ def eval_bm25f(spark: SparkSession, manifests: dict[str, IndexManifest],
             "deletes_path": (m.deletes_path if m.delete_gen else None),
         }
         scans.append(
-            spark.read.parquet(*[m.chunk_path(c)
-                                 for c in range(m.build_chunks)])
+            cached_parquet(spark, manifest_scan_key(m),
+                           *[m.chunk_path(c)
+                             for c in range(m.build_chunks)])
             .filter(F.col("term").isin(list(needed_terms)))
             .withColumn("fld", F.lit(f)))
     payload = {

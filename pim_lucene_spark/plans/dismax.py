@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pim_lucene_spark.sparkutil import local_empty
 
 DISMAX_RESULT_SCHEMA = T.StructType([
     T.StructField("qid", T.LongType(), False),
@@ -110,7 +111,7 @@ def search_dismax(spark: SparkSession, index, queries, k: int = 10,
             parts.append(_search_dismax_join(spark, manifest, jq, k,
                                              precision))
         if not parts:
-            return spark.createDataFrame([], DISMAX_RESULT_SCHEMA)
+            return local_empty(spark, DISMAX_RESULT_SCHEMA)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -150,7 +151,7 @@ def _search_dismax_join(spark: SparkSession, index, queries, k,
             sids.append(sid)
         meta.append((qid, sids, float(dq.tie), float(dq.boost)))
 
-    empty = spark.createDataFrame([], DISMAX_RESULT_SCHEMA)
+    empty = local_empty(spark, DISMAX_RESULT_SCHEMA)
     if not sub and not sloppy:
         return empty
     frames = []

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.sparkutil import local_empty
 
 
 def interesting_terms(manifest: IndexManifest, texts: dict,
@@ -116,6 +117,6 @@ def more_like_this(spark: SparkSession, index: IndexManifest | str,
         queries.append((qid, BooleanQuery(should=clauses)))
     if not queries:
         from pim_lucene_spark.plans.boolean import BOOL_RESULT_SCHEMA
-        return spark.createDataFrame([], BOOL_RESULT_SCHEMA)
+        return local_empty(spark, BOOL_RESULT_SCHEMA)
     return search_boolean(spark, manifest, queries, k=k,
                           precision=precision)

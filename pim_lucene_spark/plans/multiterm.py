@@ -61,6 +61,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pim_lucene_spark.manifest import IndexManifest
+from pim_lucene_spark.sparkutil import (cached_parquet, local_empty,
+                                        manifest_scan_key)
 
 #: Lucene IndexSearcher.maxClauseCount default — scoring rewrites of a
 #: larger expansion throw TooManyClauses (IndexSearcher.java).
@@ -519,7 +521,7 @@ def search_multiterm(spark: SparkSession, index: IndexManifest | str,
     (deterministic float association both precisions).
     """
     manifest = IndexManifest.load(index) if isinstance(index, str) else index
-    empty = spark.createDataFrame([], MT_RESULT_SCHEMA)
+    empty = local_empty(spark, MT_RESULT_SCHEMA)
     if not queries:
         return empty
     if rewrite == "scoring_boolean":
@@ -550,7 +552,8 @@ def search_multiterm(spark: SparkSession, index: IndexManifest | str,
     for fr in frames[1:]:
         matched = matched.unionByName(fr)
 
-    postings = spark.read.parquet(
+    postings = cached_parquet(
+        spark, manifest_scan_key(manifest),
         *[manifest.chunk_path(c) for c in range(manifest.build_chunks)])
     joined = (postings.join(F.broadcast(matched), "term")
               .select("qid", "pid", "doc_blob", "seg_doc_counts"))

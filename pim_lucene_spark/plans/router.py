@@ -43,6 +43,7 @@ SLOPPY_RESULT_SCHEMA = T.StructType([
 ])
 
 from pim_lucene_spark.functions.sloppy import sloppy_freqs_batch
+from pim_lucene_spark.sparkutil import local_empty
 
 
 class QueryRoute(Enum):
@@ -111,7 +112,7 @@ def brute_force_search(docs: DataFrame, queries: list[tuple[int, str]],
     any_slop = any(slops.get(qid, 0) for qid, _, _ in norm_q)
     out_schema = SLOPPY_RESULT_SCHEMA if any_slop else RESULT_SCHEMA
     all_terms = sorted({t for ts, _ in term_lists.values() for t in ts})
-    empty = spark.createDataFrame([], out_schema)
+    empty = local_empty(spark, out_schema)
     if not all_terms:
         return empty
 
