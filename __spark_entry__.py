@@ -1237,62 +1237,36 @@ def _hybrid_sql() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies entries in dict order and may
-    # truncate its run at a fixed count (r5 checked the first 50).  Entries
-    # are therefore ordered by verification priority: (1) never-verified or
-    # new-this-round entries, (2) entries whose underlying code was touched
-    # this round, (3) long-stable entries whose code paths did not change
-    # (each of those was hash-green in a prior round's CORRECTNESS file).
+    # truncate its run at a fixed count (r5/r6 checked the first 50).
+    # Rotation schedule: every entry gets a driver row at least every two
+    # rounds.  r7 window = (1) the 18 entries rotated out of r6's window
+    # (last row r5 — they also exercise r7-touched serving/merge/build
+    # code), then (2) the 32 engine entries over the r7-optimized search
+    # kernel path.  Rotated out: ann/dedup/text/multimodal (hash-green in
+    # CORRECTNESS_r06.json; their operator code is untouched this round).
     return {
-        # --- similarity / ANN (never driver-verified before r6) -------------
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_cosine_topk": _q_ann,
-        "ann_lsh_topk":
-            lambda s, d: similarity.lsh_bucketed_topk(
-                _emb(s, d), ANN_QUERY_IDS, k=10, num_planes=8, dim=EMB_DIM)
-            .select("qid", "vec_id", F.round("cosine", 6).alias("cosine")),
-        "hybrid_rrf_topk": _q_hybrid,
-        "dedup_embedding_cosine":
-            lambda s, d: similarity.embedding_neardup_pairs(
-                _emb(s, d), threshold=0.3, num_planes=8, num_tables=4,
-                dim=EMB_DIM)
-            .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")),
-        # --- dedup ---------------------------------------------------------
-        "dedup_minhash_lsh":
-            lambda s, d: dedup.minhash_lsh_pairs(
-                _docs(s, d), num_hashes=32, bands=16, threshold=0.01,
-                hash_fn="portable")
-            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
-        "dedup_simhash":
-            lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3,
-                                             num_bits=60, hash_fn="portable")
-            .select("doc_a", "doc_b", F.col("hamming").cast("long")
-                    .alias("hamming")),
-        "dedup_exact":
-            lambda s, d: dedup.exact_dedup(_docs(s, d)),
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
-        # transitive cluster resolution over the minhash pair set
-        # (hash-min label propagation; pairs alone don't dedup a corpus)
-        "dedup_clusters":
-            lambda s, d: dedup.dedup_clusters(
-                dedup.minhash_lsh_pairs(
-                    _docs(s, d), num_hashes=32, bands=16, threshold=0.01,
-                    hash_fn="portable")),
-        # end-to-end curation: quality + language gates, then exact
-        # dedup keep-min-id over synthesized duplicates
-        "pipeline_curate": _q_pipeline_curate,
-        # --- text analysis ---------------------------------------------------
-        "text_quality": _q_text_quality,
-        "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
-        "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
-        "text_repetition":
-            lambda s, d: textstats.repetition_stats(_docs(s, d)),
-        "doc_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
-        # --- multimodal plumbing ---------------------------------------------
-        "multimodal_meta":
-            lambda s, d: multimodal.media_metadata(
-                multimodal.as_media(_docs(s, d))),
-        "multimodal_features": _q_multimodal_features,
-        # --- engine entries over code touched this round ---------------------
+        # --- rotated back into the window (r7): last driver row r5; these
+        # also exercise r7-touched code (serving, merge, multifield, build) ---
+        "engine_more_like_this": _q_mlt,
+        "engine_sharded_serving": _q_sharded_serving,
+        "engine_merged_phrase_bm25": _q_merged_phrase,
+        "engine_suggest": _q_suggest,
+        "engine_suggest_local": _q_suggest_local,
+        "engine_fallback_scan_bm25": _q_fallback_scan,
+        "engine_slop_scan": _q_slop_scan,
+        "engine_slop_repeated": _q_slop_repeated,
+        "engine_standard_bm25": _q_std_bm25,
+        "engine_multifield_bm25": _q_multifield,
+        "engine_multifield_combined": _q_multifield_combined,
+        "engine_multifield_combined_ta": _q_multifield_combined_ta,
+        "engine_multifield_bm25f": _q_multifield_bm25f,
+        "corpus_generate": _q_corpus,
+        "index_sha256_invariant": _q_sha_invariant,
+        "index_term_stats": _q_term_stats,
+        "index_collection_stats": _q_collection_stats,
+        "index_doc_norms": _q_doc_norms,
+        # --- engine entries over code touched in r7 (search kernel map
+        # path, sized repartition, plan cache, local_empty results) ----------
         # stop+minimal-stem analyzer (EnglishAnalyzer/EnglishMinimalStemmer
         # chain; StopFilter position gaps pinned by TestPimPhraseQuery)
         "engine_stop_analyzer": _q_eng_bm25,
@@ -1342,25 +1316,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    sync_budget0=64),
         "engine_deleted_docs": _q_deleted,
         "engine_local_serving": _q_local_serving,
-        # --- stable entries (hash-green in earlier rounds; code unchanged) ---
-        "engine_more_like_this": _q_mlt,
-        "engine_sharded_serving": _q_sharded_serving,
-        "engine_merged_phrase_bm25": _q_merged_phrase,
-        "engine_suggest": _q_suggest,
-        "engine_suggest_local": _q_suggest_local,
-        "engine_fallback_scan_bm25": _q_fallback_scan,
-        "engine_slop_scan": _q_slop_scan,
-        "engine_slop_repeated": _q_slop_repeated,
-        "engine_standard_bm25": _q_std_bm25,
-        "engine_multifield_bm25": _q_multifield,
-        "engine_multifield_combined": _q_multifield_combined,
-        "engine_multifield_combined_ta": _q_multifield_combined_ta,
-        "engine_multifield_bm25f": _q_multifield_bm25f,
-        "corpus_generate": _q_corpus,
-        "index_sha256_invariant": _q_sha_invariant,
-        "index_term_stats": _q_term_stats,
-        "index_collection_stats": _q_collection_stats,
-        "index_doc_norms": _q_doc_norms,
+        # --- similarity / ANN (driver-verified green in r6; operator code
+        # untouched in r7) ---------------------------------------------------
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_cosine_topk": _q_ann,
+        "ann_lsh_topk":
+            lambda s, d: similarity.lsh_bucketed_topk(
+                _emb(s, d), ANN_QUERY_IDS, k=10, num_planes=8, dim=EMB_DIM)
+            .select("qid", "vec_id", F.round("cosine", 6).alias("cosine")),
+        "hybrid_rrf_topk": _q_hybrid,
+        "dedup_embedding_cosine":
+            lambda s, d: similarity.embedding_neardup_pairs(
+                _emb(s, d), threshold=0.3, num_planes=8, num_tables=4,
+                dim=EMB_DIM)
+            .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")),
+        # --- dedup ---------------------------------------------------------
+        "dedup_minhash_lsh":
+            lambda s, d: dedup.minhash_lsh_pairs(
+                _docs(s, d), num_hashes=32, bands=16, threshold=0.01,
+                hash_fn="portable")
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
+        "dedup_simhash":
+            lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3,
+                                             num_bits=60, hash_fn="portable")
+            .select("doc_a", "doc_b", F.col("hamming").cast("long")
+                    .alias("hamming")),
+        "dedup_exact":
+            lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        # transitive cluster resolution over the minhash pair set
+        # (hash-min label propagation; pairs alone don't dedup a corpus)
+        "dedup_clusters":
+            lambda s, d: dedup.dedup_clusters(
+                dedup.minhash_lsh_pairs(
+                    _docs(s, d), num_hashes=32, bands=16, threshold=0.01,
+                    hash_fn="portable")),
+        # end-to-end curation: quality + language gates, then exact
+        # dedup keep-min-id over synthesized duplicates
+        "pipeline_curate": _q_pipeline_curate,
+        # --- text analysis ---------------------------------------------------
+        "text_quality": _q_text_quality,
+        "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
+        "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
+        "text_repetition":
+            lambda s, d: textstats.repetition_stats(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        # --- multimodal plumbing ---------------------------------------------
+        "multimodal_meta":
+            lambda s, d: multimodal.media_metadata(
+                multimodal.as_media(_docs(s, d))),
+        "multimodal_features": _q_multimodal_features,
     }
 
 

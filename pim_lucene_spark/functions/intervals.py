@@ -57,6 +57,14 @@ def _term_keys(tp, idx: np.ndarray,
     its candidate rank (defaults to 0..n-1 — the all-candidates case);
     an OR slot passes the subset of candidate ranks where this
     alternative is present."""
+    if idx.size >= (1 << 23):
+        # rank * 2^40 + pos wraps int64 once ranks reach 2^23 — fail loudly
+        # instead of returning wrong matches (a partition-local candidate
+        # set this large means the index is under-partitioned)
+        raise OverflowError(
+            f"interval clause has {idx.size} candidate docs in one index "
+            "partition (>= 2^23, the packed-key rank limit); rebuild with "
+            "more num_partitions")
     tp.ensure_positions(idx)
     starts = tp.pos_offsets[idx]
     ends = tp.pos_offsets[idx + 1]

@@ -468,7 +468,7 @@ class MultiFieldIndex:
             # shares the identical id space
             cols = order_cols or [next(iter(fields.values()))]
             src_path = os.path.join(index_dir, "docs_src")
-            with_ids, persisted = _assign_doc_ids(docs, cols)
+            with_ids, persisted, _n = _assign_doc_ids(docs, cols)
             with_ids.write.mode("overwrite").parquet(src_path)
             persisted.unpersist()
             docs = spark.read.parquet(src_path)

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pim_lucene_spark.manifest import IndexManifest
-from pim_lucene_spark.sparkutil import local_empty
+from pim_lucene_spark.sparkutil import local_empty, map_by_pid
 
 DV_BLOB_SCHEMA = T.StructType([
     T.StructField("pid", T.IntegerType(), False),
@@ -201,8 +201,8 @@ def sort_by_field(spark: SparkSession, index, queries, col: str,
     payload["sort"] = {"path": d, "reverse": bool(reverse), "k": int(k),
                        "after": {int(q): (int(v), int(dc))
                                  for q, (v, dc) in (after or {}).items()}}
-    res = (postings.groupBy("pid")
-           .applyInPandas(_compound_kernel(payload), SORT_RESULT_SCHEMA))
+    res = map_by_pid(postings, payload["_n_tasks"],
+                     _compound_kernel(payload), SORT_RESULT_SCHEMA)
     order = F.desc("sortval") if reverse else F.asc("sortval")
     w = Window.partitionBy("qid").orderBy(order, F.asc("doc_id"))
     return (res.withColumn("rank", F.row_number().over(w))
@@ -241,9 +241,8 @@ def collapse_topk(spark: SparkSession, index, queries, dim: str,
                 .join(vals_df, "code")
                 .select("qid", "value", "doc_id", "score"))
     payload["collapse"] = {"path": fdir, "group_size": int(group_size)}
-    rows = (postings.groupBy("pid")
-            .applyInPandas(_compound_kernel(payload),
-                           COLLAPSE_KERNEL_SCHEMA))
+    rows = map_by_pid(postings, payload["_n_tasks"],
+                      _compound_kernel(payload), COLLAPSE_KERNEL_SCHEMA)
     # global per-group top-H = merge of ≤ P partition top-Hs; groups
     # rank per query by their head (rank-1) row
     w_g = Window.partitionBy("qid", "code").orderBy(
@@ -289,8 +288,8 @@ def facet_ranges(spark: SparkSession, index, queries, col: str,
     payload["ranges"] = {"path": d,
                          "lo": [int(r[1]) for r in ranges],
                          "hi": [int(r[2]) for r in ranges]}
-    agg = (postings.groupBy("pid")
-           .applyInPandas(_compound_kernel(payload), RANGE_KERNEL_SCHEMA)
+    agg = (map_by_pid(postings, payload["_n_tasks"],
+                      _compound_kernel(payload), RANGE_KERNEL_SCHEMA)
            .groupBy("qid", "ridx").agg(F.sum("n").alias("n")))
     return (scaffold.join(agg, ["qid", "ridx"], "left")
             .select("qid", "label",
@@ -344,9 +343,8 @@ def facet_stats(spark: SparkSession, index, queries, dim: str, col: str,
                               "val_path": dv_dir(
                                   manifests[default_field], col)}
     from pim_lucene_spark.operators.facets import ranked_buckets
-    agg = (postings.groupBy("pid")
-           .applyInPandas(_compound_kernel(payload),
-                          FACET_STATS_KERNEL_SCHEMA)
+    agg = (map_by_pid(postings, payload["_n_tasks"],
+                      _compound_kernel(payload), FACET_STATS_KERNEL_SCHEMA)
            .groupBy("qid", "code")
            .agg(F.sum("n").alias("n"),
                 F.sum("sum").alias("sum_val"),

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pim_lucene_spark.manifest import IndexManifest
-from pim_lucene_spark.sparkutil import local_empty
+from pim_lucene_spark.sparkutil import local_empty, map_by_pid
 
 FACET_BLOB_SCHEMA = T.StructType([
     T.StructField("pid", T.IntegerType(), False),
@@ -186,8 +186,8 @@ def facet_counts(spark: SparkSession,
         return (local_empty(spark, FACET_COUNT_SCHEMA)
                 .join(vals_df, "code").select("qid", "value", "n"))
     payload["facet"] = {"path": fdir}
-    agg = (postings.groupBy("pid")
-           .applyInPandas(_compound_kernel(payload), FACET_COUNT_SCHEMA)
+    agg = (map_by_pid(postings, payload["_n_tasks"],
+                      _compound_kernel(payload), FACET_COUNT_SCHEMA)
            .groupBy("qid", "code").agg(F.sum("n").alias("n")))
     return ranked_buckets(agg, vals_df, top_n, ["qid", "value", "n"])
 

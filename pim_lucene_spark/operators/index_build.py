@@ -106,7 +106,7 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str],
 
 def _assign_doc_ids(df: DataFrame, order_cols: list[str],
                     num_partitions: int | None = None
-                    ) -> tuple[DataFrame, DataFrame]:
+                    ) -> tuple[DataFrame, DataFrame, int]:
     """Dense deterministic int64 ``doc_id`` by global ``order_cols`` order.
 
     Range-repartition + sortWithinPartitions gives a globally sorted frame;
@@ -144,7 +144,7 @@ def _assign_doc_ids(df: DataFrame, order_cols: list[str],
             seen += len(pdf)
             yield pdf
 
-    return sorted_df.mapInPandas(stamp, out_schema), sorted_df
+    return sorted_df.mapInPandas(stamp, out_schema), sorted_df, acc
 
 
 def _add_doc_meta(docs: DataFrame, tokenizer: str) -> DataFrame:
@@ -491,48 +491,68 @@ def build_index(
     docs_done = manifest is not None and os.path.exists(
         os.path.join(index_dir, "_DOCS_DONE"))
 
+    # Fresh builds overlap the docs write with the postings build (guide
+    # §2.6 — independent jobs back-fill each other's stragglers): the
+    # postings kernel needs only (doc_id, content), both available in the
+    # source frame before the docs table lands on disk.  The one true
+    # dependency is doc_count (segment width); it comes free from the ID
+    # assignment's per-partition counts, or from a metadata-only count on
+    # a user-ID'd source.  Resumed builds keep the serial docs-parquet
+    # path (the stored snapshot is the stable input there).
+    base_frame = None  # postings/norms source for the overlapped path
+    doc_count_early: int | None = None
+    persisted = None
     if not docs_done:
-        persisted = None
         if id_col is None:
-            df, persisted = _assign_doc_ids(df, order_cols or [content_col])
-            id_col_eff = "doc_id"
+            # the assignment already collected per-partition counts; their
+            # sum is the doc count — no extra job
+            df, persisted, doc_count_early = _assign_doc_ids(
+                df, order_cols or [content_col])
         else:
-            id_col_eff = id_col
-            df = df.withColumn("doc_id", F.col(id_col_eff).cast("long"))
-        docs = df.withColumn("sha256", F.sha2(F.col(content_col), 256))
+            df = df.withColumn("doc_id", F.col(id_col).cast("long"))
+            doc_count_early = df.count()
+        docs_src = df.withColumn("sha256", F.sha2(F.col(content_col), 256))
         if content_col != "content":
-            docs = docs.withColumnRenamed(content_col, "content")
+            docs_src = docs_src.withColumnRenamed(content_col, "content")
+            base_frame = df.withColumnRenamed(content_col, "content") \
+                .select("doc_id", "content")
+        else:
+            base_frame = df.select("doc_id", "content")
         keep = ["doc_id"] + (meta_cols or []) + ["content", "sha256",
                                                  "token_count", "norm"]
-        docs = _add_doc_meta(docs, cfg.tokenizer)
-        # collection stats (B4) observed during the write — no extra scan
-        obs = Observation("collection_stats")
-        (docs.select(*keep)
-             .observe(obs, F.count(F.lit(1)).alias("doc_count"),
-                      F.sum("token_count").alias("sum_ttf"),
-                      F.max("doc_id").alias("max_id"))
-             .write.mode("overwrite").parquet(os.path.join(index_dir, "docs")))
-        stats_row = obs.get
-        if persisted is not None:
-            persisted.unpersist()
-        open(os.path.join(index_dir, "_DOCS_DONE"), "w").close()
-    _mark("docs_write")
+        docs_src = _add_doc_meta(docs_src, cfg.tokenizer)
+        if doc_count_early == 0:
+            raise ValueError("empty corpus")
+    _mark("plan")
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    obs = Observation("collection_stats")
+
+    def _docs_write_job():
+        # collection stats (B4) observed during the write — no extra scan
+        (docs_src.select(*keep)
+         .observe(obs, F.count(F.lit(1)).alias("doc_count"),
+                  F.sum("token_count").alias("sum_ttf"),
+                  F.max("doc_id").alias("max_id"))
+         .write.mode("overwrite").parquet(os.path.join(index_dir, "docs")))
+        open(os.path.join(index_dir, "_DOCS_DONE"), "w").close()
 
     if docs_done:  # resumed: docs already on disk, aggregate them
+        docs = spark.read.parquet(os.path.join(index_dir, "docs"))
         stats_row = docs.agg(
             F.count("*").alias("doc_count"),
             F.sum("token_count").alias("sum_ttf"),
             F.max("doc_id").alias("max_id"),
         ).collect()[0]
-    doc_count = int(stats_row["doc_count"])
-    sum_ttf = int(stats_row["sum_ttf"] or 0)
+        doc_count = int(stats_row["doc_count"])
+        sum_ttf = int(stats_row["sum_ttf"] or 0)
+        if doc_count == 0:
+            raise ValueError("empty corpus")
+        if int(stats_row["max_id"]) != doc_count - 1:
+            raise ValueError(
+                "doc ids must be dense 0..N-1 (use assign_doc_ids)")
+    else:
+        doc_count = int(doc_count_early)
     _mark("collection_stats")
-    if doc_count == 0:
-        raise ValueError("empty corpus")
-    if int(stats_row["max_id"]) != doc_count - 1:
-        raise ValueError("doc ids must be dense 0..N-1 (use assign_doc_ids)")
     nb_doc_per_segment = -(-doc_count // cfg.num_segments)
 
     if manifest is None:
@@ -542,7 +562,7 @@ def build_index(
             num_partitions=P,
             num_segments=cfg.num_segments,
             doc_count=doc_count,
-            sum_total_term_freq=sum_ttf,
+            sum_total_term_freq=0,  # filled from the write's Observation
             nb_doc_per_segment=nb_doc_per_segment,
             tokenizer=cfg.tokenizer,
             k1=cfg.k1,
@@ -554,20 +574,20 @@ def build_index(
             doc_span=doc_count,  # fresh builds validate dense 0..N-1 ids
             build_id=uuid.uuid4().hex,
         )
-
-    # norm-inverse quantization factor (PimIndexWriter.java:468-484)
-    from pim_lucene_spark.functions import bm25
-    from pim_lucene_spark.functions.smallfloat import quantize_norm_inverse
-    avgdl32 = bm25.avg_field_length(sum_ttf, doc_count, "float32")
-    qf, _quant = quantize_norm_inverse(bm25.score_cache(avgdl32, cfg.k1, cfg.b))
-    manifest.norm_quant_factor = int(qf)
+    if docs_done:
+        manifest.sum_total_term_freq = sum_ttf
 
     pid_col = F.pmod(F.col("doc_id"), F.lit(P)).cast("int").alias("pid")
 
-    # --- norms table ∥ postings chunks ----------------------------------------
+    # --- docs write ∥ postings chunks, then norms ------------------------------
     # Independent Spark jobs from one session run concurrently (separate
-    # driver threads) — the norms job (tiny, 1 byte/doc) rides along the
-    # postings build instead of adding a serial stage.
+    # driver threads, guide §2.6).  Fresh builds run the docs write and
+    # the postings build at the same time (the kernel tokenizes straight
+    # from the source frame); the tiny norms job (1 byte/doc, read from
+    # the docs parquet) chains behind the docs write while postings are
+    # still running.  manifest.save() is deferred until the Observation's
+    # sum_ttf is known — a crash in the window leaves no manifest.json,
+    # which a later build treats as fresh (chunks rebuilt, never stale).
     from concurrent.futures import ThreadPoolExecutor
 
     def _norms_job() -> None:
@@ -576,12 +596,34 @@ def build_index(
         # filesystem — the norms side never enters a Spark shuffle, the
         # same way a Lucene segment reads its own .nvd file
         if not os.path.exists(os.path.join(index_dir, "_NORMS_DONE")):
-            (docs.select("doc_id", "norm", pid_col)
+            norms_src = spark.read.parquet(os.path.join(index_dir, "docs"))
+            (norms_src.select("doc_id", "norm", pid_col)
                  .groupBy("pid")
                  .applyInPandas(_build_norms_kernel(P), NORMS_SCHEMA)
                  .write.mode("overwrite").partitionBy("pid")
                  .parquet(manifest.norms_path))
             open(os.path.join(index_dir, "_NORMS_DONE"), "w").close()
+
+    def _validate_fresh_write() -> None:
+        stats_row = obs.get
+        if int(stats_row["doc_count"]) != doc_count:
+            raise ValueError(
+                "source row count changed between planning and the docs "
+                f"write ({doc_count} vs {int(stats_row['doc_count'])}); "
+                "the input must be deterministic")
+        if int(stats_row["max_id"]) != doc_count - 1:
+            raise ValueError(
+                "doc ids must be dense 0..N-1 (use assign_doc_ids)")
+
+    def _docs_then_norms_job() -> None:
+        if not docs_done:
+            _docs_write_job()
+            # fail with the clean contract error before the norms kernel
+            # can hit the same non-dense ids inside a Spark task
+            _validate_fresh_write()
+        _norms_job()
+
+    fresh_markers: list[str] = []
 
     def _postings_job() -> None:
         # chunked + resumable (context_save_restore.c analogue)
@@ -589,25 +631,57 @@ def build_index(
                                         nb_doc_per_segment, cfg.tokenizer,
                                         cfg.max_postings_per_stripe)
         done = set(manifest.completed_chunks) if resume else set()
+        src = base_frame if base_frame is not None else \
+            spark.read.parquet(os.path.join(index_dir, "docs"))
         for chunk in range(cfg.build_chunks):
             if chunk in done and os.path.exists(manifest.chunk_marker(chunk)):
                 continue
-            (docs.select("doc_id", "content", pid_col)
+            (src.select("doc_id", "content", pid_col)
                  .filter(F.pmod(F.col("pid"), F.lit(cfg.build_chunks)) == chunk)
                  .groupBy("pid")
                  .applyInArrow(kernel, POSTINGS_SCHEMA)
                  .write.mode("overwrite").parquet(manifest.chunk_path(chunk)))
             open(manifest.chunk_marker(chunk), "w").close()
+            fresh_markers.append(manifest.chunk_marker(chunk))
             if chunk not in manifest.completed_chunks:
                 manifest.completed_chunks.append(chunk)
-            manifest.save()
+            if docs_done:  # overlapped builds defer saves (sum_ttf pending)
+                manifest.save()
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_norms = pool.submit(_norms_job)
+        f_dn = pool.submit(_docs_then_norms_job)
         f_post = pool.submit(_postings_job)
-        f_norms.result()
-        f_post.result()
+        try:
+            f_post.result()
+            f_dn.result()
+        except Exception:
+            # a failed validation (or any job error) makes this run's
+            # chunks untrustworthy — drop their markers so a later
+            # resume can never skip over garbage
+            for mk in fresh_markers:
+                if os.path.exists(mk):
+                    os.remove(mk)
+            raise
+        finally:
+            # only after BOTH jobs: the concurrent postings build reads
+            # the persisted id-assignment frame; unpersisting mid-flight
+            # would force a recompute whose range sampling could assign
+            # different ids than the docs table
+            if persisted is not None:
+                persisted.unpersist()
     _mark("norms+postings")
+
+    if not docs_done:
+        sum_ttf = int(obs.get["sum_ttf"] or 0)
+        manifest.sum_total_term_freq = sum_ttf
+
+    # norm-inverse quantization factor (PimIndexWriter.java:468-484)
+    from pim_lucene_spark.functions import bm25
+    from pim_lucene_spark.functions.smallfloat import quantize_norm_inverse
+    avgdl32 = bm25.avg_field_length(sum_ttf, doc_count, "float32")
+    qf, _quant = quantize_norm_inverse(bm25.score_cache(avgdl32, cfg.k1, cfg.b))
+    manifest.norm_quant_factor = int(qf)
+    manifest.save()
 
     postings = spark.read.parquet(*[manifest.chunk_path(c)
                                     for c in range(cfg.build_chunks)])

@@ -10,11 +10,16 @@ canonical doc per duplicate group.
 Plan shape at scale: the feature computation and every gate are pure
 map-stage Catalyst expressions (no UDF, no shuffle — they run inside
 the Parquet scan's whole-stage codegen); exact dedup is ONE hash
-shuffle on sha256(text) over the gate survivors; near-dup resolution
-adds the LSH-bounded pair generation plus O(log diameter) label-
-propagation rounds (see ``dedup.connected_components``).  Nothing ever
-materializes the doc payload more than once — gates and dedup work on
-(id, hash/feature) projections and the survivors join back by id.
+shuffle on sha256(text) over the gate survivors — the full row (doc
+payload included) moves through that exchange once.  A projected
+min-id + semi-join-back shape was considered and rejected: the join
+back by id re-shuffles the payload anyway (same one payload exchange,
+plus an extra small shuffle), and an exact no-shuffle filter would
+need the survivor set broadcast, which does not fit at corpus scale.
+Near-dup resolution adds the LSH-bounded pair generation plus
+O(log diameter) label-propagation rounds (see
+``dedup.connected_components``) — those operate on (id, hash)
+projections only.
 """
 
 from __future__ import annotations

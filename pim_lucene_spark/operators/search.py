@@ -1305,7 +1305,13 @@ def page_marks(page: pd.DataFrame) -> dict[int, tuple[float, int]]:
 def search_term(spark: SparkSession, index: IndexManifest | str, term: str,
                 k: int | None = None,
                 precision: str = "float32") -> DataFrame:
-    """Single-term query (Q22) — free by-product of the phrase path."""
+    """Single-term query (Q22) — free by-product of the phrase path.
+
+    ``k=None`` (the default) returns the FULL match set **unordered**
+    (no global rank window — consumers aggregate or sort downstream);
+    pass a numeric ``k`` for the globally ordered top-k of earlier
+    releases.  ``model.search_term`` keeps a large numeric default for
+    the sorted behavior."""
     return search(spark, index, [(0, term)], k=k, precision=precision)
 
 

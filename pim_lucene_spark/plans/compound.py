@@ -61,13 +61,15 @@ from pim_lucene_spark.functions import bm25
 from pim_lucene_spark.functions.sloppy import sloppy_freqs_postings
 from pim_lucene_spark.manifest import IndexManifest
 from pim_lucene_spark.sparkutil import (cached_parquet, local_empty,
-                                        manifest_scan_key)
+                                        manifest_scan_key, map_by_pid)
 from pim_lucene_spark.operators.search import (
     _assemble_by_term,
     _DecodeCtx,
+    _kernel_task_count,
     _phrase_match_counts,
     _resolve_norms_access,
     plan_queries,
+    term_doc_freqs,
 )
 
 COMPOUND_SCHEMA = T.StructType([
@@ -1142,8 +1144,11 @@ def search_sloppy_kernel(spark: SparkSession, index, queries,
         return pd.DataFrame({c: np.concatenate(v)
                              for c, v in out.items()})
 
-    per_part = (scan.groupBy("pid")
-                .applyInPandas(kernel, SLOPPY_KERNEL_SCHEMA))
+    s_dfs = term_doc_freqs(spark, manifest, sorted(needed))
+    per_part = map_by_pid(
+        scan, _kernel_task_count(int(manifest.num_partitions),
+                                 sum(s_dfs.values())),
+        kernel, SLOPPY_KERNEL_SCHEMA)
     if k is None:
         # clause-frame consumers: every match, no per-qid global sort
         return per_part
@@ -1171,8 +1176,8 @@ def count_compound(spark: SparkSession,
     if postings is None:
         return counts
     payload["count_only"] = True
-    agg = (postings.groupBy("pid")
-           .applyInPandas(_compound_kernel(payload), COUNT_SCHEMA)
+    agg = (map_by_pid(postings, payload["_n_tasks"],
+                      _compound_kernel(payload), COUNT_SCHEMA)
            .groupBy("qid").agg(F.sum("n").alias("n")).collect())
     for r in agg:
         counts[int(r["qid"])] = int(r["n"])
@@ -1260,6 +1265,7 @@ def _plan_aggregate_payload(spark: SparkSession,
     clause_plan: dict[int, tuple] = {}
     syn_boosts: dict[int, tuple] = {}
     iv_specs: dict[int, tuple] = {}
+    total_df = 0
     leaf_offsets: dict[int, tuple] = {}
     fields_payload, scans = {}, []
     num_partitions = None
@@ -1279,6 +1285,7 @@ def _plan_aggregate_payload(spark: SparkSession,
         needed = set(needed) | extra | _plan_syn_leaves(
             spark, m, syn, precision, f, clause_plan, syn_boosts) \
             | _plan_iv_leaves(spark, m, iv, f, clause_plan, iv_specs)
+        total_df += sum(term_doc_freqs(spark, m, sorted(needed)).values())
         num_partitions = m.num_partitions
         for sid, ts, w in planned:
             clause_plan[sid] = (f, tuple(ts), float(w),
@@ -1317,6 +1324,7 @@ def _plan_aggregate_payload(spark: SparkSession,
         "num_partitions": int(num_partitions),
         "postings_cache_mb": 0,
         "has_matchall": bool(b.matchall_fields),
+        "_n_tasks": _kernel_task_count(int(num_partitions), total_df),
     }
     postings = scans[0]
     for s in scans[1:]:
@@ -1638,6 +1646,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
     clause_plan: dict[int, tuple] = {}
     syn_boosts: dict[int, tuple] = {}
     iv_specs: dict[int, tuple] = {}
+    total_df = 0
     leaf_offsets: dict[int, tuple] = {}
     fields_payload: dict[str, dict] = {}
     scans = []
@@ -1658,6 +1667,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
         needed = set(needed) | extra | _plan_syn_leaves(
             spark, m, syn, precision, f, clause_plan, syn_boosts) \
             | _plan_iv_leaves(spark, m, iv, f, clause_plan, iv_specs)
+        total_df += sum(term_doc_freqs(spark, m, sorted(needed)).values())
         num_partitions = m.num_partitions
         for sid, terms, w in planned:
             clause_plan[sid] = (f, tuple(terms), float(w),
@@ -1695,6 +1705,7 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
         "num_partitions": int(num_partitions),
         "postings_cache_mb": int(postings_cache_mb),
         "has_matchall": bool(matchall_fields),
+        "_n_tasks": _kernel_task_count(int(num_partitions), total_df),
     }
     postings = scans[0]
     for s in scans[1:]:
@@ -1702,8 +1713,8 @@ def eval_compound(spark: SparkSession, manifests: dict[str, IndexManifest],
     if matchall_fields:
         postings = postings.unionByName(
             _pid_seed(spark, int(num_partitions), postings.schema))
-    per_part = (postings.groupBy("pid")
-                .applyInPandas(_compound_kernel(payload), COMPOUND_SCHEMA))
+    per_part = map_by_pid(postings, payload["_n_tasks"],
+                          _compound_kernel(payload), COMPOUND_SCHEMA)
     if return_partial or k is None:
         # k=None: every match, unordered (no per-qid rank window) — the
         # clause-frame / nested-consumer contract, same as search()
@@ -1863,8 +1874,13 @@ def eval_bm25f(spark: SparkSession, manifests: dict[str, IndexManifest],
     postings = scans[0]
     for s in scans[1:]:
         postings = postings.unionByName(s)
-    per_part = (postings.groupBy("pid")
-                .applyInPandas(_bm25f_kernel(payload), BM25F_SCHEMA))
+    bm_total = sum(
+        sum(term_doc_freqs(spark, m, sorted(needed_terms)).values())
+        for m in manifests.values())
+    per_part = map_by_pid(
+        postings,
+        _kernel_task_count(payload["num_partitions"], bm_total),
+        _bm25f_kernel(payload), BM25F_SCHEMA)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (per_part.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
