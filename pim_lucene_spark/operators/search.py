@@ -808,33 +808,78 @@ def _match_kernel_map(payload: dict):
     co-location is guaranteed by the hash exchange, so results are
     identical to the per-group form (differential-tested).
     """
-    norms_path = payload["norms_path"]
-
     def fn(it):
         parts = [pdf for pdf in it if len(pdf)]
         if not parts:
             return
         allp = (pd.concat(parts, ignore_index=True)
                 if len(parts) > 1 else parts[0])
+        yield from _iter_pid_results(payload, allp)
+    return fn
+
+
+def _iter_pid_results(payload: dict, allp: pd.DataFrame):
+    """Run the direct-norms match kernel over every whole pid group in
+    ``allp`` (shared by the exchange-fed and file-fed kernel forms)."""
+    import pyarrow.parquet as pq
+    norms_path = payload["norms_path"]
+    for pid, grp in allp.groupby("pid", sort=True):
+        pid = int(pid)
+        part_dir = os.path.join(norms_path, f"pid={pid}")
+        if not os.path.isdir(part_dir):
+            # same loud contract as _match_kernel's direct path
+            raise FileNotFoundError(
+                f"norms partition {part_dir} not visible from this "
+                "executor; direct norms access needs a POSIX-visible "
+                "shared mount — use search(norms_access='cogroup') "
+                "for object stores or non-shared layouts")
+        blob = pq.read_table(part_dir, columns=["norms"]) \
+            .column("norms")[0].as_py()
+        norms = np.frombuffer(blob, dtype=np.uint8)
+        live = live_mask_for(payload.get("deletes_path"), pid,
+                             payload["num_partitions"], norms.size)
+        out = _match_core(payload, pid, grp, norms, live=live)
+        if len(out):
+            yield out
+
+
+def _match_kernel_files(payload: dict):
+    """Single-stage kernel: each task reads its ASSIGNED postings files
+    directly with pyarrow ``term IN`` pushdown and runs the per-pid match
+    kernel — no Exchange at all (guide §2.4 / §8.4 "co-locate instead of
+    join": the postings Parquet is already laid out by pid, so the
+    repartition-by-pid shuffle only re-creates a grouping the files
+    already have).  The driver's file plan (:func:`_postings_file_groups`)
+    guarantees every pid's rows live in exactly one task, which is the
+    same co-location contract the hash exchange gave; the kernel itself
+    is identical, so results are identical (differential-tested).
+
+    This is the distributed twin of the serving path's pyarrow read
+    (``_local_rows``) and the reference's DPU model: each task owns its
+    shard and reads it locally.  Needs POSIX-visible index files from
+    every executor — exactly the precondition of direct norms access,
+    which gates this plan.
+    """
+    groups = payload["file_groups"]
+    terms = list(payload["needed_terms"])
+
+    def fn(it):
+        import pyarrow as pa
         import pyarrow.parquet as pq
-        for pid, grp in allp.groupby("pid", sort=True):
-            pid = int(pid)
-            part_dir = os.path.join(norms_path, f"pid={pid}")
-            if not os.path.isdir(part_dir):
-                # same loud contract as _match_kernel's direct path
-                raise FileNotFoundError(
-                    f"norms partition {part_dir} not visible from this "
-                    "executor; direct norms access needs a POSIX-visible "
-                    "shared mount — use search(norms_access='cogroup') "
-                    "for object stores or non-shared layouts")
-            blob = pq.read_table(part_dir, columns=["norms"]) \
-                .column("norms")[0].as_py()
-            norms = np.frombuffer(blob, dtype=np.uint8)
-            live = live_mask_for(payload.get("deletes_path"), pid,
-                                 payload["num_partitions"], norms.size)
-            out = _match_core(payload, pid, grp, norms, live=live)
-            if len(out):
-                yield out
+        for pdf in it:
+            for gi in pdf["id"]:
+                files, pids = groups[int(gi)]
+                filters = [("term", "in", terms), ("pid", "in", pids)]
+                tables = []
+                for f in files:
+                    t = pq.read_table(f, filters=filters)
+                    if t.num_rows:
+                        tables.append(t)
+                if not tables:
+                    continue
+                allp = (pa.concat_tables(tables) if len(tables) > 1
+                        else tables[0]).to_pandas()
+                yield from _iter_pid_results(payload, allp)
     return fn
 
 
@@ -856,6 +901,82 @@ def _kernel_task_count(num_partitions: int, total_postings: int) -> int:
     floor = int(os.environ.get("SPARK_GRAFT_KERNEL_TASK_FLOOR", "8"))
     want = max(floor, -(-int(total_postings) // max(target, 1)))
     return max(1, min(int(num_partitions), want))
+
+
+# postings pid→files map per index generation: which Parquet files hold
+# each pid's rows (exact, from the RLE/dictionary-encoded pid column) —
+# lets the kernel job skip the repartition exchange entirely by handing
+# each task a pid subset plus the files that contain it, read with
+# ``pid IN`` + ``term IN`` pyarrow pushdown.  Keyed like the scan cache
+# (identity + dir mtimes); bounded.
+_FILE_PLAN_CACHE: OrderedDict[tuple, dict | None] = OrderedDict()
+_FILE_PLAN_CACHE_MAX = 64
+
+
+def _postings_pid_map(manifest: IndexManifest) -> dict | None:
+    """``{pid: (est_bytes, [files...])}`` from a one-time scan of each
+    chunk file's pid column (tiny: RLE/dictionary pages), or ``None``
+    when the layout can't be inspected (URI paths, unreadable files) —
+    the caller then falls back to the exchange plan.  Cached per
+    (build, mtimes); no postings data is touched, and the weights are
+    driver-side planning estimates only (file bytes split evenly over
+    the file's pids)."""
+    from pim_lucene_spark.sparkutil import _paths_token
+    paths = tuple(manifest.chunk_path(c)
+                  for c in range(manifest.build_chunks))
+    token = _paths_token(paths)
+    if token is None:
+        return None
+    key = (manifest_scan_key(manifest), paths, token)
+    if key in _FILE_PLAN_CACHE:
+        _FILE_PLAN_CACHE.move_to_end(key)
+        return _FILE_PLAN_CACHE[key]
+    import pyarrow.parquet as pq
+    pid_map: dict[int, tuple[float, list[str]]] | None = {}
+    try:
+        for d in paths:
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".parquet"):
+                    continue
+                f = os.path.join(d, name)
+                pids = np.unique(pq.read_table(f, columns=["pid"])
+                                 .column("pid").to_numpy())
+                if pids.size == 0:
+                    continue  # empty part file: no pids to own
+                w = os.path.getsize(f) / pids.size
+                for p in pids.tolist():
+                    old_w, old_files = pid_map.get(int(p), (0.0, []))
+                    pid_map[int(p)] = (old_w + w, old_files + [f])
+    except (OSError, KeyError, ValueError):
+        pid_map = None
+    if not pid_map:
+        pid_map = None
+    _FILE_PLAN_CACHE[key] = pid_map
+    while len(_FILE_PLAN_CACHE) > _FILE_PLAN_CACHE_MAX:
+        _FILE_PLAN_CACHE.popitem(last=False)
+    return pid_map
+
+
+def _postings_file_groups(manifest: IndexManifest, n_tasks: int
+                          ) -> list[tuple[list[str], list[int]]] | None:
+    """Bin-pack pids into ``n_tasks`` task groups (LPT greedy on the
+    per-pid byte estimate — a better balance than the hash exchange's
+    modulo placement).  Each group is ``(files, pids)``: the task reads
+    those files with ``pid IN pids`` (+ ``term IN``) pushdown, so a pid
+    is owned by exactly ONE task no matter how the writer laid out the
+    files.  ``None`` → use the exchange plan."""
+    pid_map = _postings_pid_map(manifest)
+    if not pid_map:
+        return None
+    n = max(1, min(int(n_tasks), len(pid_map)))
+    bins: list[list] = [[0.0, [], set()] for _ in range(n)]
+    for pid, (w, files) in sorted(pid_map.items(),
+                                  key=lambda kv: (-kv[1][0], kv[0])):
+        tgt = min(bins, key=lambda b: b[0])
+        tgt[0] += w
+        tgt[1].append(pid)
+        tgt[2].update(files)
+    return [(sorted(fs), pids) for _, pids, fs in bins if pids]
 
 
 # term → doc_freq cache per index generation (0 = negative entry).  The
@@ -1258,8 +1379,22 @@ def search(spark: SparkSession, index: IndexManifest | str,
         dfs = term_doc_freqs(spark, manifest, list(needed_terms))
         n_tasks = _kernel_task_count(manifest.num_partitions,
                                      sum(dfs.values()))
-        per_part = (postings.repartition(n_tasks, "pid")
-                    .mapInPandas(_match_kernel_map(payload), RESULT_SCHEMA))
+        groups = (None if os.environ.get("SPARK_GRAFT_DIRECT_SCAN") == "0"
+                  else _postings_file_groups(manifest, n_tasks))
+        if groups is not None:
+            # zero-Exchange single-stage job: tasks read their assigned
+            # pid-complete postings files directly (guide §2.4; the
+            # repartition below only re-creates the grouping the file
+            # layout already has)
+            payload = dict(payload, file_groups=groups,
+                           needed_terms=list(needed_terms))
+            per_part = (spark.range(0, len(groups), 1, len(groups))
+                        .mapInPandas(_match_kernel_files(payload),
+                                     RESULT_SCHEMA))
+        else:
+            per_part = (postings.repartition(n_tasks, "pid")
+                        .mapInPandas(_match_kernel_map(payload),
+                                     RESULT_SCHEMA))
     else:
         norms = cached_parquet(spark, manifest_scan_key(manifest),
                                manifest.norms_path)

@@ -149,6 +149,75 @@ def test_search_map_kernel_matches_cogroup(spark, tmp_index_dir):
     assert a.equals(c)
 
 
+def test_postings_file_groups_partition_pids(spark, tmp_index_dir):
+    """The zero-exchange file plan must own every pid exactly once
+    across task groups (the co-location contract the hash exchange
+    gave), and the planned task job must return exactly what the
+    exchange plan returns."""
+    from pim_lucene_spark import IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+    from pim_lucene_spark.operators import search as S
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumnRenamed("text", "content"))
+    m = build_index(spark, docs, tmp_index_dir,
+                    IndexConfig(8, 4, build_chunks=2), id_col="doc_id")
+    groups = S._postings_file_groups(m, 5)
+    assert groups is not None and 1 <= len(groups) <= 5
+    seen: list[int] = []
+    for files, pids in groups:
+        assert files and pids
+        seen.extend(pids)
+    assert sorted(seen) == sorted(set(seen))  # each pid exactly once
+
+    queries = [(0, "merge"), (1, "the fast"), (2, "batch batch batch")]
+    a = (S.search(spark, m, queries, k=6).toPandas()
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    os.environ["SPARK_GRAFT_DIRECT_SCAN"] = "0"
+    try:
+        b = (S.search(spark, m, queries, k=6).toPandas()
+             .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    finally:
+        del os.environ["SPARK_GRAFT_DIRECT_SCAN"]
+    assert len(a) and a.equals(b)
+
+
+def test_postings_file_plan_single_stage(spark, tmp_index_dir):
+    """The file-plan query job must contain no Exchange and no Parquet
+    scan node (tasks read their files directly)."""
+    from pim_lucene_spark import IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+    from pim_lucene_spark.operators.search import search
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumnRenamed("text", "content"))
+    m = build_index(spark, docs, tmp_index_dir,
+                    IndexConfig(8, 4, build_chunks=1), id_col="doc_id")
+    plan = search(spark, m, [(0, "the fast")], k=None) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_postings_pid_map_uri_fallback():
+    """URI index paths can't be statted by the driver — the plan must
+    decline (→ exchange fallback), never guess."""
+    from pim_lucene_spark.operators.search import _postings_pid_map
+
+    class _M:
+        build_chunks = 1
+        build_id = "x"
+        index_dir = "s3a://bucket/idx"
+        doc_count = 1
+        sum_total_term_freq = 1
+
+        def chunk_path(self, c):
+            return f"s3a://bucket/idx/postings_{c}"
+
+    assert _postings_pid_map(_M()) is None
+
+
 def test_interval_key_overflow_guard():
     """ADVICE r6 #1: the packed rank*2^40+pos key must refuse candidate
     sets that would wrap int64 instead of matching wrongly."""
