@@ -883,6 +883,92 @@ def _match_kernel_files(payload: dict):
     return fn
 
 
+def _local_route_max() -> int:
+    """Postings-volume ceiling for the in-process query route.
+
+    If a query batch's total postings volume (Σ doc_freq over its
+    terms) does not exceed what ONE kernel task is sized to handle, a
+    distributed job cannot run faster than a single task — and that one
+    task would still pay the full Python-stage job overhead (~170-250 ms
+    measured on this host for an *identity* mapInPandas job, vs
+    single-digit ms of actual kernel work).  Below the ceiling the
+    driver runs that one task's kernel in-process instead — the exact
+    job the cluster would have executed, minus the scheduler (and the
+    reference engine's own query path is host-resident for the same
+    reason).  The ceiling is volume-derived (the same one-task target
+    the task-count heuristic uses), not core-count-derived; 0 disables
+    the route entirely.  Measured break-evens on this host class
+    (quiet): a single hot-term query still wins inline at Σdf = 500k
+    (284 vs 485 ms) and loses by Σdf = 1M (1466 vs 592 ms), but a
+    20-phrase batch at Σdf = 108k already loses (570-890 ms inline vs
+    ~330 ms distributed — per-posting work grows with query count), so
+    the default stays at the conservative single-task budget rather
+    than the single-query crossover."""
+    v = os.environ.get("SPARK_GRAFT_LOCAL_ROUTE_POSTINGS")
+    if v is not None:
+        return int(v)
+    return int(os.environ.get("SPARK_GRAFT_POSTINGS_PER_TASK",
+                              str(1 << 16)))
+
+
+def _chunks_posix(manifest: IndexManifest) -> bool:
+    """True when every postings chunk dir is a driver-visible plain
+    filesystem path (the same precondition direct norms access has)."""
+    for c in range(manifest.build_chunks):
+        p = manifest.chunk_path(c)
+        if "://" in p or not os.path.isdir(p):
+            return False
+    return True
+
+
+def _search_inline(manifest: IndexManifest, payload: dict,
+                   needed_terms) -> pd.DataFrame:
+    """One-task kernel run in-process: pyarrow ``term IN`` read of the
+    postings chunks (no residency caches — every call re-reads Parquet;
+    the decode cache obeys ``payload['postings_cache_mb']`` exactly as a
+    kernel task would), then the identical per-pid match kernel.  The
+    hit pids' norms blobs come from ONE filtered read of the norms
+    dataset (per-pid directory reads cost a dataset discovery each)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    filters = [("term", "in", list(needed_terms))]
+    tables = [pq.read_table(manifest.chunk_path(c), filters=filters)
+              for c in range(manifest.build_chunks)]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return _empty_result()
+    allp = (pa.concat_tables(tables) if len(tables) > 1
+            else tables[0]).to_pandas()
+    hit_pids = sorted(int(p) for p in allp["pid"].unique())
+    ntbl = pq.read_table(payload["norms_path"],
+                         filters=[("pid", "in", hit_pids)],
+                         columns=["pid", "norms"])
+    norms_by_pid: dict[int, np.ndarray] = {}
+    for p, b in zip(ntbl.column("pid").to_pylist(),
+                    ntbl.column("norms").to_pylist()):
+        # one blob row per pid; keep the first like the kernels'
+        # ``column("norms")[0]`` read
+        norms_by_pid.setdefault(int(p), np.frombuffer(b, dtype=np.uint8))
+    outs = []
+    for pid, grp in allp.groupby("pid", sort=True):
+        pid = int(pid)
+        norms = norms_by_pid.get(pid)
+        if norms is None:
+            # a pid with postings always has docs, hence norms — same
+            # loud contract as the kernels' direct path
+            raise FileNotFoundError(
+                f"norms partition pid={pid} missing under "
+                f"{payload['norms_path']}")
+        live = live_mask_for(payload.get("deletes_path"), pid,
+                             payload["num_partitions"], norms.size)
+        out = _match_core(payload, pid, grp, norms, live=live)
+        if len(out):
+            outs.append(out)
+    if not outs:
+        return _empty_result()
+    return pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+
 def _kernel_task_count(num_partitions: int, total_postings: int) -> int:
     """Scale-adaptive kernel parallelism (guide §2: derive partitioning
     from input size, not a constant).
@@ -1344,6 +1430,20 @@ def search(spark: SparkSession, index: IndexManifest | str,
                             for q, (s, d) in after.items()}
     if gap_offsets:
         payload["offsets"] = gap_offsets
+
+    if use_direct and not bound_probe:
+        total_df = sum(term_doc_freqs(spark, manifest,
+                                      list(needed_terms)).values())
+        if 0 < total_df <= _local_route_max() and _chunks_posix(manifest):
+            # one-task-sized query: run the kernel in-process (the job
+            # the cluster would run, minus the scheduler — see
+            # _local_route_max); identical results, differential-tested
+            pdf = _search_inline(manifest, payload, needed_terms)
+            if not unbounded and len(pdf):
+                pdf = (pdf.sort_values(["qid", "score", "doc_id"],
+                                       ascending=[True, False, True])
+                       .groupby("qid", sort=True).head(k))
+            return local_result(spark, pdf, RESULT_SCHEMA)
 
     postings = (cached_parquet(spark, manifest_scan_key(manifest),
                                *[manifest.chunk_path(c) for c in

@@ -57,12 +57,28 @@ def main() -> None:
         "q_phrase4": [(0, "table scan merge part")],
         "q_batch20": BATCH20,
     }
-    for name, qs in captures.items():
-        df = search(spark, manifest, qs, k=10, final_merge="window")
-        plan = df._jdf.queryExecution().explainString(
+    def _capture(df) -> str:
+        return df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted"))
+
+    for name, qs in captures.items():
+        # the plan the call actually executes (singles under the r7
+        # size gate come back as a driver-merged LocalRelation; the
+        # batch exceeds the gate and keeps the distributed plan)
+        plan = _capture(search(spark, manifest, qs, k=10,
+                               final_merge="window"))
         with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(plan)
+        # the distributed plan used above the size gate (forced)
+        os.environ["SPARK_GRAFT_LOCAL_ROUTE_POSTINGS"] = "0"
+        try:
+            plan = _capture(search(spark, manifest, qs, k=10,
+                                   final_merge="window"))
+        finally:
+            del os.environ["SPARK_GRAFT_LOCAL_ROUTE_POSTINGS"]
+        with open(os.path.join(out_dir,
+                               f"{name}_{suffix}_dist.txt"), "w") as f:
             f.write(plan)
         print("wrote", name, suffix)
     shutil.rmtree(idx, ignore_errors=True)

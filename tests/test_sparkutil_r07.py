@@ -171,14 +171,18 @@ def test_postings_file_groups_partition_pids(spark, tmp_index_dir):
     assert sorted(seen) == sorted(set(seen))  # each pid exactly once
 
     queries = [(0, "merge"), (1, "the fast"), (2, "batch batch batch")]
-    a = (S.search(spark, m, queries, k=6).toPandas()
-         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
-    os.environ["SPARK_GRAFT_DIRECT_SCAN"] = "0"
+    os.environ["SPARK_GRAFT_LOCAL_ROUTE_POSTINGS"] = "0"
     try:
-        b = (S.search(spark, m, queries, k=6).toPandas()
+        a = (S.search(spark, m, queries, k=6).toPandas()
              .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        os.environ["SPARK_GRAFT_DIRECT_SCAN"] = "0"
+        try:
+            b = (S.search(spark, m, queries, k=6).toPandas()
+                 .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+        finally:
+            del os.environ["SPARK_GRAFT_DIRECT_SCAN"]
     finally:
-        del os.environ["SPARK_GRAFT_DIRECT_SCAN"]
+        del os.environ["SPARK_GRAFT_LOCAL_ROUTE_POSTINGS"]
     assert len(a) and a.equals(b)
 
 
@@ -193,11 +197,52 @@ def test_postings_file_plan_single_stage(spark, tmp_index_dir):
             .withColumnRenamed("text", "content"))
     m = build_index(spark, docs, tmp_index_dir,
                     IndexConfig(8, 4, build_chunks=1), id_col="doc_id")
-    plan = search(spark, m, [(0, "the fast")], k=None) \
-        ._jdf.queryExecution().executedPlan().toString()
+    os.environ["SPARK_GRAFT_LOCAL_ROUTE_POSTINGS"] = "0"
+    try:
+        plan = search(spark, m, [(0, "the fast")], k=None) \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        del os.environ["SPARK_GRAFT_LOCAL_ROUTE_POSTINGS"]
     assert "Exchange" not in plan
     assert "FileScan" not in plan and "Scan parquet" not in plan
     assert "MapInPandas" in plan
+
+
+def test_local_route_matches_distributed(spark, tmp_index_dir):
+    """The size-gated in-process route must return exactly what the
+    distributed job returns (bounded AND unbounded), and its collect
+    must launch zero Spark jobs."""
+    from pim_lucene_spark import IndexConfig
+    from pim_lucene_spark.operators.index_build import build_index
+    from pim_lucene_spark.operators import search as S
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumnRenamed("text", "content"))
+    m = build_index(spark, docs, tmp_index_dir,
+                    IndexConfig(8, 4, build_chunks=2), id_col="doc_id")
+    queries = [(0, "merge"), (1, "the fast"), (2, "batch batch batch")]
+    df = S.search(spark, m, queries, k=6, final_merge="driver")
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    rows = df.collect()  # LocalRelation: collect launches no job
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before)
+    a = (pd.DataFrame([r.asDict() for r in rows])
+         [["qid", "doc_id", "freq", "norm", "score"]]
+         .astype({"norm": "int32"})
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    os.environ["SPARK_GRAFT_LOCAL_ROUTE_POSTINGS"] = "0"
+    try:
+        b = (S.search(spark, m, queries, k=6, final_merge="driver")
+             .toPandas().sort_values(["qid", "doc_id"])
+             .reset_index(drop=True))
+        c = (S.search(spark, m, queries, k=None).toPandas()
+             .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    finally:
+        del os.environ["SPARK_GRAFT_LOCAL_ROUTE_POSTINGS"]
+    assert len(a) and a.equals(b)
+    d = (S.search(spark, m, queries, k=None).toPandas()
+         .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    assert c.equals(d)
 
 
 def test_postings_pid_map_uri_fallback():
