@@ -216,13 +216,16 @@ def _phrase_match_counts(postings_by_term: list, cand_idx_by_term: list[np.ndarr
         if i == 0:
             keys = k
         else:
-            keys = keys[np.isin(keys, k, assume_unique=True)]
+            # both key arrays are sorted ascending (ranks nondecreasing,
+            # positions strictly increasing within a doc), so sorted
+            # intersection via searchsorted beats isin's concat+argsort
+            j = np.searchsorted(k, keys)
+            j[j == k.size] = 0  # out-of-range probes can never match …
+            keys = keys[k[j] == keys]  # … k[0] != key there (key > max)
             if keys.size == 0:
                 return np.zeros(n_cand, dtype=np.int64)
-    counts = np.zeros(n_cand, dtype=np.int64)
     ranks = (keys // _POS_KEY_SHIFT).astype(np.int64)
-    np.add.at(counts, ranks, 1)
-    return counts
+    return np.bincount(ranks, minlength=n_cand).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
