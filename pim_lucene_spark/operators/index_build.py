@@ -648,28 +648,48 @@ def build_index(
             if docs_done:  # overlapped builds defer saves (sum_ttf pending)
                 manifest.save()
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_dn = pool.submit(_docs_then_norms_job)
-        f_post = pool.submit(_postings_job)
+    serial_build = os.environ.get("SPARK_GRAFT_BUILD_SERIAL") == "1"
+    if serial_build:
+        # measurement mode (scaling protocol): run the phases serially so
+        # their wall times are separable — the overlapped default runs
+        # them concurrently, which folds the docs write into the postings
+        # window and makes per-phase scaling unattributable
         try:
-            f_post.result()
-            f_dn.result()
+            _docs_then_norms_job()
+            _mark("docs+norms")
+            _postings_job()
+            _mark("postings")
         except Exception:
-            # a failed validation (or any job error) makes this run's
-            # chunks untrustworthy — drop their markers so a later
-            # resume can never skip over garbage
             for mk in fresh_markers:
                 if os.path.exists(mk):
                     os.remove(mk)
             raise
         finally:
-            # only after BOTH jobs: the concurrent postings build reads
-            # the persisted id-assignment frame; unpersisting mid-flight
-            # would force a recompute whose range sampling could assign
-            # different ids than the docs table
             if persisted is not None:
                 persisted.unpersist()
-    _mark("norms+postings")
+    else:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dn = pool.submit(_docs_then_norms_job)
+            f_post = pool.submit(_postings_job)
+            try:
+                f_post.result()
+                f_dn.result()
+            except Exception:
+                # a failed validation (or any job error) makes this run's
+                # chunks untrustworthy — drop their markers so a later
+                # resume can never skip over garbage
+                for mk in fresh_markers:
+                    if os.path.exists(mk):
+                        os.remove(mk)
+                raise
+            finally:
+                # only after BOTH jobs: the concurrent postings build
+                # reads the persisted id-assignment frame; unpersisting
+                # mid-flight would force a recompute whose range sampling
+                # could assign different ids than the docs table
+                if persisted is not None:
+                    persisted.unpersist()
+        _mark("norms+postings")
 
     if not docs_done:
         sum_ttf = int(obs.get["sum_ttf"] or 0)
