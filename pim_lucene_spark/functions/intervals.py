@@ -57,14 +57,19 @@ def _term_keys(tp, idx: np.ndarray,
     its candidate rank (defaults to 0..n-1 — the all-candidates case);
     an OR slot passes the subset of candidate ranks where this
     alternative is present."""
-    if idx.size >= (1 << 23):
-        # rank * 2^40 + pos wraps int64 once ranks reach 2^23 — fail loudly
-        # instead of returning wrong matches (a partition-local candidate
-        # set this large means the index is under-partitioned)
+    # rank * 2^40 + pos wraps int64 once a RANK reaches 2^23 — fail
+    # loudly instead of returning wrong matches (a partition-local
+    # candidate set this large means the index is under-partitioned).
+    # The bound must cover the ranks actually used: an OR slot passes a
+    # subset of the FULL candidate set's ranks, so a small idx can still
+    # carry ranks near cand.size (review catch: idx.size alone misses it)
+    max_rank = (idx.size if ranks is None
+                else (int(ranks.max()) + 1 if ranks.size else 0))
+    if max_rank >= (1 << 23):
         raise OverflowError(
-            f"interval clause has {idx.size} candidate docs in one index "
-            "partition (>= 2^23, the packed-key rank limit); rebuild with "
-            "more num_partitions")
+            f"interval clause spans candidate ranks up to {max_rank} in "
+            "one index partition (>= 2^23, the packed-key rank limit); "
+            "rebuild with more num_partitions")
     tp.ensure_positions(idx)
     starts = tp.pos_offsets[idx]
     ends = tp.pos_offsets[idx + 1]

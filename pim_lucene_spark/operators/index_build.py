@@ -481,9 +481,12 @@ def build_index(
     manifest: IndexManifest | None = None
     if resume and os.path.exists(os.path.join(index_dir, "manifest.json")):
         manifest = IndexManifest.load(index_dir)
-    if not resume:
-        # fresh build: stale checkpoint markers from a previous build in the
-        # same dir must not short-circuit any stage
+    if manifest is None:
+        # fresh build (incl. resume=True finding no manifest — e.g. a
+        # crash between the phase jobs and the deferred manifest.save):
+        # stale checkpoint markers from a previous attempt must not
+        # short-circuit any stage, or a rebuilt docs table could pair
+        # with the earlier attempt's norms sidecar (review catch)
         import glob
         for marker in glob.glob(os.path.join(index_dir, "_*_DONE")):
             os.remove(marker)
@@ -496,8 +499,11 @@ def build_index(
     # postings kernel needs only (doc_id, content), both available in the
     # source frame before the docs table lands on disk.  The one true
     # dependency is doc_count (segment width); it comes free from the ID
-    # assignment's per-partition counts, or from a metadata-only count on
-    # a user-ID'd source.  Resumed builds keep the serial docs-parquet
+    # assignment's per-partition counts, or — for user-ID'd sources —
+    # from one count() job over the source before the overlapped phase
+    # (a real scan for non-trivial frames, accepted: segment width must
+    # be known before any kernel runs).  Resumed builds keep the serial
+    # docs-parquet
     # path (the stored snapshot is the stable input there).
     base_frame = None  # postings/norms source for the overlapped path
     doc_count_early: int | None = None
@@ -671,24 +677,30 @@ def build_index(
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_dn = pool.submit(_docs_then_norms_job)
             f_post = pool.submit(_postings_job)
-            try:
-                f_post.result()
-                f_dn.result()
-            except Exception:
+            # wait for BOTH futures before any cleanup: an early raise
+            # from one job must not trigger the unpersist (or marker
+            # cleanup) while the other job is still mid-write — the
+            # persisted id-assignment frame pins the range sampling both
+            # jobs' outputs must agree on (review catch: the old
+            # result-then-finally ordering ran cleanup with the docs
+            # thread still live when the postings job failed first)
+            first_exc: Exception | None = None
+            for fut in (f_post, f_dn):
+                try:
+                    fut.result()
+                except Exception as e:  # noqa: BLE001 - re-raised below
+                    if first_exc is None:
+                        first_exc = e
+            if persisted is not None:
+                persisted.unpersist()
+            if first_exc is not None:
                 # a failed validation (or any job error) makes this run's
                 # chunks untrustworthy — drop their markers so a later
                 # resume can never skip over garbage
                 for mk in fresh_markers:
                     if os.path.exists(mk):
                         os.remove(mk)
-                raise
-            finally:
-                # only after BOTH jobs: the concurrent postings build
-                # reads the persisted id-assignment frame; unpersisting
-                # mid-flight would force a recompute whose range sampling
-                # could assign different ids than the docs table
-                if persisted is not None:
-                    persisted.unpersist()
+                raise first_exc
         _mark("norms+postings")
 
     if not docs_done:

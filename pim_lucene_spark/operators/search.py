@@ -1705,7 +1705,10 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
                                          precision,
                                          collect_offsets=gap_offsets)
     if not planned:
-        return _empty_result()
+        # public API boundary: hand out a copy, never the shared cached
+        # frame (a caller mutating its result must not poison every
+        # later empty result in the process)
+        return _empty_result().copy()
     avgdl = bm25.avg_field_length(manifest.sum_total_term_freq,
                                   manifest.doc_count, precision)
     payload = {
@@ -1738,7 +1741,7 @@ def search_local(index: IndexManifest | str, queries: list[tuple[int, str]],
         if arrays is not None:
             outs.append(arrays)
     if not outs:
-        return _empty_result()
+        return _empty_result().copy()  # public boundary: see above
     # one frame for the whole batch (per-pid pandas construction was the
     # next-biggest serving cost after the empty-frame fix)
     res = pd.DataFrame({c: (np.concatenate([p[c] for p in outs])

@@ -208,14 +208,6 @@ def map_by_pid(df: DataFrame, n_tasks: int, kernel, schema) -> DataFrame:
     return df.repartition(int(n_tasks), "pid").mapInPandas(fn, schema)
 
 
-def kernel_task_count(num_partitions: int, total_postings: int) -> int:
-    """Scale-adaptive kernel parallelism — see
-    ``operators.search._kernel_task_count`` (re-exported here for the
-    plan modules)."""
-    from pim_lucene_spark.operators.search import _kernel_task_count
-    return _kernel_task_count(num_partitions, total_postings)
-
-
 def manifest_scan_key(manifest) -> tuple:
     """Identity key for an index's file set — immutable per build (same
     composite the term-stats and warm-postings caches key on, so legacy

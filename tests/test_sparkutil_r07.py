@@ -277,3 +277,8 @@ def test_interval_key_overflow_guard():
 
     with pytest.raises(OverflowError):
         _term_keys(_FakeTp(), np.zeros(1 << 23, dtype=np.int64))
+    # OR-slot form: a SMALL idx whose ranks index a huge candidate set
+    # must trip the same guard (the ranks, not idx.size, wrap the key)
+    with pytest.raises(OverflowError):
+        _term_keys(_FakeTp(), np.zeros(4, dtype=np.int64),
+                   ranks=np.array([0, 1, 2, 1 << 23], dtype=np.int64))
